@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module query registries. Every SQL-expressible
+  * operator has a matching DuckDB oracle entry; non-SQL-expressible ones
+  * (GraphX connected components, streaming) are registered queries with a
+  * rows-only check and get ScalaTest coverage instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (relational.TpchQueries.queries, relational.TpchQueries.oracles)
+  )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registries.iterator.map(_._2).reduce(_ ++ _)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Q.txt family 10 analog (SURVEY §7.3): per-group document counts for a
+    * keyword, alias-expanded — exercises ingest → edges → join → agg.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q04_top_customers")(spark, "/root/testdata/sf0.001")
 }
