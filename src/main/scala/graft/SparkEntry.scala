@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
-    (relational.TpchQueries.queries, relational.TpchQueries.oracles)
+    (relational.TpchQueries.queries, relational.TpchQueries.oracles),
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (similarity.Similarity.queries, similarity.Similarity.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,182 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (SURVEY.md §2.7 F6 embedding similarity; BASELINE north star
+  * "similarity search").
+  *
+  * Two paths:
+  *  - q40: brute-force top-k — the exactness baseline. O(|Q|·n) dot
+  *    products; at 100 TB this is only viable for small |Q| with the
+  *    corpus side broadcast-partitioned, hence:
+  *  - q41/q42: IVF (inverted-file) — a deterministic coarse quantizer
+  *    (every 50th vector is a centroid) assigns each vector to its
+  *    nearest centroid; queries then search ONLY their centroid's bucket.
+  *    The shuffle becomes O(n) assignment + a per-bucket join, and the
+  *    bucket id is the partitioning key at scale. Recall < 1 by design —
+  *    the usual IVF trade; nprobe>1 is the standard extension.
+  *
+  * Ranking keys are the signed-cos² rationals from [[graft.functions.VectorOps]]
+  * (exact integers + one double division), so ordering ties out with the
+  * DuckDB oracle bit-for-bit; ties broken on vector id.
+  */
+object Similarity {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 for the first 10 query vectors.
+    "q40_ann_bruteforce_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .withColumn("nrm", norm2($"e"))
+      val q = emb.filter($"vec_id" < 10).as("q")
+      val c = emb.as("c")
+      val w = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(c, $"q.vec_id" =!= $"c.vec_id")
+        .withColumn("dot", dot($"q.e", $"c.e"))
+        .select($"q.vec_id".as("qid"), $"c.vec_id".as("nid"),
+          cos2Key($"dot", $"q.nrm", $"c.nrm").as("key"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // IVF coarse assignment: nearest deterministic centroid per vector.
+    "q41_ivf_assign" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .withColumn("nrm", norm2($"e"))
+      val cent = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
+      val w = Window.partitionBy($"vec_id").orderBy($"key".desc, $"cid")
+      emb.crossJoin(broadcast(cent))
+        .withColumn("dot", dot($"e", $"ce"))
+        .withColumn("key", cos2Key($"dot", $"nrm", $"cnrm"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid".as("centroid_id"))
+        .orderBy($"vec_id")
+    }),
+
+    // IVF search: queries probe only their own centroid bucket (nprobe=1).
+    "q42_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .withColumn("nrm", norm2($"e"))
+      val centroids = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"akey".desc, $"cid")
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("adot", dot($"e", $"ce"))
+        .withColumn("akey", cos2Key($"adot", $"nrm", $"cnrm"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"e", $"nrm", $"cid")
+      val q = assigned.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
+      val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(assigned.as("c"), Seq("cid"))
+        .filter($"qid" =!= $"c.vec_id")
+        .withColumn("dot", dot($"qe", $"c.e"))
+        .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
+        .select($"qid", $"c.vec_id".as("nid"), $"key")
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
+    })
+  )
+
+  private val quantSql =
+    """SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+       FROM embeddings"""
+
+  def oracles: Map[String, String] = Map(
+    "q40_ann_bruteforce_topk" ->
+      s"""WITH q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e, (x,i) -> x * c.e[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    "q41_ivf_assign" ->
+      s"""WITH q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                  FROM n WHERE vec_id % 50 = 0),
+         p AS (SELECT n.vec_id, cent.cid,
+                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+                 n.nrm, cent.cnrm
+               FROM n CROSS JOIN cent),
+         k AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM p)
+         SELECT vec_id, cid AS centroid_id FROM k WHERE rn = 1
+         ORDER BY vec_id""",
+    "q42_ivf_topk" ->
+      s"""WITH q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                  FROM n WHERE vec_id % 50 = 0),
+         ap AS (SELECT n.vec_id, cent.cid,
+                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+                 n.nrm, cent.cnrm
+               FROM n CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+             FROM ap) t WHERE rn = 1),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM assigned a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e, (x,i) -> x * c.e[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM full0 q JOIN full0 c
+                 ON q.cid = c.cid AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+  )
+}

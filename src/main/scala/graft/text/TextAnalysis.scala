@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` fixture: token counting, language-ID heuristic, quality
+  * scoring, fingerprinting, corpus term frequency.
+  *
+  * Re-expresses the reference's string/cleaning surface (SURVEY.md
+  * §2.2 P1-P3 trim/split/whitespace-collapse, §2.7 F5 normalization,
+  * A2 distinct-value extraction, A7 count+top-k) as pure Column
+  * expressions — everything stays inside whole-stage codegen; no UDFs.
+  *
+  * Scale notes: all queries are embarrassingly parallel per-row maps
+  * followed by one partial+final aggregation; nothing shuffles more than
+  * the (tiny) aggregate state except q24's token explode, which shuffles
+  * (token, partial_count) pairs — the map-side combine keeps that bounded
+  * by vocabulary size per partition, not corpus size.
+  */
+object TextAnalysis {
+
+  /** Integer ratio in permille — exact in both engines (floor division). */
+  private val permille = "CAST(%s * 1000 DIV %s AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Whitespace tokenization + distinct counts (token counting op).
+    "q20_token_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"),
+          length($"text").cast("long").as("len_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language-ID heuristic: marker-token ratio (n-gram-style heuristic —
+    // deterministic, no model). Reference analog: the engine-side stub for
+    // model-dependent stages (SURVEY §2.9 L3 pluggable classifier).
+    "q21_lang_id_heuristic" -> ((s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val enMarkers = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          enMarkers.as("en_markers"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("pred_lang",
+          when($"en_markers" * 1000 >= $"n_tokens" * 60, lit("en-like"))
+            .otherwise(lit("other")))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: length band + stopword ratio + mean token length,
+    // all in exact integer arithmetic (permille units).
+    "q22_quality_score" -> ((s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val nTok = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin("the", "a", "of"))).cast("long")
+      val charsNoSpace = length(regexp_replace($"text", " ", "")).cast("long")
+      Tables.documents(s, d)
+        .select($"doc_id", nTok.as("n_tokens"), nStop.as("n_stop"),
+          charsNoSpace.as("n_letters"))
+        .withColumn("stop_permille", expr(permille.format("n_stop", "n_tokens")))
+        .withColumn("avg_tok_len_x100",
+          expr("CAST(n_letters * 100 DIV n_tokens AS BIGINT)"))
+        .withColumn("quality",
+          when($"n_tokens" >= 30 && $"n_tokens" <= 120, lit(500L)).otherwise(lit(0L))
+            + when($"stop_permille" <= 150, lit(300L)).otherwise(lit(0L))
+            + when($"avg_tok_len_x100" >= 350, lit(200L)).otherwise(lit(0L)))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprinting: content hash of the raw text and of the
+    // whitespace-normalized text (reference P3 cleaning pass, F5).
+    "q23_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5($"text").as("fp_raw"),
+          md5(trim(regexp_replace($"text", "\\s+", " "))).as("fp_norm"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus term frequency, top-20 (SURVEY A2 distinct-value extraction
+    // + A7 count-per-group + top-k). Map-side combine bounds the shuffle.
+    "q24_word_freq_topk" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS len_chars
+         FROM documents ORDER BY doc_id""",
+    "q21_lang_id_heuristic" ->
+      """SELECT doc_id, lang, en_markers, n_tokens,
+         CASE WHEN en_markers * 1000 >= n_tokens * 60
+              THEN 'en-like' ELSE 'other' END AS pred_lang
+         FROM (SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(text,' '),
+                          t -> t IN ('the','a'))) AS BIGINT) AS en_markers,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q22_quality_score" ->
+      """SELECT doc_id, n_tokens, n_stop, n_letters, stop_permille,
+             avg_tok_len_x100,
+             (CASE WHEN n_tokens BETWEEN 30 AND 120 THEN 500 ELSE 0 END
+            + CASE WHEN stop_permille <= 150 THEN 300 ELSE 0 END
+            + CASE WHEN avg_tok_len_x100 >= 350 THEN 200 ELSE 0 END) AS quality
+         FROM (SELECT doc_id, n_tokens, n_stop, n_letters,
+                 CAST(n_stop * 1000 // n_tokens AS BIGINT) AS stop_permille,
+                 CAST(n_letters * 100 // n_tokens AS BIGINT) AS avg_tok_len_x100
+               FROM (SELECT doc_id,
+                       CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(string_split(text,' '),
+                                t -> t IN ('the','a','of'))) AS BIGINT) AS n_stop,
+                       CAST(length(replace(text,' ','')) AS BIGINT) AS n_letters
+                     FROM documents) t0) t1
+         ORDER BY doc_id""",
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_raw,
+         md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm
+         FROM documents ORDER BY doc_id""",
+    "q24_word_freq_topk" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+  )
+}
