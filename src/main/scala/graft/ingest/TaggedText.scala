@@ -1,0 +1,166 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest of EndNote-style tagged-text exports — the reference's
+  * `parse_entries`/`format_data`/`data_cleaning`/`title_deduplication`
+  * pipeline (`cleaner.py:7-122`; SURVEY.md §2.1 S1-S3, §2.2 P1-P3,
+  * §2.4 A1) re-expressed Spark-first.
+  *
+  * Shape: one `wholetext` read per file → `flatMap` block splitter
+  * (generator-style, SURVEY §2.10) → typed columns via codegen'd Column
+  * expressions — the per-field cleaning never leaves Tungsten.
+  *
+  * Scale notes: parsing is embarrassingly parallel per file; provenance
+  * (`src_file`, per-file block index) gives the stable ingest order the
+  * reference gets from list position, without `monotonically_increasing_id`
+  * (whose values depend on partitioning). First-wins title dedup is a
+  * window over that stable key — one shuffle on `title`.
+  */
+object TaggedText {
+
+  /** Fields split on ';' into arrays (`cleaner.py:55-57`). */
+  val ListFields: Seq[String] =
+    Seq("Author", "Keywords", "Tertiary Author", "Subsidiary Author")
+
+  private val FieldLine = """\{([^}]+)\}:\s*(.*)""".r
+
+  /** S1 `parse_entries` (`cleaner.py:7-26`): blank-line-separated blocks of
+    * `{Field}: value` lines → one (field→value) map per block. Pure
+    * function so it is unit-testable off-cluster; used inside flatMap.
+    */
+  def parseEntries(text: String): Seq[Map[String, String]] =
+    text.split("""\n\s*\n""").toSeq
+      .map { block =>
+        block.linesIterator.foldLeft(Map.empty[String, String]) {
+          case (m, FieldLine(field, value)) => m + (field.trim -> value.trim)
+          case (m, _)                       => m
+        }
+      }
+      .filter(_.nonEmpty)
+
+  /** S2/S3 directory scan: every file under `dir` (glob ok), one record per
+    * tagged block, with provenance + stable ingest order.
+    * Output: src_file, block_idx, fields: map<string,string>.
+    */
+  def parse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files: Dataset[(String, String)] = spark.read
+      .option("wholetext", "true").text(dir)
+      .select(input_file_name().as("src_file"), $"value")
+      .as[(String, String)]
+    files
+      .flatMap { case (f, text) =>
+        parseEntries(text).zipWithIndex.map { case (m, i) => (f, i.toLong, m) }
+      }
+      .toDF("src_file", "block_idx", "fields")
+  }
+
+  /** P2 `delete_post_numbers` (`cleaner.py:29-39`): strip standalone
+    * 6-digit postal codes, collapse whitespace.
+    */
+  def stripPostalCodes(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "\\b\\d{6}\\b", " "), "\\s+", " "))
+
+  /** P3 whitespace pass (`cleaner.py:97-122`). */
+  def normalizeWs(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  private def field(name: String): Column = col("fields").getItem(name)
+
+  /** Scalar field: trim + drop trailing ';' (P1, `cleaner.py:42-54`). */
+  private def scalar(name: String): Column =
+    normalizeWs(regexp_replace(field(name), ";\\s*$", ""))
+
+  /** List field: split on ';', trim elements, drop empties (P1). */
+  private def listField(name: String): Column =
+    filter(transform(split(field(name), ";"), normalizeWs(_)), _ =!= "")
+
+  /** Author Address: split on ';' then explode each part on `.`/`,`/`/`/`·`,
+    * strip postal codes, drop empties (`cleaner.py:59-65`).
+    */
+  private def addressField(name: String): Column =
+    filter(
+      transform(
+        flatten(transform(split(field(name), ";"), p => split(p, "[.,/·]"))),
+        stripPostalCodes(_)),
+      _ =!= "")
+
+  /** Best-effort int with raw fallback (`cleaner.py:67-71`): the reference
+    * keeps the string when `int()` fails, i.e. a per-cell `int | str`
+    * union. Modeled as a typed int column + the raw string (SURVEY §1.4).
+    */
+  private def intOrRaw(name: String): (Column, Column) =
+    (scalar(name).cast("int"), scalar(name))
+
+  /** P1 `format_data` + P3 cleaning over a parsed frame → the engine's
+    * document schema (FIXTURES.md A2). Unknown `{Field}:` tags survive in
+    * `extra`.
+    */
+  def formatRecords(parsed: DataFrame): DataFrame = {
+    val known = Seq("Title", "Reference Type", "Abstract", "Year", "Volume",
+      "Issue", "Pages", "DOI", "URL", "ISBN/ISSN", "Journal", "Notes",
+      "Database Provider", "Date", "Subject", "Publisher", "Place Published",
+      "Author Address") ++ ListFields
+    val (yearI, yearR) = intOrRaw("Year")
+    val (volI, volR) = intOrRaw("Volume")
+    val (issI, issR) = intOrRaw("Issue")
+    parsed.select(
+      col("src_file"), col("block_idx"),
+      scalar("Title").as("title"),
+      scalar("Reference Type").as("reference_type"),
+      sanitizeLabel(scalar("Reference Type")).as("label"),
+      listField("Author").as("author"),
+      listField("Tertiary Author").as("tertiary_author"),
+      listField("Subsidiary Author").as("subsidiary_author"),
+      listField("Keywords").as("keywords"),
+      addressField("Author Address").as("author_address"),
+      scalar("Publisher").as("publisher"),
+      scalar("Place Published").as("place_published"),
+      yearI.as("year"), yearR.as("year_raw"),
+      volI.as("volume"), volR.as("volume_raw"),
+      issI.as("issue"), issR.as("issue_raw"),
+      scalar("Abstract").as("abstract"),
+      scalar("Journal").as("journal"),
+      scalar("Pages").as("pages"),
+      scalar("DOI").as("doi"),
+      scalar("URL").as("url"),
+      scalar("ISBN/ISSN").as("isbn_issn"),
+      scalar("Date").as("date"),
+      scalar("Subject").as("subject"),
+      scalar("Notes").as("notes"),
+      map_filter(col("fields"), (k, _) => !k.isin(known.map(lit(_)): _*))
+        .as("extra"))
+  }
+
+  /** P7 `_sanitize_label` (`utils.py:100-110`): spaces→`_`, strip
+    * non-alnum, prefix `_` if leading digit, default `UnknownDocument`.
+    */
+  def sanitizeLabel(c: Column): Column = {
+    val cleaned = regexp_replace(regexp_replace(c, "\\s+", "_"), "[^A-Za-z0-9_]", "")
+    val prefixed = when(cleaned.rlike("^[0-9]"), concat(lit("_"), cleaned))
+      .otherwise(cleaned)
+    when(c.isNull || prefixed === "", lit("UnknownDocument")).otherwise(prefixed)
+  }
+
+  /** A1 `title_deduplication` (`cleaner.py:77-94`): keep the FIRST
+    * occurrence per title in ingest order — exact parity needs the stable
+    * (src_file, block_idx) key, not `dropDuplicates` (arbitrary row).
+    * Rows with null/empty titles are dropped (`csv_extractor.py:36-37`).
+    */
+  def dedupByTitle(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("title"))
+      .orderBy(col("src_file"), col("block_idx"))
+    records
+      .filter(col("title").isNotNull && col("title") =!= "")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Full ingest pipeline: S2/S3 scan → P1-P3 format → A1 dedup. */
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    dedupByTitle(formatRecords(parse(spark, dir)))
+}
