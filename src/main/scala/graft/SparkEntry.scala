@@ -15,7 +15,9 @@ object SparkEntry {
     (relational.TpchQueries.queries, relational.TpchQueries.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
-    (similarity.Similarity.queries, similarity.Similarity.oracles)
+    (similarity.Similarity.queries, similarity.Similarity.oracles),
+    (graph.GraphQueries.queries, graph.GraphQueries.oracles),
+    (resolve.EntityResolution.queries, resolve.EntityResolution.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -28,9 +30,10 @@ object SparkEntry {
     registries.iterator.map(_._2).reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Q.txt family 10 analog (SURVEY §7.3): per-group document counts for a
-    * keyword, alias-expanded — exercises ingest → edges → join → agg.
+    * Q.txt family 10 (SURVEY §7.3): per-year document counts for an
+    * alias-expanded keyword — exercises the whole spine: document frame →
+    * HAS_KEYWORD + ALIAS_OF edges → alias-expanded semi-join → groupBy.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_top_customers")(spark, "/root/testdata/sf0.001")
+    queries("q68_keyword_per_year")(spark, "/root/testdata/sf0.001")
 }

@@ -22,9 +22,15 @@ object VectorOps {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * 10000, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression ([[LongDotProduct]]); the interpreted
+    * `zip_with`+`aggregate` form cost ~10× on the pairwise joins.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LongDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Exact integer squared norm. */
   def norm2(a: Column): Column = dot(a, a)

@@ -1,0 +1,358 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import BibGraph._
+
+/** The reference's 17-family question workload (`Q.txt:1-64`) plus the
+  * alias / node-frame / fallback-search operators, each as a registered
+  * query with an exact DuckDB oracle over the same parquet (SURVEY.md
+  * §2.3 J3-J10, §2.4 A4-A8, §2.7 F1-F3, §2.9 L2).
+  *
+  * Query shapes are the Cypher-generation rules of
+  * `neo4j_query_executor.py:250-297` re-expressed as DataFrame joins:
+  * 1-hop forward/reverse = equi joins with the seed filter pushed into
+  * the scan; existence = semi-join; 2-/3-hop = edge self-joins on the
+  * document key; alias expansion = union of seed + ALIAS_OF target
+  * (prompt rule 1); LIMIT 10 top-k = `TakeOrderedAndProject` (rule 5).
+  *
+  * Scale notes: seed filters (one title / one author) reach the parquet
+  * scan before any join; the tiny expanded-seed / taxonomy sides are
+  * broadcast; multi-hop self-joins shuffle on the document key — at 100 TB
+  * the edge frame would be bucketed by that key so the self-joins are
+  * co-located, and per-type edge branches prune via constant folding.
+  */
+object GraphQueries {
+
+  private def P = BibGraph.sqlPrelude
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Family 1 (J3): Document -> Author.
+    "q60_doc_authors" -> ((s, d) => {
+      import s.implicits._
+      authored(s, d).filter($"title" === "D42")
+        .select($"author").orderBy($"author")
+    }),
+
+    // Family 2 (J3): Document -> Keyword.
+    "q61_doc_keywords" -> ((s, d) => {
+      import s.implicits._
+      hasKeyword(s, d).filter($"title" === "D7")
+        .select($"kw").orderBy($"kw")
+    }),
+
+    // Family 3 (J3): Document -> Organization.
+    "q62_doc_org" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).filter($"title" === "D15").select($"title", $"org")
+    }),
+
+    // Family 4 (J3): Document -> Topic.
+    "q63_doc_topic" -> ((s, d) => {
+      import s.implicits._
+      hasTopic(s, d).filter($"title" === "D100").select($"title", $"topic")
+    }),
+
+    // Family 5 (J4): Author -> Document (with year property).
+    "q64_author_docs" -> ((s, d) => {
+      import s.implicits._
+      authored(s, d).filter($"author" === "Author_29")
+        .join(docs(s, d).select($"title", $"year"), "title")
+        .select($"title", $"year").orderBy($"title")
+    }),
+
+    // Family 6 (J4+J5): Keyword -> Document, alias-expanded (prompt rule 1).
+    "q65_keyword_docs_alias" -> ((s, d) => {
+      import s.implicits._
+      hasKeyword(s, d)
+        .join(broadcast(aliasExpand(s, d, "vector")), "kw")
+        .select($"title").distinct().orderBy($"title")
+    }),
+
+    // Family 7 (J4): Organization -> Document.
+    "q66_org_docs" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).filter($"org" === "Org_5")
+        .select($"title", $"year").orderBy($"title")
+    }),
+
+    // Families 8/9: Node -> Properties fetch.
+    "q67_doc_properties" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).filter($"title" === "D123")
+        .select($"title", $"label", $"year", $"journal", $"abstract")
+    }),
+
+    // Family 10 (A7, the flagship slice — SURVEY §7.3): per-year document
+    // counts for an alias-expanded keyword.
+    "q68_keyword_per_year" -> ((s, d) => {
+      import s.implicits._
+      hasKeyword(s, d)
+        .join(broadcast(aliasExpand(s, d, "vector")), "kw")
+        .select($"title").distinct()
+        .join(docs(s, d).select($"title", $"year"), "title")
+        .groupBy($"year").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"year")
+    }),
+
+    // Family 11 (J6): which of two docs did this author (co-)write, and
+    // via which relationship?
+    "q69_authored_check" -> ((s, d) => {
+      import s.implicits._
+      authoredAll(s, d)
+        .filter($"author" === "Author_29" && $"title".isin("D42", "D43"))
+        .select($"title", $"rel").orderBy($"title", $"rel")
+    }),
+
+    // Family 12 (J6): does the doc carry the keyword? (semi-join shape)
+    "q70_doc_has_keyword_check" -> ((s, d) => {
+      import s.implicits._
+      hasKeyword(s, d)
+        .filter($"title" === "D7" && $"kw" === "table")
+        .agg((count(lit(1)) > 0).as("has_kw"))
+    }),
+
+    // Family 13 (J7): co-authors via the 2-hop self-join on the doc key.
+    "q71_coauthors" -> ((s, d) => {
+      import s.implicits._
+      val a = authored(s, d).as("a")
+      val b = authored(s, d).as("b")
+      a.filter($"a.author" === "Author_29")
+        .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
+        .select($"b.author".as("coauthor")).distinct().orderBy($"coauthor")
+    }),
+
+    // Family 14 (J8+A7): co-occurring keywords, count-ranked top-10.
+    "q72_keyword_cooccur" -> ((s, d) => {
+      import s.implicits._
+      val a = hasKeyword(s, d).as("a")
+      val b = hasKeyword(s, d).as("b")
+      a.filter($"a.kw" === "small")
+        .join(b, $"a.title" === $"b.title" && $"b.kw" =!= $"a.kw")
+        .groupBy($"b.kw".as("kw")).agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"kw").limit(10)
+    }),
+
+    // Family 15 (J9): Organization -> Document -> Topic.
+    "q73_org_topics" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).filter($"org" === "Org_3").select($"title")
+        .join(hasTopic(s, d).select($"title", $"topic"), "title")
+        .select($"topic").distinct().orderBy($"topic")
+    }),
+
+    // Family 16 (J10): 3-hop collaborator-topics + abstract property.
+    "q74_collab_topics" -> ((s, d) => {
+      import s.implicits._
+      val a = authored(s, d).as("a")
+      val b = authored(s, d).as("b")
+      val coa = a.filter($"a.author" === "Author_29")
+        .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
+        .select($"b.author".as("coauthor")).distinct()
+      val c = authored(s, d).as("c")
+      coa.join(c, $"coauthor" === $"c.author")
+        .select($"c.title".as("title")).distinct()
+        .join(hasTopic(s, d).select($"title", $"topic"), "title")
+        .join(docs(s, d).select($"title", $"abstract"), "title")
+        .select($"topic", $"title", $"abstract").distinct()
+        .orderBy($"topic", $"title")
+    }),
+
+    // J1 + A5: alias-mapping application with first-seen-order dedup,
+    // in exploded relational form (title, ord, kw) — `keyword_merger.py:
+    // 252-263`'s `list(dict.fromkeys(...))` without arrays.
+    "q75_alias_apply" -> ((s, d) => {
+      import s.implicits._
+      val exploded = docs(s, d)
+        .select($"title", posexplode($"kws").as(Seq("pos", "original")))
+      val merged = exploded
+        .join(broadcast(keywordMapping(s, d)), "original")
+        .select($"title", $"pos", $"representative".as("kw"))
+      val firstSeen = Window.partitionBy($"title", $"kw").orderBy($"pos")
+      val ordW = Window.partitionBy($"title").orderBy($"pos")
+      merged
+        .withColumn("rn", row_number().over(firstSeen))
+        .filter($"rn" === 1)
+        .withColumn("ord", row_number().over(ordW).cast("long"))
+        .select($"title", $"ord", $"kw")
+        .orderBy($"title", $"ord")
+    }),
+
+    // ALIAS_OF edge derivation (non-identity mapping entries).
+    "q76_alias_edges" -> ((s, d) => {
+      import s.implicits._
+      aliasEdges(s, d).select($"src", $"dst", $"rel_type").orderBy($"src")
+    }),
+
+    // A4: unique node count per label across the whole vertex frame.
+    "q77_node_frame" -> ((s, d) => {
+      import s.implicits._
+      val dd = docs(s, d)
+      val nodes =
+        dd.select($"label", $"title".as("id")) unionAll
+        dd.select(lit("Author").as("label"), explode($"authors").as("id")) unionAll
+        dd.select(lit("Author").as("label"), explode($"tertiary_authors").as("id")) unionAll
+        dd.select(lit("Keyword").as("label"), explode($"kws").as("id")) unionAll
+        dd.select(lit("Organization").as("label"), $"org".as("id")) unionAll
+        dd.select(lit("Author_Address").as("label"), $"addr".as("id")) unionAll
+        hasTopic(s, d).select(lit("Topic").as("label"), $"topic".as("id"))
+      nodes.distinct().groupBy($"label").agg(count(lit(1)).as("n"))
+        .orderBy($"label")
+    }),
+
+    // L2 fallback full-text search (F1 conjunctive abstract match OR F2
+    // disjunctive topic/address match) + A8 collect + LIMIT 100
+    // (`neo4j_query_executor.py:389-520`).
+    "q78_fallback_search" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq("merge", "window")
+      val dd = docs(s, d)
+      val withTopics = dd
+        .join(hasTopic(s, d).select($"title", $"topic"), Seq("title"), "left")
+        .groupBy($"title", $"abstract", $"addr")
+        .agg(array_join(sort_array(collect_list($"topic")), ";").as("topics_csv"))
+      val conj = terms.map(t => lower($"abstract").contains(t)).reduce(_ && _)
+      val pat = "(?i).*(" + terms.map(java.util.regex.Pattern.quote).mkString("|") + ")"
+      val disj = $"topics_csv".rlike(pat) || $"addr".rlike(pat)
+      withTopics.filter(conj || disj)
+        .select($"title", $"topics_csv")
+        .orderBy($"title").limit(100)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_doc_authors" ->
+      s"""WITH $P
+         SELECT author FROM authored WHERE title = 'D42' ORDER BY author""",
+    "q61_doc_keywords" ->
+      s"""WITH $P
+         SELECT kw FROM has_keyword WHERE title = 'D7' ORDER BY kw""",
+    "q62_doc_org" ->
+      s"""WITH $P
+         SELECT title, org FROM docs WHERE title = 'D15'""",
+    "q63_doc_topic" ->
+      s"""WITH $P
+         SELECT title, topic FROM has_topic WHERE title = 'D100'""",
+    "q64_author_docs" ->
+      s"""WITH $P
+         SELECT a.title AS title, d.year AS year
+         FROM authored a JOIN docs d ON a.title = d.title
+         WHERE a.author = 'Author_29' ORDER BY title""",
+    "q65_keyword_docs_alias" ->
+      s"""WITH $P,
+         expansion AS (
+           SELECT representative AS kw FROM kmap WHERE original = 'vector'
+           UNION SELECT 'vector')
+         SELECT DISTINCT h.title AS title
+         FROM has_keyword h JOIN expansion e ON h.kw = e.kw
+         ORDER BY title""",
+    "q66_org_docs" ->
+      s"""WITH $P
+         SELECT title, year FROM docs WHERE org = 'Org_5' ORDER BY title""",
+    "q67_doc_properties" ->
+      s"""WITH $P
+         SELECT title, label, year, journal, abstract
+         FROM docs WHERE title = 'D123'""",
+    "q68_keyword_per_year" ->
+      s"""WITH $P,
+         expansion AS (
+           SELECT representative AS kw FROM kmap WHERE original = 'vector'
+           UNION SELECT 'vector'),
+         matched AS (
+           SELECT DISTINCT h.title FROM has_keyword h
+           JOIN expansion e ON h.kw = e.kw)
+         SELECT d.year AS year, count(*) AS n_docs
+         FROM matched m JOIN docs d ON m.title = d.title
+         GROUP BY d.year ORDER BY year""",
+    "q69_authored_check" ->
+      s"""WITH $P
+         SELECT title, rel FROM authored_all
+         WHERE author = 'Author_29' AND title IN ('D42', 'D43')
+         ORDER BY title, rel""",
+    "q70_doc_has_keyword_check" ->
+      s"""WITH $P
+         SELECT count(*) > 0 AS has_kw FROM has_keyword
+         WHERE title = 'D7' AND kw = 'table'""",
+    "q71_coauthors" ->
+      s"""WITH $P
+         SELECT DISTINCT b.author AS coauthor
+         FROM authored a JOIN authored b
+           ON a.title = b.title AND b.author <> a.author
+         WHERE a.author = 'Author_29' ORDER BY coauthor""",
+    "q72_keyword_cooccur" ->
+      s"""WITH $P
+         SELECT b.kw AS kw, count(*) AS n
+         FROM has_keyword a JOIN has_keyword b
+           ON a.title = b.title AND b.kw <> a.kw
+         WHERE a.kw = 'small'
+         GROUP BY b.kw ORDER BY n DESC, kw LIMIT 10""",
+    "q73_org_topics" ->
+      s"""WITH $P
+         SELECT DISTINCT t.topic AS topic
+         FROM docs d JOIN has_topic t ON d.title = t.title
+         WHERE d.org = 'Org_3' ORDER BY topic""",
+    "q74_collab_topics" ->
+      s"""WITH $P,
+         coa AS (
+           SELECT DISTINCT b.author AS coauthor
+           FROM authored a JOIN authored b
+             ON a.title = b.title AND b.author <> a.author
+           WHERE a.author = 'Author_29'),
+         cdocs AS (
+           SELECT DISTINCT c.title FROM coa JOIN authored c
+             ON coa.coauthor = c.author)
+         SELECT DISTINCT t.topic AS topic, cd.title AS title,
+                d.abstract AS abstract
+         FROM cdocs cd
+         JOIN has_topic t ON t.title = cd.title
+         JOIN docs d ON d.title = cd.title
+         ORDER BY topic, title""",
+    "q75_alias_apply" ->
+      s"""WITH $P,
+         exploded AS (
+           SELECT title, generate_subscripts(kws, 1) - 1 AS pos,
+                  unnest(kws) AS original
+           FROM docs),
+         merged AS (
+           SELECT e.title, e.pos, m.representative AS kw
+           FROM exploded e JOIN kmap m ON e.original = m.original),
+         first_seen AS (
+           SELECT title, pos, kw,
+                  row_number() OVER (PARTITION BY title, kw ORDER BY pos) AS rn
+           FROM merged)
+         SELECT title, CAST(row_number() OVER
+                  (PARTITION BY title ORDER BY pos) AS BIGINT) AS ord, kw
+         FROM first_seen WHERE rn = 1
+         ORDER BY title, ord""",
+    "q76_alias_edges" ->
+      s"""WITH $P
+         SELECT original AS src, representative AS dst, 'ALIAS_OF' AS rel_type
+         FROM kmap WHERE original <> representative ORDER BY src""",
+    "q77_node_frame" ->
+      s"""WITH $P,
+         nodes AS (
+           SELECT label, title AS id FROM docs
+           UNION ALL SELECT 'Author', author FROM (
+             SELECT author, title FROM authored
+             UNION ALL SELECT author, title FROM tertiary_authored) t
+           UNION ALL SELECT 'Keyword', kw FROM has_keyword
+           UNION ALL SELECT 'Organization', org FROM docs
+           UNION ALL SELECT 'Author_Address', addr FROM docs
+           UNION ALL SELECT 'Topic', topic FROM has_topic)
+         SELECT label, count(*) AS n FROM (SELECT DISTINCT label, id FROM nodes) u
+         GROUP BY label ORDER BY label""",
+    "q78_fallback_search" ->
+      s"""WITH $P,
+         wt AS (
+           SELECT d.title, d.abstract, d.addr,
+                  array_to_string(list_sort(list(t.topic)), ';') AS topics_csv
+           FROM docs d LEFT JOIN has_topic t ON d.title = t.title
+           GROUP BY d.title, d.abstract, d.addr)
+         SELECT title, topics_csv FROM wt
+         WHERE (contains(lower(abstract), 'merge') AND contains(lower(abstract), 'window'))
+            OR regexp_matches(topics_csv, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)')
+            OR regexp_matches(addr, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)')
+         ORDER BY title LIMIT 100"""
+  )
+}

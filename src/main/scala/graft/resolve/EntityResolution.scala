@@ -1,0 +1,138 @@
+package graft.resolve
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Entity resolution — the reference's flagship operator (SURVEY.md §2.8,
+  * `keyword_merger.py:103-266`): embed → DBSCAN(eps, min_samples=2,
+  * cosine) → representative = lexicographic min per cluster, noise → self.
+  *
+  * With `min_samples=2` DBSCAN clusters are EXACTLY the connected
+  * components of the ε-neighborhood graph and noise = isolated vertices
+  * (`keyword_merger.py:191-197`), so the faithful Spark implementation is
+  * an ε-neighbor cosine join → GraphX `connectedComponents` (Pregel) →
+  * `groupBy(component).agg(min(id))`. GraphX CC labels every vertex with
+  * the minimum vertex id of its component, which IS the min-representative
+  * rule for numeric ids — one pass, no extra agg.
+  *
+  * Exactness: the ε-join here is the exact all-pairs integer-cosine join
+  * (VectorOps quantization; cos ≥ 0.35 ⟺ dot>0 ∧ 400·dot² ≥ 49·|a|²|b|²)
+  * — the correctness baseline the DuckDB recursive-CTE oracle can verify.
+  * At 100 TB the candidate join swaps to LSH/IVF blocking (the q33/q41
+  * machinery) feeding the same CC — approximate-but-scalable, per the
+  * north star; CC itself is iterative Pregel: spill-capable, shuffle per
+  * superstep on the edge partitioning.
+  *
+  * `refinedMapping` models `recorrect_mapping.py:130-213`: regroup
+  * clusters (J11), gate on cluster size (A9, `min_cluster_size_for_api`),
+  * and apply a pluggable corrector — here the deterministic stub "promote
+  * the second-smallest member" standing in for the LLM call, so tests and
+  * oracles stay hermetic (SURVEY §7.5 risk 5).
+  */
+object EntityResolution {
+
+  /** ε-neighbor pairs (u < v) with cos ≥ 0.35, exact integers. */
+  def epsPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", VectorOps.quantize($"embedding").as("e"))
+      .withColumn("nrm", VectorOps.norm2($"e"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    a.join(b, $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+  }
+
+  /** Connected components over an (u, v) edge frame for the given vertex
+    * frame (one `vec_id` column). Returns (vec_id, component) where
+    * component = min vec_id reachable — DBSCAN(min_samples=2) parity.
+    */
+  def connectedComponents(s: SparkSession, vertices: DataFrame,
+                          pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
+      .map(r => (r.getLong(0), ()))
+    val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph(vertRdd, edgeRdd)
+    graph.connectedComponents().vertices
+      .toDF("vec_id", "component")
+  }
+
+  /** Full resolution: ε-join → CC → (vec_id, component). */
+  def resolve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val verts = Tables.embeddings(s, d).select($"vec_id")
+    connectedComponents(s, verts, epsPairs(s, d))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.8-C1: ε-graph connected components = DBSCAN(min_samples=2)
+    // clusters; representative = component = min member id.
+    "q50_entity_resolution" -> ((s, d) => {
+      import s.implicits._
+      resolve(s, d).orderBy($"vec_id")
+    }),
+
+    // §2.8-C2 + J11/A9: cluster regroup, size gate (≥3), deterministic
+    // corrector stub (promote 2nd-smallest member to representative).
+    "q51_er_refined_mapping" -> ((s, d) => {
+      import s.implicits._
+      val comp = resolve(s, d)
+      val stats = comp.groupBy($"component")
+        .agg(count(lit(1)).as("cnt"),
+          min(when($"vec_id" > $"component", $"vec_id")).as("second"))
+      comp.join(broadcast(stats), "component")
+        .select($"vec_id",
+          when($"cnt" >= 3, $"second").otherwise($"component").as("rep_id"))
+        .orderBy($"vec_id")
+    })
+  )
+
+  /** Shared oracle prelude: ε-edges + min-label-propagation CC as a
+    * recursive CTE (terminates because UNION dedups the (node, label)
+    * walk set; exact for the 500-vector verify fixture).
+    */
+  private val ccSql = """q0 AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+        CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+      FROM q0),
+ed AS (SELECT u, v FROM (
+         SELECT a.vec_id AS u, b.vec_id AS v,
+           CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+       WHERE dot > 0 AND 400*dot*dot >= 49*na*nb),
+ee AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+walk(node, lab) AS (
+  SELECT vec_id, vec_id FROM n
+  UNION
+  SELECT ee.v, walk.lab FROM walk JOIN ee ON walk.node = ee.u
+),
+comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)"""
+
+  def oracles: Map[String, String] = Map(
+    "q50_entity_resolution" ->
+      s"""WITH RECURSIVE $ccSql
+         SELECT vec_id, component FROM comp ORDER BY vec_id""",
+    "q51_er_refined_mapping" ->
+      s"""WITH RECURSIVE $ccSql,
+         stats AS (
+           SELECT component, count(*) AS cnt,
+                  min(CASE WHEN vec_id > component THEN vec_id END) AS second
+           FROM comp GROUP BY component)
+         SELECT c.vec_id AS vec_id,
+                CASE WHEN st.cnt >= 3 THEN st.second ELSE c.component END AS rep_id
+         FROM comp c JOIN stats st ON c.component = st.component
+         ORDER BY vec_id"""
+  )
+}
