@@ -25,18 +25,22 @@ import graft.functions.VectorOps
   *  - Exact dedup is one hash-shuffle on the content digest; map-side
   *    partial aggregation collapses duplicates before the shuffle.
   *  - MinHash-LSH replaces the O(n²) all-pairs join with a self-join on
-  *    (band_id, band_hash) buckets — shuffle is O(n·bands), and skewed
-  *    buckets (degenerate bands) are the thing to watch: AQE skew-join
-  *    handles moderate skew; a hard cap per bucket is the escape hatch.
-  *  - The Jaccard verify stage runs only on blocked candidates (here:
-  *    same-source blocking), never all pairs.
-  *  - Cosine near-dup at scale goes through the LSH/IVF path in
-  *    graft.similarity; the all-pairs form here is the correctness
-  *    baseline at fixture scale.
+  *    (band_id, band_hash) buckets. Bands are r=2 (two concatenated
+  *    minhashes per band), so one corpus-common shingle cannot create a
+  *    mega-bucket on its own, and a hard per-bucket cap (`MaxBucket`)
+  *    bounds the worst-case quadratic blow-up deterministically —
+  *    oversized buckets are dropped whole (documented recall trade).
+  *  - The Jaccard stage verifies ONLY the LSH candidate pairs — the
+  *    candidate generation is the blocking.
+  *  - Cosine near-dup pairs only within an IVF centroid bucket (the q41
+  *    assignment), an equi shuffle join on the bucket id — no
+  *    BroadcastNestedLoopJoin anywhere in the near-dup chain.
   */
 object Dedup {
 
   private val NSeeds = 8
+  private val NBands = 4
+  private val MaxBucket = 50
 
   /** 3-token shingles of a whitespace-tokenized text column (0-based
     * Spark array indexing; empty when the doc has <3 tokens).
@@ -50,6 +54,31 @@ object Dedup {
   /** MinHash signature: per seed i, lexicographic min of md5(i||'|'||sh). */
   private def minhash(shCol: String, seed: Int): Column =
     expr(s"array_min(transform($shCol, x -> md5(concat('$seed', '|', x))))")
+
+  /** LSH candidate generation: r=2 bands (band hash = md5 of two
+    * concatenated minhashes) with a deterministic per-bucket cap —
+    * oversized buckets (degenerate band values) are dropped whole, so the
+    * within-bucket self-join fan-out is bounded by `MaxBucket`².
+    */
+  private[dedup] def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("sh", shingles("toks"))
+      .select($"doc_id", posexplode(array((0 until NBands).map(b =>
+        md5(concat(minhash("sh", 2 * b), lit("|"), minhash("sh", 2 * b + 1)))): _*))
+        .as(Seq("band", "h")))
+      .filter($"h".isNotNull)
+    val ok = sig.groupBy($"band", $"h")
+      .agg(count(lit(1)).as("bsz")).filter($"bsz" <= MaxBucket)
+      .select($"band", $"h")
+    val capped = sig.join(ok, Seq("band", "h"))
+    capped.as("a").join(capped.as("b"),
+        $"a.band" === $"b.band" && $"a.h" === $"b.h" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup summary: one hash-shuffle on the content digest.
@@ -88,38 +117,29 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
-    // LSH candidate pairs: explode (seed, minhash) bands, self-join on
-    // equal band hash. O(n·bands) shuffle instead of O(n²) compare.
-    "q33_minhash_lsh_pairs" -> ((s, d) => {
-      import s.implicits._
-      val sig = Tables.documents(s, d)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("sh", shingles("toks"))
-        .select($"doc_id", posexplode(array((0 until NSeeds).map(i =>
-          minhash("sh", i)): _*)).as(Seq("band", "h")))
-      val a = sig.as("a")
-      val b = sig.as("b")
-      a.join(b, $"a.band" === $"b.band" && $"a.h" === $"b.h" &&
-          $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-        .orderBy($"d1", $"d2")
-    }),
+    // LSH candidate pairs: r=2 banding (band hash = md5 of two
+    // concatenated minhashes) + a deterministic per-bucket cap, then a
+    // self-join on (band, hash) buckets. O(n·bands) shuffle, bounded
+    // per-bucket fan-out — no skewed mega-bucket can go quadratic.
+    "q33_minhash_lsh_pairs" -> ((s, d) =>
+      lshCandidates(s, d).orderBy(col("d1"), col("d2"))),
 
-    // n-gram (token-set) Jaccard near-dup on blocked pairs (same-source
-    // blocking), exact integer threshold: |∩|*1000 >= 700*|∪|.
+    // n-gram (token-set) Jaccard VERIFY stage over the LSH candidates —
+    // exact integer threshold |∩|*1000 >= 700*|∪|, evaluated only on
+    // q33's candidate pairs (that is what a verify stage is; the
+    // candidate join is the blocking).
     "q34_jaccard_neardup" -> ((s, d) => {
       import s.implicits._
       val t = Tables.documents(s, d)
-        .select($"doc_id", $"source", array_distinct(split($"text", " ")).as("t"))
-      val a = t.as("a")
-      val b = t.as("b")
-      a.join(b, $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-        .withColumn("inter", size(array_intersect($"a.t", $"b.t")).cast("long"))
+        .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+      lshCandidates(s, d)
+        .join(t.select($"doc_id".as("d1"), $"t".as("ta")), "d1")
+        .join(t.select($"doc_id".as("d2"), $"t".as("tb")), "d2")
+        .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
         .withColumn("uni",
-          (size($"a.t") + size($"b.t")).cast("long") - $"inter")
+          (size($"ta") + size($"tb")).cast("long") - $"inter")
         .filter($"inter" * 1000 >= $"uni" * 700)
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        .select($"d1", $"d2",
           expr("CAST(inter * 1000 DIV uni AS BIGINT)").as("jaccard_permille"))
         .orderBy($"d1", $"d2")
     }),
@@ -138,21 +158,44 @@ object Dedup {
     }),
 
     // Embedding-cosine near-dup (cos >= 0.25 ⟺ 16·dot² >= |a|²|b|², exact
-    // integers). All-pairs baseline; the scale path is LSH/IVF blocking.
+    // integers), blocked by IVF centroid bucket: pairs are generated ONLY
+    // within a coarse-quantizer cell (same assignment as q41), making the
+    // pair join an equi hash join on the bucket id instead of an all-pairs
+    // BroadcastNestedLoopJoin. Cross-bucket near-dups are the recall trade
+    // (standard IVF; nprobe>1 is the extension).
     "q36_cosine_neardup" -> ((s, d) => {
       import s.implicits._
-      val q = Tables.embeddings(s, d)
-        .select($"vec_id", VectorOps.quantize($"embedding").as("e"))
-        .withColumn("nrm", VectorOps.norm2($"e"))
-      val a = q.as("a")
-      val b = q.as("b")
-      a.join(b, $"a.vec_id" < $"b.vec_id")
+      val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
+      val a = assigned.as("a")
+      val b = assigned.as("b")
+      a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
         .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
         .filter($"dot" > 0 && $"dot" * $"dot" * 16 >= $"a.nrm" * $"b.nrm")
         .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"dot")
         .orderBy($"v1", $"v2")
     })
   )
+
+  /** Oracle CTE mirror of [[lshCandidates]] (shared by q33 and q34). */
+  private val lshCandSql = """sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
+      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]) ELSE [] END AS s
+  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) t0),
+mhs AS (
+  SELECT doc_id, list_transform(range(8),
+    i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS m
+  FROM sh),
+sig AS (
+  SELECT doc_id, b, md5(m[2*b+1] || '|' || m[2*b+2]) AS h
+  FROM (SELECT doc_id, unnest(range(4)) AS b, m FROM mhs) t
+  WHERE md5(m[2*b+1] || '|' || m[2*b+2]) IS NOT NULL),
+ok AS (SELECT b, h FROM sig GROUP BY b, h HAVING count(*) <= 50),
+capped AS (SELECT s.doc_id, s.b, s.h FROM sig s JOIN ok USING (b, h)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+  FROM capped a JOIN capped b2
+    ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id)"""
 
   def oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -178,27 +221,20 @@ object Dedup {
            list_min(list_transform(s, x -> md5('3' || '|' || x))) AS mh_3
          FROM sh ORDER BY doc_id""",
     "q33_minhash_lsh_pairs" ->
-      """WITH sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
-               j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]) ELSE [] END AS s
-           FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) t0),
-         mh AS (
-           SELECT doc_id, i,
-             list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x))) AS h
-           FROM sh, range(8) r(i))
-         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM mh a JOIN mh b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
-         ORDER BY d1, d2""",
+      s"""WITH $lshCandSql
+         SELECT d1, d2 FROM cand ORDER BY d1, d2""",
     "q34_jaccard_neardup" ->
-      """WITH t AS (SELECT doc_id, source,
-                      list_distinct(string_split(text,' ')) AS t FROM documents)
-         SELECT d1, d2, CAST(inter * 1000 // uni AS BIGINT) AS jaccard_permille
-         FROM (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      s"""WITH $lshCandSql,
+         tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t
+                FROM documents),
+         p AS (SELECT c.d1, c.d2,
                  CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
                  CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni
-               FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) p
-         WHERE inter * 1000 >= uni * 700
+               FROM cand c
+               JOIN tt a ON c.d1 = a.doc_id
+               JOIN tt b ON c.d2 = b.doc_id)
+         SELECT d1, d2, CAST(inter * 1000 // uni AS BIGINT) AS jaccard_permille
+         FROM p WHERE inter * 1000 >= uni * 700
          ORDER BY d1, d2""",
     "q35_simhash" ->
       """SELECT doc_id,
@@ -211,17 +247,33 @@ object Dedup {
                FROM documents) t
          ORDER BY doc_id""",
     "q36_cosine_neardup" ->
-      """WITH q AS (
+      """WITH q0 AS (
            SELECT vec_id,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
            FROM embeddings),
          n AS (SELECT vec_id, e,
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
-               FROM q),
+               FROM q0),
+         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                  FROM n WHERE vec_id % 50 = 0),
+         ap AS (SELECT n.vec_id, cent.cid,
+                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+                 n.nrm, cent.cnrm
+               FROM n CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+             FROM ap) t WHERE rn = 1),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM assigned a JOIN n ON a.vec_id = n.vec_id),
          p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS na, b.nrm AS nb,
                  CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot
-               FROM n a JOIN n b ON a.vec_id < b.vec_id)
+               FROM full0 a JOIN full0 b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id)
          SELECT v1, v2, dot FROM p
          WHERE dot > 0 AND dot * dot * 16 >= na * nb
          ORDER BY v1, v2"""

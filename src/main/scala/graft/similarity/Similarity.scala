@@ -27,6 +27,28 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
+  /** IVF coarse assignment shared by q41/q42 and the blocked cosine
+    * near-dup (q36): every vector with its quantized embedding, norm and
+    * nearest-centroid bucket id. Centroids (every 50th vector — the
+    * deterministic fixture quantizer) are broadcast; the assignment is one
+    * O(n·k) map, no shuffle.
+    */
+  def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("nrm", norm2($"e"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"akey".desc, $"cid")
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("adot", dot($"e", $"ce"))
+      .withColumn("akey", cos2Key($"adot", $"nrm", $"cnrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"e", $"nrm", $"cid")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
     "q40_ann_bruteforce_topk" -> ((s, d) => {
@@ -51,17 +73,7 @@ object Similarity {
     // IVF coarse assignment: nearest deterministic centroid per vector.
     "q41_ivf_assign" -> ((s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id", quantize($"embedding").as("e"))
-        .withColumn("nrm", norm2($"e"))
-      val cent = emb.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
-      val w = Window.partitionBy($"vec_id").orderBy($"key".desc, $"cid")
-      emb.crossJoin(broadcast(cent))
-        .withColumn("dot", dot($"e", $"ce"))
-        .withColumn("key", cos2Key($"dot", $"nrm", $"cnrm"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      ivfAssigned(s, d)
         .select($"vec_id", $"cid".as("centroid_id"))
         .orderBy($"vec_id")
     }),
@@ -69,18 +81,7 @@ object Similarity {
     // IVF search: queries probe only their own centroid bucket (nprobe=1).
     "q42_ivf_topk" -> ((s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id", quantize($"embedding").as("e"))
-        .withColumn("nrm", norm2($"e"))
-      val centroids = emb.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"akey".desc, $"cid")
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("adot", dot($"e", $"ce"))
-        .withColumn("akey", cos2Key($"adot", $"nrm", $"cnrm"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"e", $"nrm", $"cid")
+      val assigned = ivfAssigned(s, d)
       val q = assigned.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
