@@ -17,7 +17,9 @@ object SparkEntry {
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),
     (graph.GraphQueries.queries, graph.GraphQueries.oracles),
-    (resolve.EntityResolution.queries, resolve.EntityResolution.oracles)
+    (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
+    (streaming.Events.queries, streaming.Events.oracles),
+    (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

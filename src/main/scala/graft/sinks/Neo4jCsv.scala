@@ -1,0 +1,77 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Neo4j bulk-import CSV sinks (SURVEY.md §2.1 S5-S7; headers verified
+  * against the reference's shipped artifacts, FIXTURES.md A4):
+  *
+  *   nodes:   `:ID,:LABEL,name`  /  documents: `:ID,:LABEL,title,year,...`
+  *            (`csv_extractor.py:45-59,87-96,101-148`)
+  *   edges:   `:START_ID(L),:END_ID(L),:TYPE`  (`csv_extractor.py:212-241`)
+  *
+  * CSV escaping matches Python's `csv` QUOTE_MINIMAL: fields quoted only
+  * when needed, embedded quotes doubled (`escape` = `"` — Spark's default
+  * backslash-escape would diverge), UTF-8 (CJK passes through unquoted).
+  *
+  * `coalesce(1)` mirrors the reference's one-file-per-label layout for
+  * import parity; at 100 TB you drop it and let neo4j-admin take the
+  * part-files — the header/escaping contract is unchanged.
+  */
+object Neo4jCsv {
+
+  private def write(df: DataFrame, path: String, singleFile: Boolean): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("emptyValue", "")
+      .csv(path)
+  }
+
+  /** Entity node CSV: unique ids under one label (A4 first-writer-wins ≡
+    * dropDuplicates on the id).
+    */
+  def writeEntityNodes(nodes: DataFrame, label: String, path: String,
+                       singleFile: Boolean = true): Unit = {
+    val out = nodes.select(col("id").as(":ID"), lit(label).as(":LABEL"),
+      col("id").as("name")).dropDuplicates(":ID")
+    write(out, path, singleFile)
+  }
+
+  /** Document node CSV with the reference's property columns. */
+  def writeDocumentNodes(docs: DataFrame, path: String,
+                         singleFile: Boolean = true): Unit = {
+    val out = docs.select(
+      col("title").as(":ID"), col("label").as(":LABEL"),
+      col("title").as("title"), col("year"), col("abstract"),
+      col("journal")).dropDuplicates(":ID")
+    write(out, path, singleFile)
+  }
+
+  /** Relationship CSV: `(src, dst, rel_type)` rows under one type. */
+  def writeRels(edges: DataFrame, relType: String, startLabel: String,
+                endLabel: String, path: String,
+                singleFile: Boolean = true): Unit = {
+    val out = edges.filter(col("rel_type") === relType)
+      .select(col("src").as(s":START_ID($startLabel)"),
+        col("dst").as(s":END_ID($endLabel)"),
+        col("rel_type").as(":TYPE"))
+      .distinct()
+    write(out, path, singleFile)
+  }
+}
+
+/** JSON sinks (SURVEY.md §2.1 S7): the alias-mapping persistence of
+  * `keyword_merger.py:235-247` / `Hype.py:71-86`, as JSON-lines of
+  * `{original, representative}` (columnar-idiomatic; the reference's
+  * single-dict layout is a driver-side rendering of the same rows).
+  */
+object JsonSinks {
+  def writeMapping(mapping: DataFrame, path: String): Unit =
+    mapping.select("original", "representative")
+      .write.mode("overwrite").json(path)
+
+  def readMapping(s: SparkSession, path: String): DataFrame =
+    s.read.schema("original STRING, representative STRING").json(path)
+}

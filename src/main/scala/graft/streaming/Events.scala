@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Streaming extension over the `events` fixture (BASELINE north star;
+  * SURVEY.md §2.10 — the reference itself has no streams, its ijson
+  * incremental ingest maps to `readStream`).
+  *
+  * Two layers:
+  *  - batch analogs (q55-q57) registered in the oracle gate — tumbling
+  *    windows, gap-based sessionization, first-event dedup. These define
+  *    the semantics the streaming shapes must agree with.
+  *  - true Structured Streaming shapes ([[tumblingCountsStream]],
+  *    [[dedupFirstStream]], [[sessionCountsStream]]) used with any
+  *    streaming source (MemoryStream in tests, `readStream` in prod) —
+  *    watermarked so state is bounded.
+  *
+  * Determinism contract: timestamps are compared as `unix_micros` BIGINTs
+  * (DuckDB `epoch_us`) — no timezone rendering in the hash; money sums are
+  * integer cents.
+  *
+  * Scale notes: tumbling-window agg is one shuffle on (window, type) with
+  * partial aggregation; sessionization shuffles once on user_id and then
+  * runs a linear scan per user (Window + running sum); streaming state for
+  * dedup/windows is pruned by the 1-hour watermark — at 100 TB/day the
+  * keys-per-watermark-horizon bound the state store.
+  */
+object Events {
+
+  private val SessionGapUs = 1800000000L // 30 min
+
+  /** The `events` parquet stores TIMESTAMP(NANOS), which Spark only reads
+    * as BIGINT nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * Verify/Bench/tests). Normalize to exact micros + a proper timestamp
+    * column — integer `DIV`, never double division (nanos exceed a
+    * double's 53-bit mantissa).
+    */
+  private def load(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type: count + integer-cents sum.
+    "q55_tumbling_windows" -> ((s, d) => {
+      import s.implicits._
+      load(s, d)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .select(unix_micros($"w.start").as("window_start_us"),
+          $"event_type", $"n", $"value_cents")
+        .orderBy($"window_start_us", $"event_type")
+    }),
+
+    // Gap-based sessionization: a session breaks after >30 min idle.
+    "q56_sessionization" -> ((s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      load(s, d)
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("brk",
+          when($"prev_us".isNull ||
+            $"ts_us" - $"prev_us" > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts_us").as("start_us"),
+          max($"ts_us").as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // Streaming-dedup batch analog: first event per (user_id, event_type)
+    // in event-time order — what watermarked dropDuplicates keeps.
+    "q57_dedup_first_event" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_us", $"event_id")
+      load(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type",
+          $"event_id".as("first_event_id"), $"ts_us")
+        .orderBy($"user_id", $"event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q55_tumbling_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q56_sessionization" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         b AS (
+           SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM x),
+         sess AS (
+           SELECT user_id, ts_us,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM b)
+         SELECT user_id, session_id, min(ts_us) AS start_us,
+           max(ts_us) AS end_us, count(*) AS n_events
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q57_dedup_first_event" ->
+      """SELECT user_id, event_type, event_id AS first_event_id, ts_us
+         FROM (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type"""
+  )
+
+  // ------------------------------------------------------------------
+  // True Structured Streaming shapes (tested via MemoryStream; attach to
+  // spark.readStream sources in production). Input schema must contain
+  // ts:timestamp plus the referenced columns.
+  // ------------------------------------------------------------------
+
+  /** Watermarked tumbling-window counts — append-mode capable. */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Watermarked streaming dedup: keep the first (user_id, event_type)
+    * arrival; late duplicates beyond the watermark are dropped by state
+    * eviction — the streaming twin of q57.
+    */
+  def dedupFirstStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Session windows (30-min gap) per user — the streaming twin of q56. */
+  def sessionCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+}
