@@ -19,7 +19,8 @@ object SparkEntry {
     (graph.GraphQueries.queries, graph.GraphQueries.oracles),
     (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
     (streaming.Events.queries, streaming.Events.oracles),
-    (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles)
+    (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
+    (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,119 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries over the checked-in tagged-text fixture
+  * (`src/test/resources/tagged/` — FIXTURES.md A1 edge cases: duplicate
+  * titles across files, missing titles, non-numeric year, postal codes,
+  * multi-delimiter addresses, CJK + quotes/commas in titles, unknown
+  * fields, sanitize-label digit prefix).
+  *
+  * These ignore `sfDir`: the input is the fixture directory itself, and
+  * the DuckDB oracle re-derives the full parse→format→dedup pipeline from
+  * the same files via `read_text`, so S1-S3/P1-P3/P7/A1 are hash-gated
+  * like every other operator.
+  *
+  * Fixture contract (keeps the Spark-null ↔ SQL-empty mapping exact): no
+  * `{Field}:` lines with empty or all-semicolon values — absent fields are
+  * NULL on both sides.
+  */
+object TaggedQueries {
+
+  val FixtureGlob = "/root/repo/src/test/resources/tagged/*/*/*.txt"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full ingest pipeline: parse → format → first-wins dedup, projected
+    // to scalar-only columns (arrays rendered as joined strings).
+    "q90_tagged_ingest" -> ((s, _) => {
+      import s.implicits._
+      TaggedText.ingest(s, FixtureGlob)
+        .select($"title", $"label",
+          $"year".cast("long").as("year"), $"year_raw",
+          size($"author").cast("long").as("n_authors"),
+          size($"keywords").cast("long").as("n_keywords"),
+          $"publisher",
+          array_join($"author_address", "|").as("addr_csv"))
+        .orderBy($"title")
+    }),
+
+    // Label distribution after dedup (P7 sanitize + A1 first-wins).
+    "q91_tagged_labels" -> ((s, _) => {
+      import s.implicits._
+      TaggedText.ingest(s, FixtureGlob)
+        .groupBy($"label").agg(count(lit(1)).as("n"))
+        .orderBy($"label")
+    })
+  )
+
+  /** The same pipeline in DuckDB: read_text → blank-line block split →
+    * per-field regex extract → the P1-P3 cleaning chains → P7 sanitize →
+    * A1 first-wins window. `size(NULL)` is NULL on both sides.
+    */
+  private val pipelineSql = s"""f AS (
+  SELECT filename, string_split_regex(content, '\\n[ \\t]*\\n') AS blocks
+  FROM read_text('$FixtureGlob')),
+bx AS (
+  SELECT filename, unnest(range(len(blocks))) AS block_idx, blocks FROM f),
+blk AS (
+  SELECT filename, block_idx, blocks[CAST(block_idx + 1 AS INTEGER)] AS block
+  FROM bx),
+rec0 AS (
+  SELECT filename, block_idx, block FROM blk
+  WHERE regexp_matches(block, '\\{[^}]+\\}:')),
+raw AS (
+  SELECT filename, block_idx,
+    regexp_extract(block, '\\{Title\\}:[ \\t]*([^\\n]*)', 1) AS title_r,
+    regexp_extract(block, '\\{Reference Type\\}:[ \\t]*([^\\n]*)', 1) AS rt_r,
+    regexp_extract(block, '\\{Year\\}:[ \\t]*([^\\n]*)', 1) AS year_r,
+    regexp_extract(block, '\\{Author\\}:[ \\t]*([^\\n]*)', 1) AS author_r,
+    regexp_extract(block, '\\{Keywords\\}:[ \\t]*([^\\n]*)', 1) AS kw_r,
+    regexp_extract(block, '\\{Publisher\\}:[ \\t]*([^\\n]*)', 1) AS pub_r,
+    regexp_extract(block, '\\{Author Address\\}:[ \\t]*([^\\n]*)', 1) AS addr_r
+  FROM rec0),
+clean AS (
+  SELECT filename, block_idx,
+    NULLIF(trim(regexp_replace(regexp_replace(title_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS title,
+    NULLIF(trim(regexp_replace(regexp_replace(rt_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS ref_type,
+    NULLIF(trim(regexp_replace(regexp_replace(year_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS year_raw,
+    NULLIF(trim(regexp_replace(regexp_replace(pub_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS publisher,
+    CASE WHEN author_r = '' THEN NULL ELSE
+      list_filter(list_transform(string_split(author_r, ';'),
+        x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') END AS author,
+    CASE WHEN kw_r = '' THEN NULL ELSE
+      list_filter(list_transform(string_split(kw_r, ';'),
+        x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') END AS keywords,
+    CASE WHEN addr_r = '' THEN NULL ELSE
+      list_filter(list_transform(
+        flatten(list_transform(string_split(addr_r, ';'),
+          p -> string_split_regex(p, '[.,/·]'))),
+        x -> trim(regexp_replace(regexp_replace(x, '\\b\\d{6}\\b', ' ', 'g'), '\\s+', ' ', 'g'))),
+        x -> x <> '') END AS author_address
+  FROM raw),
+lab AS (
+  SELECT *,
+    CASE WHEN ref_type IS NULL OR regexp_replace(regexp_replace(ref_type, '\\s+', '_', 'g'), '[^A-Za-z0-9_]', '', 'g') = ''
+         THEN 'UnknownDocument'
+         WHEN regexp_matches(regexp_replace(regexp_replace(ref_type, '\\s+', '_', 'g'), '[^A-Za-z0-9_]', '', 'g'), '^[0-9]')
+         THEN '_' || regexp_replace(regexp_replace(ref_type, '\\s+', '_', 'g'), '[^A-Za-z0-9_]', '', 'g')
+         ELSE regexp_replace(regexp_replace(ref_type, '\\s+', '_', 'g'), '[^A-Za-z0-9_]', '', 'g') END AS label
+  FROM clean),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY title ORDER BY filename, block_idx) AS rn
+  FROM lab WHERE title IS NOT NULL AND title <> '')"""
+
+  def oracles: Map[String, String] = Map(
+    "q90_tagged_ingest" ->
+      s"""WITH $pipelineSql
+         SELECT title, label,
+           CAST(TRY_CAST(year_raw AS INTEGER) AS BIGINT) AS year, year_raw,
+           CAST(len(author) AS BIGINT) AS n_authors,
+           CAST(len(keywords) AS BIGINT) AS n_keywords,
+           publisher, array_to_string(author_address, '|') AS addr_csv
+         FROM dedup WHERE rn = 1 ORDER BY title""",
+    "q91_tagged_labels" ->
+      s"""WITH $pipelineSql
+         SELECT label, count(*) AS n FROM dedup WHERE rn = 1
+         GROUP BY label ORDER BY label"""
+  )
+}

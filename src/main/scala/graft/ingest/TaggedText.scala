@@ -90,9 +90,11 @@ object TaggedText {
   /** Best-effort int with raw fallback (`cleaner.py:67-71`): the reference
     * keeps the string when `int()` fails, i.e. a per-cell `int | str`
     * union. Modeled as a typed int column + the raw string (SURVEY §1.4).
+    * `try_cast`, not `cast` — Spark 4 runs ANSI mode by default, where a
+    * plain cast on a malformed year would fail the whole job.
     */
   private def intOrRaw(name: String): (Column, Column) =
-    (scalar(name).cast("int"), scalar(name))
+    (scalar(name).try_cast("int"), scalar(name))
 
   /** P1 `format_data` + P3 cleaning over a parsed frame → the engine's
     * document schema (FIXTURES.md A2). Unknown `{Field}:` tags survive in
