@@ -34,20 +34,27 @@ import graft.functions.VectorOps
   */
 object EntityResolution {
 
-  /** ε-neighbor pairs (u < v) with cos ≥ 0.35, exact integers. */
-  def epsPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", VectorOps.quantize($"embedding").as("e"))
-      .withColumn("nrm", VectorOps.norm2($"e"))
+  /** ε-neighbor pairs (u < v) with cos ≥ num/den over any
+    * (vec_id, embedding: array<float>) frame, exact integers:
+    * cos ≥ n/d ⟺ dot>0 ∧ d²·dot² ≥ n²·|a|²|b|².
+    */
+  def epsPairsOf(emb0: DataFrame, num: Int, den: Int): DataFrame = {
+    val emb = emb0
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("e"))
+      .withColumn("nrm", VectorOps.norm2(col("e")))
     val a = emb.as("a")
     val b = emb.as("b")
-    a.join(b, $"a.vec_id" < $"b.vec_id")
-      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-      .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", VectorOps.dot(col("a.e"), col("b.e")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (den * den) >=
+          col("a.nrm") * col("b.nrm") * (num * num))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
   }
+
+  /** ε-neighbor pairs with the production threshold cos ≥ 0.35 (= 7/20). */
+  def epsPairs(s: SparkSession, d: String): DataFrame =
+    epsPairsOf(Tables.embeddings(s, d), 7, 20)
 
   /** Connected components over an (u, v) edge frame for the given vertex
     * frame (one `vec_id` column). Returns (vec_id, component) where

@@ -1,0 +1,78 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Unit + fixture tests for the tagged-text ingest pipeline (SURVEY.md §5
+  * strategy item 2: parsing, cleaning, first-wins dedup, label hygiene).
+  */
+class TaggedTextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("parseEntries splits blank-line blocks and extracts {Field}: pairs") {
+    val text =
+      """{Title}: A
+        |{Year}: 2020
+        |not a field line
+        |
+        |
+        |{Title}: B
+        |""".stripMargin
+    val recs = TaggedText.parseEntries(text)
+    assert(recs === Seq(Map("Title" -> "A", "Year" -> "2020"), Map("Title" -> "B")))
+  }
+
+  test("parseEntries keeps the last value of a repeated field (dict parity)") {
+    val recs = TaggedText.parseEntries("{Title}: first\n{Title}: second")
+    assert(recs === Seq(Map("Title" -> "second")))
+  }
+
+  test("sanitizeLabel: spaces, symbols, digit prefix, CJK-only, null") {
+    val rows = Seq("Journal Article", "2023 Special Report", "A-B/C", "论文")
+      .toDF("rt")
+      .select(TaggedText.sanitizeLabel($"rt").as("l"))
+      .as[String].collect().toSeq
+    assert(rows === Seq("Journal_Article", "_2023_Special_Report", "ABC", "UnknownDocument"))
+    val nullRow = Seq(Option.empty[String]).toDF("rt")
+      .select(TaggedText.sanitizeLabel($"rt").as("l")).as[String].head()
+    assert(nullRow === "UnknownDocument")
+  }
+
+  test("stripPostalCodes removes standalone 6-digit codes only") {
+    val out = Seq("辽宁大连 116024", "邮编 12345 尾", "1234567 长数字")
+      .toDF("a").select(TaggedText.stripPostalCodes($"a").as("s"))
+      .as[String].collect().toSeq
+    assert(out === Seq("辽宁大连", "邮编 12345 尾", "1234567 长数字"))
+  }
+
+  test("ingest fixture: first-wins dedup, int-or-raw year, extra map") {
+    val df = TaggedText.ingest(spark, TaggedQueries.FixtureGlob).cache()
+    assert(df.count() === 5)
+
+    // duplicate title appears in two files: the lexicographically-first
+    // file (area1/papers) wins -> Journal_Article 2022, not Thesis 2021.
+    val dup = df.filter($"title" === "面向领域知识图谱构建的关键技术研究")
+      .select($"label", $"year").as[(String, Int)].head()
+    assert(dup === ("Journal_Article", 2022))
+
+    // non-numeric year: typed column null, raw preserved (cleaner.py:67-71).
+    val weird = df.filter($"year_raw" === "2022a")
+      .select($"year".isNull, $"title").as[(Boolean, String)].head()
+    assert(weird._1 && weird._2.contains("引号"))
+
+    // unknown {Field}: tags survive in the extra map.
+    val extra = df.filter($"year_raw" === "2022a")
+      .select(element_at($"extra", "Custom Tag")).as[String].head()
+    assert(extra === "custom-value")
+
+    // titleless record dropped (csv_extractor.py:36-37).
+    assert(df.filter($"year_raw" === "1999").isEmpty)
+
+    // address explode: ';' then '.',',','/','·', postal stripped.
+    val addrs = df.filter($"title" === "面向领域知识图谱构建的关键技术研究")
+      .select($"author_address").as[Seq[String]].head()
+    assert(addrs === Seq("大连理工大学计算机学院", "辽宁大连", "北京大学", "信息学院", "智能系"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.resolve
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** CC ≡ DBSCAN(min_samples=2) equivalence on a hand-built vector set
+  * (SURVEY.md §2.8 / §7.5 risk 1): clusters are the connected components
+  * of the ε-neighborhood graph; isolated points are DBSCAN noise and map
+  * to themselves.
+  */
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // v0≈v1≈v3 form one chain (v0-v1, v1-v3 within ε even if v0-v3 were
+  // not — single-linkage chaining, the DBSCAN min_samples=2 behavior);
+  // v2 is anti-parallel (dot<0) and v4 orthogonal: both isolated noise.
+  private val vecs: Seq[(Long, Array[Float])] = Seq(
+    0L -> Array(1.0f, 0.0f),
+    1L -> Array(0.9f, 0.1f),
+    2L -> Array(-1.0f, 0.05f),
+    3L -> Array(0.85f, 0.2f),
+    4L -> Array(0.0f, 1.0f))
+
+  test("epsPairs finds exactly the cos>=0.35 neighbor edges") {
+    val emb = vecs.toDF("vec_id", "embedding")
+    val pairs = EntityResolution.epsPairsOf(emb, 7, 20)
+      .as[(Long, Long)].collect().toSet
+    // cos(0,1)=.994, cos(0,3)=.973, cos(1,3)=.993 — all >= .35;
+    // v2 has negative dot with 0/1/3; cos(4,1)=.110, cos(4,3)=.229 < .35.
+    assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("connected components = DBSCAN(min_samples=2) clusters; noise maps to self") {
+    val emb = vecs.toDF("vec_id", "embedding")
+    val comp = EntityResolution.connectedComponents(spark,
+        emb.select($"vec_id"), EntityResolution.epsPairsOf(emb, 7, 20))
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
+  }
+
+  test("min-representative is the component label (numeric-min rule)") {
+    // representative = min member id == component id by construction.
+    val emb = vecs.toDF("vec_id", "embedding")
+    val comp = EntityResolution.connectedComponents(spark,
+        emb.select($"vec_id"), EntityResolution.epsPairsOf(emb, 7, 20))
+      .as[(Long, Long)].collect()
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min === label)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Golden-file checks for the Neo4j bulk-import CSV contract (headers,
+  * quote-doubling, CJK passthrough — FIXTURES.md A4) and the JSON mapping
+  * round trip.
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def readCsvLines(dir: String): Seq[String] = {
+    val part = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.readAllLines(part).asScala.toSeq
+  }
+
+  test("entity node CSV: exact header, minimal quoting, doubled quotes, CJK") {
+    val dir = Files.createTempDirectory("nodes").toString
+    val nodes = Seq("区块链", "含,逗号", "带\"引号\"的词").toDF("id")
+    Neo4jCsv.writeEntityNodes(nodes, "Keyword", dir)
+    val lines = readCsvLines(dir)
+    assert(lines.head === ":ID,:LABEL,name")
+    assert(lines.tail.toSet === Set(
+      "区块链,Keyword,区块链",
+      "\"含,逗号\",Keyword,\"含,逗号\"",
+      "\"带\"\"引号\"\"的词\",Keyword,\"带\"\"引号\"\"的词\""))
+  }
+
+  test("relationship CSV: START/END label header and per-type dedup") {
+    val dir = Files.createTempDirectory("rels").toString
+    val edges = Seq(
+      ("D1", "区块链", "HAS_KEYWORD"),
+      ("D1", "区块链", "HAS_KEYWORD"), // duplicate edge (A6 dedup)
+      ("D2", "机器学习", "HAS_KEYWORD"),
+      ("D9", "Org_1", "PUBLISHED_BY")  // other type filtered out
+    ).toDF("src", "dst", "rel_type")
+    Neo4jCsv.writeRels(edges, "HAS_KEYWORD", "Document", "Keyword", dir)
+    val lines = readCsvLines(dir)
+    assert(lines.head === ":START_ID(Document),:END_ID(Keyword),:TYPE")
+    assert(lines.tail.toSet === Set(
+      "D1,区块链,HAS_KEYWORD", "D2,机器学习,HAS_KEYWORD"))
+  }
+
+  test("document node CSV header matches the reference column set") {
+    val dir = Files.createTempDirectory("docs").toString
+    val docs = Seq(("T1", "Patent", 2020L, "abs", "J1"))
+      .toDF("title", "label", "year", "abstract", "journal")
+    Neo4jCsv.writeDocumentNodes(docs, dir)
+    assert(readCsvLines(dir).head === ":ID,:LABEL,title,year,abstract,journal")
+  }
+
+  test("JSON mapping sink round-trips exactly") {
+    val dir = Files.createTempDirectory("map").toString + "/m"
+    val mapping = Seq(("先天免疫系统", "先天免疫"), ("区块链", "区块链"))
+      .toDF("original", "representative")
+    JsonSinks.writeMapping(mapping, dir)
+    val back = JsonSinks.readMapping(spark, dir)
+      .as[(String, String)].collect().toSet
+    assert(back === Set(("先天免疫系统", "先天免疫"), ("区块链", "区块链")))
+  }
+
+  test("success/error partitioned sink splits on status") {
+    val dir = Files.createTempDirectory("cls").toString + "/out"
+    val df = Seq(("D1", "ok"), ("D2", "ok"), ("D3", "error"))
+      .toDF("title", "status")
+    graft.enrich.TopicEnrichment.writePartitioned(df, dir)
+    assert(Files.exists(Paths.get(s"$dir/status=ok")))
+    assert(Files.exists(Paths.get(s"$dir/status=error")))
+    val ok = spark.read.json(s"$dir/status=ok").count()
+    assert(ok === 2)
+  }
+}

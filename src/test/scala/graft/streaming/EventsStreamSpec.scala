@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Structured Streaming shapes driven through MemoryStream: watermarked
+  * dedup keeps the first (user, type) arrival; tumbling and session
+  * windows aggregate per the batch-analog semantics (q55-q57).
+  */
+class EventsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String)
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("watermarked dropDuplicates keeps the first (user, type) arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Events.dedupFirstStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Evt(1, t(0), 1, "click"), Evt(2, t(1), 1, "view"))
+      q.processAllAvailable()
+      in.addData(Evt(3, t(2), 1, "click"), Evt(4, t(3), 2, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().toSet
+      // event 3 is a (1, click) duplicate -> dropped by state.
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("tumbling window counts match the batch-analog grouping") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Events.tumblingCountsStream(in.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Evt(1, t(5), 1, "click"), Evt(2, t(20), 2, "click"),
+        Evt(3, t(65), 1, "click"), Evt(4, t(70), 1, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"window_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 2L),
+        ("2024-01-01 01:00:00", "click", 1L),
+        ("2024-01-01 01:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after a 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Events.sessionCountsStream(in.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 0,10,20 (one session) then 60 (new session).
+      in.addData(
+        Evt(1, t(0), 1, "a"), Evt(2, t(10), 1, "a"),
+        Evt(3, t(20), 1, "a"), Evt(4, t(60), 1, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+        .sorted
+      assert(rows === Seq((1L, 1L), (1L, 3L)))
+    } finally q.stop()
+  }
+}
