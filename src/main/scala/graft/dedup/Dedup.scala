@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{TextHashes, VectorOps}
 
 /** Deduplication suite over `documents` / `embeddings`: exact (hash
   * groupBy), first-occurrence keep (reference A1 semantics), MinHash+LSH
@@ -42,19 +42,6 @@ object Dedup {
   private val NBands = 4
   private val MaxBucket = 50
 
-  /** 3-token shingles of a whitespace-tokenized text column (0-based
-    * Spark array indexing; empty when the doc has <3 tokens).
-    */
-  private def shingles(toksCol: String): Column =
-    when(expr(s"size($toksCol) >= 3"),
-      expr(s"transform(sequence(0, size($toksCol) - 3)," +
-        s" j -> concat($toksCol[j], ' ', $toksCol[j+1], ' ', $toksCol[j+2]))"))
-      .otherwise(expr("array()"))
-
-  /** MinHash signature: per seed i, lexicographic min of md5(i||'|'||sh). */
-  private def minhash(shCol: String, seed: Int): Column =
-    expr(s"array_min(transform($shCol, x -> md5(concat('$seed', '|', x))))")
-
   /** LSH candidate generation: r=2 bands (band hash = md5 of two
     * concatenated minhashes) with a deterministic per-bucket cap —
     * oversized buckets (degenerate band values) are dropped whole, so the
@@ -63,10 +50,10 @@ object Dedup {
   private[dedup] def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sig = Tables.documents(s, d)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("sh", shingles("toks"))
+      .withColumn("sig", TextHashes.minhashSignature(split($"text", " "), NSeeds))
       .select($"doc_id", posexplode(array((0 until NBands).map(b =>
-        md5(concat(minhash("sh", 2 * b), lit("|"), minhash("sh", 2 * b + 1)))): _*))
+        md5(concat(element_at($"sig", 2 * b + 1), lit("|"),
+          element_at($"sig", 2 * b + 2)))): _*))
         .as(Seq("band", "h")))
       .filter($"h".isNotNull)
     val ok = sig.groupBy($"band", $"h")
@@ -105,15 +92,15 @@ object Dedup {
         .orderBy($"lang", $"source")
     }),
 
-    // MinHash signatures (first 4 seeds shown; LSH uses all 8).
+    // MinHash signatures (first 4 seeds shown; LSH uses all 8). One-pass
+    // native expression; same md5-hex math as the declarative form.
     "q32_minhash_signatures" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("toks", split($"text", " "))
-        .withColumn("sh", shingles("toks"))
+        .withColumn("sig", TextHashes.minhashSignature(split($"text", " "), 4))
         .select($"doc_id",
-          minhash("sh", 0).as("mh_0"), minhash("sh", 1).as("mh_1"),
-          minhash("sh", 2).as("mh_2"), minhash("sh", 3).as("mh_3"))
+          element_at($"sig", 1).as("mh_0"), element_at($"sig", 2).as("mh_1"),
+          element_at($"sig", 3).as("mh_2"), element_at($"sig", 4).as("mh_3"))
         .orderBy($"doc_id")
     }),
 
@@ -144,16 +131,13 @@ object Dedup {
         .orderBy($"d1", $"d2")
     }),
 
-    // SimHash (16-bit, hex-digit majority vote over md5'd tokens).
+    // SimHash (16-bit, hex-digit majority vote over md5'd tokens) — one
+    // native pass instead of 16 interpreted aggregate() sweeps.
     "q35_simhash" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("th", expr("transform(split(text, ' '), t -> md5(t))"))
-        .select($"doc_id", expr(
-          """concat_ws('', transform(sequence(1, 16), p ->
-             CASE WHEN aggregate(th, 0, (acc, x) ->
-                    acc + IF(substring(x, p, 1) >= '8', 1, -1)) > 0
-             THEN '1' ELSE '0' END))""").as("simhash"))
+        .select($"doc_id",
+          TextHashes.simhash16(split($"text", " ")).as("simhash"))
         .orderBy($"doc_id")
     }),
 
