@@ -20,7 +20,8 @@ object SparkEntry {
     (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
     (streaming.Events.queries, streaming.Events.oracles),
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
-    (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles)
+    (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),
+    (query.QueryText.queries, query.QueryText.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -56,6 +56,22 @@ object EntityResolution {
   def epsPairs(s: SparkSession, d: String): DataFrame =
     epsPairsOf(Tables.embeddings(s, d), 7, 20)
 
+  /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
+    * one or more columns — scalars and arrays alike — as one `value`
+    * column; the term universe the resolution clusters over.
+    */
+  def distinctValues(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    cols.map { c =>
+      df.schema(c).dataType match {
+        case _: ArrayType => df.select(explode(col(c)).as("value"))
+        case _ => df.select(col(c).as("value"))
+      }
+    }.reduce(_ unionAll _)
+      .filter(col("value").isNotNull && col("value") =!= "")
+      .distinct()
+  }
+
   /** Connected components over an (u, v) edge frame for the given vertex
     * frame (one `vec_id` column). Returns (vec_id, component) where
     * component = min vec_id reachable — DBSCAN(min_samples=2) parity.

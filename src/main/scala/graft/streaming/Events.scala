@@ -128,6 +128,14 @@ object Events {
   // ts:timestamp plus the referenced columns.
   // ------------------------------------------------------------------
 
+  /** S4 streaming JSON source (the reference's ijson incremental parse,
+    * `TopicClassfication.py:232-245`, re-expressed as Structured
+    * Streaming): new JSON files under `dir` stream in with an explicit
+    * schema (required for streaming reads).
+    */
+  def readJsonStream(s: SparkSession, dir: String, schemaDDL: String): DataFrame =
+    s.readStream.schema(schemaDDL).json(dir)
+
   /** Watermarked tumbling-window counts — append-mode capable. */
   def tumblingCountsStream(events: DataFrame): DataFrame =
     events

@@ -58,6 +58,24 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming JSON source ingests files incrementally (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonsrc").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"doc_id":1,"text":"t1"}""" + "\n" + """{"doc_id":2,"text":"t2"}""")
+    val q = Events.readJsonStream(spark, dir, "doc_id LONG, text STRING")
+      .writeStream.format("memory").queryName("json_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/b.json"), """{"doc_id":3,"text":"t3"}""")
+      q.processAllAvailable()
+      val ids = spark.table("json_out").select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("session windows close after a 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Evt]
