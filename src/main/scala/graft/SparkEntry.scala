@@ -21,7 +21,8 @@ object SparkEntry {
     (streaming.Events.queries, streaming.Events.oracles),
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),
-    (query.QueryText.queries, query.QueryText.oracles)
+    (query.QueryText.queries, query.QueryText.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )
 
   /** One per implemented operator from SURVEY.md §2. */
