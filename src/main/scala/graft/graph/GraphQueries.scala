@@ -27,137 +27,186 @@ object GraphQueries {
 
   private def P = BibGraph.sqlPrelude
 
+  // ------------------------------------------------------------------
+  // Parameterized template library — the engine-facing API the Router
+  // (L1) dispatches to; the q6x registry below binds fixture seeds for
+  // the oracle gate.
+  // ------------------------------------------------------------------
+
+  /** Family 1 (J3): Document -> Author. */
+  def docAuthors(s: SparkSession, d: String, title: String): DataFrame = {
+    import s.implicits._
+    authored(s, d).filter($"title" === title)
+      .select($"author").orderBy($"author")
+  }
+
+  /** Family 2 (J3): Document -> Keyword. */
+  def docKeywords(s: SparkSession, d: String, title: String): DataFrame = {
+    import s.implicits._
+    hasKeyword(s, d).filter($"title" === title)
+      .select($"kw").orderBy($"kw")
+  }
+
+  /** Family 3 (J3): Document -> Organization. */
+  def docOrg(s: SparkSession, d: String, title: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).filter($"title" === title).select($"title", $"org")
+  }
+
+  /** Family 4 (J3): Document -> Topic. */
+  def docTopic(s: SparkSession, d: String, title: String): DataFrame = {
+    import s.implicits._
+    hasTopic(s, d).filter($"title" === title).select($"title", $"topic")
+  }
+
+  /** Family 5 (J4): Author -> Document (with year property). */
+  def authorDocs(s: SparkSession, d: String, author: String): DataFrame = {
+    import s.implicits._
+    authored(s, d).filter($"author" === author)
+      .join(docs(s, d).select($"title", $"year"), "title")
+      .select($"title", $"year").orderBy($"title")
+  }
+
+  /** Family 6 (J4+J5): Keyword -> Document, alias-expanded (prompt rule 1). */
+  def keywordDocs(s: SparkSession, d: String, keyword: String): DataFrame = {
+    import s.implicits._
+    hasKeyword(s, d)
+      .join(broadcast(aliasExpand(s, d, keyword)), "kw")
+      .select($"title").distinct().orderBy($"title")
+  }
+
+  /** Family 7 (J4): Organization -> Document. */
+  def orgDocs(s: SparkSession, d: String, org: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).filter($"org" === org)
+      .select($"title", $"year").orderBy($"title")
+  }
+
+  /** Families 8/9: Node -> Properties fetch. */
+  def docProperties(s: SparkSession, d: String, title: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).filter($"title" === title)
+      .select($"title", $"label", $"year", $"journal", $"abstract")
+  }
+
+  /** Family 10 (A7, the flagship slice — SURVEY §7.3): per-year document
+    * counts for an alias-expanded keyword.
+    */
+  def keywordPerYear(s: SparkSession, d: String, keyword: String): DataFrame = {
+    import s.implicits._
+    hasKeyword(s, d)
+      .join(broadcast(aliasExpand(s, d, keyword)), "kw")
+      .select($"title").distinct()
+      .join(docs(s, d).select($"title", $"year"), "title")
+      .groupBy($"year").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"year")
+  }
+
+  /** Family 11 (J6): which of the candidate docs did the author
+    * (co-)write, and via which relationship?
+    */
+  def authoredCheck(s: SparkSession, d: String, author: String,
+                    titles: Seq[String]): DataFrame = {
+    import s.implicits._
+    authoredAll(s, d)
+      .filter($"author" === author && $"title".isin(titles: _*))
+      .select($"title", $"rel").orderBy($"title", $"rel")
+  }
+
+  /** Family 12 (J6): does the doc carry the keyword? (semi-join shape) */
+  def docHasKeyword(s: SparkSession, d: String, title: String,
+                    keyword: String): DataFrame = {
+    import s.implicits._
+    hasKeyword(s, d)
+      .filter($"title" === title && $"kw" === keyword)
+      .agg((count(lit(1)) > 0).as("has_kw"))
+  }
+
+  /** Family 13 (J7): co-authors via the 2-hop self-join on the doc key. */
+  def coauthors(s: SparkSession, d: String, author: String): DataFrame = {
+    import s.implicits._
+    val a = authored(s, d).as("a")
+    val b = authored(s, d).as("b")
+    a.filter($"a.author" === author)
+      .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
+      .select($"b.author".as("coauthor")).distinct().orderBy($"coauthor")
+  }
+
+  /** Family 14 (J8+A7): co-occurring keywords, count-ranked top-k. */
+  def keywordCooccur(s: SparkSession, d: String, keyword: String,
+                     k: Int): DataFrame = {
+    import s.implicits._
+    val a = hasKeyword(s, d).as("a")
+    val b = hasKeyword(s, d).as("b")
+    a.filter($"a.kw" === keyword)
+      .join(b, $"a.title" === $"b.title" && $"b.kw" =!= $"a.kw")
+      .groupBy($"b.kw".as("kw")).agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"kw").limit(k)
+  }
+
+  /** Family 15 (J9): Organization -> Document -> Topic. */
+  def orgTopics(s: SparkSession, d: String, org: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).filter($"org" === org).select($"title")
+      .join(hasTopic(s, d).select($"title", $"topic"), "title")
+      .select($"topic").distinct().orderBy($"topic")
+  }
+
+  /** Family 16 (J10): 3-hop collaborator-topics + abstract property. */
+  def collabTopics(s: SparkSession, d: String, author: String): DataFrame = {
+    import s.implicits._
+    val a = authored(s, d).as("a")
+    val b = authored(s, d).as("b")
+    val coa = a.filter($"a.author" === author)
+      .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
+      .select($"b.author".as("coauthor")).distinct()
+    val c = authored(s, d).as("c")
+    coa.join(c, $"coauthor" === $"c.author")
+      .select($"c.title".as("title")).distinct()
+      .join(hasTopic(s, d).select($"title", $"topic"), "title")
+      .join(docs(s, d).select($"title", $"abstract"), "title")
+      .select($"topic", $"title", $"abstract").distinct()
+      .orderBy($"topic", $"title")
+  }
+
+  /** L2 fallback full-text search (F1 conjunctive abstract match OR F2
+    * disjunctive topic/address match) + A8 collect + LIMIT
+    * (`neo4j_query_executor.py:389-520`).
+    */
+  def fallbackSearch(s: SparkSession, d: String, terms: Seq[String],
+                     maxResults: Int): DataFrame = {
+    import s.implicits._
+    val dd = docs(s, d)
+    val withTopics = dd
+      .join(hasTopic(s, d).select($"title", $"topic"), Seq("title"), "left")
+      .groupBy($"title", $"abstract", $"addr")
+      .agg(array_join(sort_array(collect_list($"topic")), ";").as("topics_csv"))
+    val conj = terms.map(t => lower($"abstract").contains(t.toLowerCase))
+      .reduce(_ && _)
+    val pat = "(?i).*(" + terms.map(java.util.regex.Pattern.quote).mkString("|") + ")"
+    val disj = $"topics_csv".rlike(pat) || $"addr".rlike(pat)
+    withTopics.filter(conj || disj)
+      .select($"title", $"topics_csv")
+      .orderBy($"title").limit(maxResults)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Family 1 (J3): Document -> Author.
-    "q60_doc_authors" -> ((s, d) => {
-      import s.implicits._
-      authored(s, d).filter($"title" === "D42")
-        .select($"author").orderBy($"author")
-    }),
-
-    // Family 2 (J3): Document -> Keyword.
-    "q61_doc_keywords" -> ((s, d) => {
-      import s.implicits._
-      hasKeyword(s, d).filter($"title" === "D7")
-        .select($"kw").orderBy($"kw")
-    }),
-
-    // Family 3 (J3): Document -> Organization.
-    "q62_doc_org" -> ((s, d) => {
-      import s.implicits._
-      docs(s, d).filter($"title" === "D15").select($"title", $"org")
-    }),
-
-    // Family 4 (J3): Document -> Topic.
-    "q63_doc_topic" -> ((s, d) => {
-      import s.implicits._
-      hasTopic(s, d).filter($"title" === "D100").select($"title", $"topic")
-    }),
-
-    // Family 5 (J4): Author -> Document (with year property).
-    "q64_author_docs" -> ((s, d) => {
-      import s.implicits._
-      authored(s, d).filter($"author" === "Author_29")
-        .join(docs(s, d).select($"title", $"year"), "title")
-        .select($"title", $"year").orderBy($"title")
-    }),
-
-    // Family 6 (J4+J5): Keyword -> Document, alias-expanded (prompt rule 1).
-    "q65_keyword_docs_alias" -> ((s, d) => {
-      import s.implicits._
-      hasKeyword(s, d)
-        .join(broadcast(aliasExpand(s, d, "vector")), "kw")
-        .select($"title").distinct().orderBy($"title")
-    }),
-
-    // Family 7 (J4): Organization -> Document.
-    "q66_org_docs" -> ((s, d) => {
-      import s.implicits._
-      docs(s, d).filter($"org" === "Org_5")
-        .select($"title", $"year").orderBy($"title")
-    }),
-
-    // Families 8/9: Node -> Properties fetch.
-    "q67_doc_properties" -> ((s, d) => {
-      import s.implicits._
-      docs(s, d).filter($"title" === "D123")
-        .select($"title", $"label", $"year", $"journal", $"abstract")
-    }),
-
-    // Family 10 (A7, the flagship slice — SURVEY §7.3): per-year document
-    // counts for an alias-expanded keyword.
-    "q68_keyword_per_year" -> ((s, d) => {
-      import s.implicits._
-      hasKeyword(s, d)
-        .join(broadcast(aliasExpand(s, d, "vector")), "kw")
-        .select($"title").distinct()
-        .join(docs(s, d).select($"title", $"year"), "title")
-        .groupBy($"year").agg(count(lit(1)).as("n_docs"))
-        .orderBy($"year")
-    }),
-
-    // Family 11 (J6): which of two docs did this author (co-)write, and
-    // via which relationship?
-    "q69_authored_check" -> ((s, d) => {
-      import s.implicits._
-      authoredAll(s, d)
-        .filter($"author" === "Author_29" && $"title".isin("D42", "D43"))
-        .select($"title", $"rel").orderBy($"title", $"rel")
-    }),
-
-    // Family 12 (J6): does the doc carry the keyword? (semi-join shape)
-    "q70_doc_has_keyword_check" -> ((s, d) => {
-      import s.implicits._
-      hasKeyword(s, d)
-        .filter($"title" === "D7" && $"kw" === "table")
-        .agg((count(lit(1)) > 0).as("has_kw"))
-    }),
-
-    // Family 13 (J7): co-authors via the 2-hop self-join on the doc key.
-    "q71_coauthors" -> ((s, d) => {
-      import s.implicits._
-      val a = authored(s, d).as("a")
-      val b = authored(s, d).as("b")
-      a.filter($"a.author" === "Author_29")
-        .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
-        .select($"b.author".as("coauthor")).distinct().orderBy($"coauthor")
-    }),
-
-    // Family 14 (J8+A7): co-occurring keywords, count-ranked top-10.
-    "q72_keyword_cooccur" -> ((s, d) => {
-      import s.implicits._
-      val a = hasKeyword(s, d).as("a")
-      val b = hasKeyword(s, d).as("b")
-      a.filter($"a.kw" === "small")
-        .join(b, $"a.title" === $"b.title" && $"b.kw" =!= $"a.kw")
-        .groupBy($"b.kw".as("kw")).agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"kw").limit(10)
-    }),
-
-    // Family 15 (J9): Organization -> Document -> Topic.
-    "q73_org_topics" -> ((s, d) => {
-      import s.implicits._
-      docs(s, d).filter($"org" === "Org_3").select($"title")
-        .join(hasTopic(s, d).select($"title", $"topic"), "title")
-        .select($"topic").distinct().orderBy($"topic")
-    }),
-
-    // Family 16 (J10): 3-hop collaborator-topics + abstract property.
-    "q74_collab_topics" -> ((s, d) => {
-      import s.implicits._
-      val a = authored(s, d).as("a")
-      val b = authored(s, d).as("b")
-      val coa = a.filter($"a.author" === "Author_29")
-        .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
-        .select($"b.author".as("coauthor")).distinct()
-      val c = authored(s, d).as("c")
-      coa.join(c, $"coauthor" === $"c.author")
-        .select($"c.title".as("title")).distinct()
-        .join(hasTopic(s, d).select($"title", $"topic"), "title")
-        .join(docs(s, d).select($"title", $"abstract"), "title")
-        .select($"topic", $"title", $"abstract").distinct()
-        .orderBy($"topic", $"title")
-    }),
+    "q60_doc_authors" -> ((s, d) => docAuthors(s, d, "D42")),
+    "q61_doc_keywords" -> ((s, d) => docKeywords(s, d, "D7")),
+    "q62_doc_org" -> ((s, d) => docOrg(s, d, "D15")),
+    "q63_doc_topic" -> ((s, d) => docTopic(s, d, "D100")),
+    "q64_author_docs" -> ((s, d) => authorDocs(s, d, "Author_29")),
+    "q65_keyword_docs_alias" -> ((s, d) => keywordDocs(s, d, "vector")),
+    "q66_org_docs" -> ((s, d) => orgDocs(s, d, "Org_5")),
+    "q67_doc_properties" -> ((s, d) => docProperties(s, d, "D123")),
+    "q68_keyword_per_year" -> ((s, d) => keywordPerYear(s, d, "vector")),
+    "q69_authored_check" -> ((s, d) =>
+      authoredCheck(s, d, "Author_29", Seq("D42", "D43"))),
+    "q70_doc_has_keyword_check" -> ((s, d) => docHasKeyword(s, d, "D7", "table")),
+    "q71_coauthors" -> ((s, d) => coauthors(s, d, "Author_29")),
+    "q72_keyword_cooccur" -> ((s, d) => keywordCooccur(s, d, "small", 10)),
+    "q73_org_topics" -> ((s, d) => orgTopics(s, d, "Org_3")),
+    "q74_collab_topics" -> ((s, d) => collabTopics(s, d, "Author_29")),
 
     // J1 + A5: alias-mapping application with first-seen-order dedup,
     // in exploded relational form (title, ord, kw) — `keyword_merger.py:
@@ -201,24 +250,8 @@ object GraphQueries {
         .orderBy($"label")
     }),
 
-    // L2 fallback full-text search (F1 conjunctive abstract match OR F2
-    // disjunctive topic/address match) + A8 collect + LIMIT 100
-    // (`neo4j_query_executor.py:389-520`).
-    "q78_fallback_search" -> ((s, d) => {
-      import s.implicits._
-      val terms = Seq("merge", "window")
-      val dd = docs(s, d)
-      val withTopics = dd
-        .join(hasTopic(s, d).select($"title", $"topic"), Seq("title"), "left")
-        .groupBy($"title", $"abstract", $"addr")
-        .agg(array_join(sort_array(collect_list($"topic")), ";").as("topics_csv"))
-      val conj = terms.map(t => lower($"abstract").contains(t)).reduce(_ && _)
-      val pat = "(?i).*(" + terms.map(java.util.regex.Pattern.quote).mkString("|") + ")"
-      val disj = $"topics_csv".rlike(pat) || $"addr".rlike(pat)
-      withTopics.filter(conj || disj)
-        .select($"title", $"topics_csv")
-        .orderBy($"title").limit(100)
-    })
+    "q78_fallback_search" -> ((s, d) =>
+      fallbackSearch(s, d, Seq("merge", "window"), 100))
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,0 +1,83 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.graph.GraphQueries
+
+/** L1 query-template router (SURVEY.md §2.9; `neo4j_query_executor.py:
+  * 240-384`): the reference turns a natural-language question into one of
+  * the 17 Q.txt families via an LLM; the engine's side of that contract
+  * is a closed, typed template library — family number + parameters →
+  * DataFrame. NL parsing stays a pluggable front-end, out of engine
+  * scope (SURVEY §7.5 risk 6: no Cypher parser — the workload is closed).
+  *
+  * Parameter keys: `title`, `author`, `keyword`, `org`, `title2` (family
+  * 11's second candidate), `terms` (semicolon-separated, fallback
+  * search).
+  */
+object Router {
+
+  /** Dispatch a Q.txt family. Family 17 ("what can you query?") returns
+    * the catalog itself: one row per family with its parameter names.
+    */
+  def route(s: SparkSession, sfDir: String, family: Int,
+            params: Map[String, String]): DataFrame = {
+    def p(key: String): String = params.getOrElse(key,
+      throw new IllegalArgumentException(s"family $family needs param '$key'"))
+    family match {
+      case 1  => GraphQueries.docAuthors(s, sfDir, p("title"))
+      case 2  => GraphQueries.docKeywords(s, sfDir, p("title"))
+      case 3  => GraphQueries.docOrg(s, sfDir, p("title"))
+      case 4  => GraphQueries.docTopic(s, sfDir, p("title"))
+      case 5  => GraphQueries.authorDocs(s, sfDir, p("author"))
+      case 6  => GraphQueries.keywordDocs(s, sfDir, p("keyword"))
+      case 7  => GraphQueries.orgDocs(s, sfDir, p("org"))
+      case 8 | 9 => GraphQueries.docProperties(s, sfDir, p("title"))
+      case 10 => GraphQueries.keywordPerYear(s, sfDir, p("keyword"))
+      case 11 => GraphQueries.authoredCheck(s, sfDir, p("author"),
+        Seq(p("title"), p("title2")))
+      case 12 => GraphQueries.docHasKeyword(s, sfDir, p("title"), p("keyword"))
+      case 13 => GraphQueries.coauthors(s, sfDir, p("author"))
+      case 14 => GraphQueries.keywordCooccur(s, sfDir, p("keyword"), 10)
+      case 15 => GraphQueries.orgTopics(s, sfDir, p("org"))
+      case 16 => GraphQueries.collabTopics(s, sfDir, p("author"))
+      case 17 => catalog(s)
+      case n => throw new IllegalArgumentException(s"unknown family $n")
+    }
+  }
+
+  /** Family 17: the queryable-capability listing. */
+  def catalog(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1, "Document -> Author", "title"),
+      (2, "Document -> Keyword", "title"),
+      (3, "Document -> Organization", "title"),
+      (4, "Document -> Topic", "title"),
+      (5, "Author -> Document", "author"),
+      (6, "Keyword -> Document (alias-expanded)", "keyword"),
+      (7, "Organization -> Document", "org"),
+      (8, "Document -> properties", "title"),
+      (9, "Document -> type + summary properties", "title"),
+      (10, "Keyword -> per-year document counts", "keyword"),
+      (11, "Author x Documents -> relationship existence", "author,title,title2"),
+      (12, "Document x Keyword -> existence", "title,keyword"),
+      (13, "Author -> co-authors (2-hop)", "author"),
+      (14, "Keyword -> co-occurring keywords (2-hop)", "keyword"),
+      (15, "Organization -> topics (2-hop)", "org"),
+      (16, "Author -> collaborator topics + abstracts (3-hop)", "author"),
+      (17, "capability catalog", "")
+    ).toDF("family", "description", "params")
+  }
+
+  /** L2: the fallback path — graph query returned empty → full-text
+    * search over abstracts/topics/addresses with the harvested terms
+    * (`neo4j_query_executor.py:340-344` lazy-fallback control flow).
+    */
+  def withFallback(s: SparkSession, sfDir: String, family: Int,
+                   params: Map[String, String],
+                   searchTerms: Seq[String]): DataFrame = {
+    val primary = route(s, sfDir, family, params)
+    if (!primary.isEmpty) primary
+    else GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
+  }
+}
