@@ -251,7 +251,24 @@ object GraphQueries {
     }),
 
     "q78_fallback_search" -> ((s, d) =>
-      fallbackSearch(s, d, Seq("merge", "window"), 100))
+      fallbackSearch(s, d, Seq("merge", "window"), 100)),
+
+    // A5 as ONE distributed aggregation: the FirstSeenDedup Aggregator
+    // replaces q75's two-shuffle window formulation when the ordered
+    // deduped list itself is the output (`keyword_merger.py:263`).
+    "q79_alias_apply_agg" -> ((s, d) => {
+      import s.implicits._
+      val exploded = docs(s, d)
+        .select($"title", posexplode($"kws").as(Seq("pos", "original")))
+      exploded.join(broadcast(keywordMapping(s, d)), "original")
+        .select($"title", $"pos".cast("long").as("pos"),
+          $"representative".as("kw"))
+        .groupBy($"title")
+        .agg(array_join(
+          graft.functions.FirstSeenDedup.asUdaf($"kw", $"pos"), ";")
+          .as("kws_csv"))
+        .orderBy($"title")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -375,6 +392,22 @@ object GraphQueries {
            UNION ALL SELECT 'Topic', topic FROM has_topic)
          SELECT label, count(*) AS n FROM (SELECT DISTINCT label, id FROM nodes) u
          GROUP BY label ORDER BY label""",
+    "q79_alias_apply_agg" ->
+      s"""WITH $P,
+         exploded AS (
+           SELECT title, generate_subscripts(kws, 1) - 1 AS pos,
+                  unnest(kws) AS original
+           FROM docs),
+         merged AS (
+           SELECT e.title, e.pos, m.representative AS kw
+           FROM exploded e JOIN kmap m ON e.original = m.original),
+         first_seen AS (
+           SELECT title, pos, kw,
+                  row_number() OVER (PARTITION BY title, kw ORDER BY pos) AS rn
+           FROM merged)
+         SELECT title, string_agg(kw, ';' ORDER BY pos) AS kws_csv
+         FROM first_seen WHERE rn = 1
+         GROUP BY title ORDER BY title""",
     "q78_fallback_search" ->
       s"""WITH $P,
          wt AS (

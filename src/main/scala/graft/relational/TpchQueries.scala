@@ -209,6 +209,25 @@ object TpchQueries {
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n_above"), max($"price_c").as("max_price_c"))
         .orderBy($"p_brand")
+    }),
+
+    // Skew-safe two-stage aggregation: l_returnflag has only 3 values, so
+    // a naive groupBy funnels a third of the 100 TB fact table into 3
+    // reducers. Salting on a deterministic key spreads the partial
+    // aggregation across (flag × 16) cells; the final per-flag combine
+    // touches only 48 pre-aggregated rows. Result is bit-identical to the
+    // plain grouping (integer cents, associative sums) — the oracle IS
+    // the unsalted query.
+    "q13_salted_skew_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", ($"l_orderkey" % 16).as("salt"),
+          cents($"l_extendedprice").as("price_c"))
+        .groupBy($"l_returnflag", $"salt")
+        .agg(sum($"price_c").as("p"), count(lit(1)).as("n"))
+        .groupBy($"l_returnflag")
+        .agg(sum($"p").as("revenue_c"), sum($"n").as("n_rows"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -308,6 +327,12 @@ object TpchQueries {
                  count(*) OVER (PARTITION BY p_brand) AS n
                FROM part) t
          WHERE price_c * n > sum_c
-         GROUP BY p_brand ORDER BY p_brand"""
+         GROUP BY p_brand ORDER BY p_brand""",
+    // the UNsalted form — salting must not change results
+    "q13_salted_skew_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

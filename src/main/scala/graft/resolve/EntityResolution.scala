@@ -95,12 +95,52 @@ object EntityResolution {
     connectedComponents(s, verts, epsPairs(s, d))
   }
 
+  /** Variable-length traversal (SURVEY §2.3 J10 note: "GraphX/Pregel BFS
+    * when hop count is a parameter"): vertices within `maxHops` of the
+    * seed over an undirected (u, v) edge frame. Pregel with hop-count
+    * messages; state = min hops seen.
+    */
+  def bfsReach(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
+               seed: Long, maxHops: Int): DataFrame = {
+    import org.apache.spark.graphx.{EdgeDirection, EdgeTriplet, Graph, VertexId}
+    import s.implicits._
+    val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
+      .map(r => (r.getLong(0), if (r.getLong(0) == seed) 0 else Int.MaxValue))
+    val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
+      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val graph = Graph(vertRdd, edgeRdd)
+    val bfs = graph.pregel(Int.MaxValue, maxIterations = maxHops,
+      activeDirection = EdgeDirection.Either)(
+      (_: VertexId, cur: Int, msg: Int) => math.min(cur, msg),
+      (t: EdgeTriplet[Int, Unit]) => {
+        val out = Iterator.newBuilder[(VertexId, Int)]
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          out += ((t.dstId, t.srcAttr + 1))
+        if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+          out += ((t.srcId, t.dstAttr + 1))
+        out.result()
+      },
+      (a: Int, b: Int) => math.min(a, b))
+    bfs.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (id, hops) => (id, hops.toLong) }
+      .toDF("vec_id", "hops")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.8-C1: ε-graph connected components = DBSCAN(min_samples=2)
     // clusters; representative = component = min member id.
     "q50_entity_resolution" -> ((s, d) => {
       import s.implicits._
       resolve(s, d).orderBy($"vec_id")
+    }),
+
+    // Variable-length traversal: vertices within 2 hops of vec_id 0 in
+    // the ε-similarity graph, with hop distance (Pregel BFS).
+    "q53_bfs_reach" -> ((s, d) => {
+      import s.implicits._
+      val verts = Tables.embeddings(s, d).select($"vec_id")
+      bfsReach(s, verts, epsPairs(s, d), seed = 0L, maxHops = 2)
+        .orderBy($"vec_id")
     }),
 
     // §2.8-C2 + J11/A9: cluster regroup, size gate (≥3), deterministic
@@ -147,6 +187,15 @@ comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)""
     "q50_entity_resolution" ->
       s"""WITH RECURSIVE $ccSql
          SELECT vec_id, component FROM comp ORDER BY vec_id""",
+    "q53_bfs_reach" ->
+      s"""WITH RECURSIVE $ccSql,
+         bfs(node, hops) AS (
+           SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+           UNION
+           SELECT ee.v, bfs.hops + 1 FROM bfs JOIN ee ON bfs.node = ee.u
+           WHERE bfs.hops < 2)
+         SELECT node AS vec_id, CAST(min(hops) AS BIGINT) AS hops
+         FROM bfs GROUP BY node ORDER BY vec_id""",
     "q51_er_refined_mapping" ->
       s"""WITH RECURSIVE $ccSql,
          stats AS (

@@ -74,6 +74,19 @@ object Events {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Rolling 3-row sum per user in event-time order (sliding frame —
+    // the per-key running-metric shape; integer cents).
+    "q58_rolling_sum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(-2, Window.currentRow)
+      load(s, d)
+        .withColumn("value_cents", round($"value" * 100).cast("long"))
+        .withColumn("movsum_cents", sum($"value_cents").over(w))
+        .select($"user_id", $"event_id", $"value_cents", $"movsum_cents")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Streaming-dedup batch analog: first event per (user_id, event_type)
     // in event-time order — what watermarked dropDuplicates keeps.
     "q57_dedup_first_event" -> ((s, d) => {
@@ -112,6 +125,13 @@ object Events {
          SELECT user_id, session_id, min(ts_us) AS start_us,
            max(ts_us) AS end_us, count(*) AS n_events
          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q58_rolling_sum" ->
+      """SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS movsum_cents
+         FROM events ORDER BY user_id, event_id""",
     "q57_dedup_first_event" ->
       """SELECT user_id, event_type, event_id AS first_event_id, ts_us
          FROM (
