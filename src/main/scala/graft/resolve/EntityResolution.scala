@@ -134,6 +134,24 @@ object EntityResolution {
       resolve(s, d).orderBy($"vec_id")
     }),
 
+    // The 100 TB scale path: ε-join blocked by IVF centroid cell (equi
+    // join on the bucket id — no all-pairs), then the same CC + min-rep.
+    // Approximate: cross-cell neighbors are missed (standard IVF recall
+    // trade; nprobe>1 narrows it). Exact q50 is the correctness anchor.
+    "q52_er_blocked" -> ((s, d) => {
+      import s.implicits._
+      val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
+      val a = assigned.as("a")
+      val b = assigned.as("b")
+      val pairs = a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+        .filter($"dot" > 0 &&
+          $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+        .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+      val verts = Tables.embeddings(s, d).select($"vec_id")
+      connectedComponents(s, verts, pairs).orderBy($"vec_id")
+    }),
+
     // Variable-length traversal: vertices within 2 hops of vec_id 0 in
     // the ε-similarity graph, with hop distance (Pregel BFS).
     "q53_bfs_reach" -> ((s, d) => {
@@ -183,9 +201,52 @@ walk(node, lab) AS (
 ),
 comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)"""
 
+  /** Oracle mirror of the IVF-blocked ε-graph (q36's assignment chain +
+    * the ε predicate within cells) + the same CC walk.
+    */
+  private val blockedCcSql = """q0 AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+        CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+      FROM q0),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+         FROM n WHERE vec_id % 50 = 0),
+ap AS (SELECT n.vec_id, cent.cid,
+        CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+        n.nrm, cent.cnrm
+      FROM n CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY
+        CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+          * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+    FROM ap) t WHERE rn = 1),
+full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+          FROM assigned a JOIN n ON a.vec_id = n.vec_id),
+ed AS (SELECT u, v FROM (
+         SELECT a.vec_id AS u, b.vec_id AS v,
+           CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM full0 a JOIN full0 b
+           ON a.cid = b.cid AND a.vec_id < b.vec_id) p
+       WHERE dot > 0 AND 400*dot*dot >= 49*na*nb),
+ee AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+walk(node, lab) AS (
+  SELECT vec_id, vec_id FROM n
+  UNION
+  SELECT ee.v, walk.lab FROM walk JOIN ee ON walk.node = ee.u
+),
+comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)"""
+
   def oracles: Map[String, String] = Map(
     "q50_entity_resolution" ->
       s"""WITH RECURSIVE $ccSql
+         SELECT vec_id, component FROM comp ORDER BY vec_id""",
+    "q52_er_blocked" ->
+      s"""WITH RECURSIVE $blockedCcSql
          SELECT vec_id, component FROM comp ORDER BY vec_id""",
     "q53_bfs_reach" ->
       s"""WITH RECURSIVE $ccSql,
