@@ -79,13 +79,24 @@ object EntityResolution {
   def connectedComponents(s: SparkSession, vertices: DataFrame,
                           pairs: DataFrame): DataFrame = {
     import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // GraphX materializes its input RDDs several times while building and
+    // iterating the graph — without persist, the (expensive) ε-join above
+    // would re-execute once per materialization.
     val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
       .map(r => (r.getLong(0), ()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val graph = Graph(vertRdd, edgeRdd)
-    graph.connectedComponents().vertices
+    val out = graph.connectedComponents().vertices
       .toDF("vec_id", "component")
+    out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once, then release the inputs
+    vertRdd.unpersist(blocking = false)
+    edgeRdd.unpersist(blocking = false)
+    out
   }
 
   /** Full resolution: ε-join → CC → (vec_id, component). */
@@ -104,10 +115,13 @@ object EntityResolution {
                seed: Long, maxHops: Int): DataFrame = {
     import org.apache.spark.graphx.{EdgeDirection, EdgeTriplet, Graph, VertexId}
     import s.implicits._
+    import org.apache.spark.storage.StorageLevel
     val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
       .map(r => (r.getLong(0), if (r.getLong(0) == seed) 0 else Int.MaxValue))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
       .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val graph = Graph(vertRdd, edgeRdd)
     val bfs = graph.pregel(Int.MaxValue, maxIterations = maxHops,
       activeDirection = EdgeDirection.Either)(
