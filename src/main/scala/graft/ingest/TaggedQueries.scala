@@ -43,6 +43,14 @@ object TaggedQueries {
       TaggedText.ingest(s, FixtureGlob)
         .groupBy($"label").agg(count(lit(1)).as("n"))
         .orderBy($"label")
+    }),
+
+    // S3: per-area record counts from the two-level directory layout.
+    "q93_area_counts" -> ((s, _) => {
+      import s.implicits._
+      TaggedText.ingest(s, FixtureGlob)
+        .groupBy($"area").agg(count(lit(1)).as("n"))
+        .orderBy($"area")
     })
   )
 
@@ -114,6 +122,12 @@ dedup AS (
     "q91_tagged_labels" ->
       s"""WITH $pipelineSql
          SELECT label, count(*) AS n FROM dedup WHERE rn = 1
-         GROUP BY label ORDER BY label"""
+         GROUP BY label ORDER BY label""",
+    "q93_area_counts" ->
+      s"""WITH $pipelineSql
+         SELECT regexp_extract(filename, '([^/]+)/[^/]+/[^/]+$$', 1) AS area,
+                count(*) AS n
+         FROM dedup WHERE rn = 1
+         GROUP BY 1 ORDER BY 1"""
   )
 }

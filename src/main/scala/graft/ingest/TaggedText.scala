@@ -41,8 +41,10 @@ object TaggedText {
       .filter(_.nonEmpty)
 
   /** S2/S3 directory scan: every file under `dir` (glob ok), one record per
-    * tagged block, with provenance + stable ingest order.
-    * Output: src_file, block_idx, fields: map<string,string>.
+    * tagged block, with provenance + stable ingest order + the area column
+    * of the reference's two-level `src_data/<area>/<corpus>/` layout
+    * (`cleaner.py:198-217` — grandparent directory of the file).
+    * Output: src_file, area, block_idx, fields: map<string,string>.
     */
   def parse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -55,6 +57,8 @@ object TaggedText {
         parseEntries(text).zipWithIndex.map { case (m, i) => (f, i.toLong, m) }
       }
       .toDF("src_file", "block_idx", "fields")
+      .withColumn("area",
+        regexp_extract(col("src_file"), "([^/]+)/[^/]+/[^/]+$", 1))
   }
 
   /** P2 `delete_post_numbers` (`cleaner.py:29-39`): strip standalone
@@ -109,7 +113,7 @@ object TaggedText {
     val (volI, volR) = intOrRaw("Volume")
     val (issI, issR) = intOrRaw("Issue")
     parsed.select(
-      col("src_file"), col("block_idx"),
+      col("src_file"), col("area"), col("block_idx"),
       scalar("Title").as("title"),
       scalar("Reference Type").as("reference_type"),
       sanitizeLabel(scalar("Reference Type")).as("label"),
