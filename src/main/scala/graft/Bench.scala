@@ -14,12 +14,14 @@ object Bench {
     // noop-sink materialization: unlike .count(), it cannot be optimized
     // into a metadata-only plan — every projection (hashes, scores, sorts)
     // is actually computed, so map-heavy queries are measured honestly.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted: deterministic execution order makes per-query times
+    // comparable across rounds (first query absorbs JVM/codegen warmup).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

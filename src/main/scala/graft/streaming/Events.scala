@@ -87,6 +87,20 @@ object Events {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Semi-structured props: parse the JSON payload column with an
+    // explicit schema (from_json — codegen'd, no UDF) and aggregate the
+    // extracted field (§2.7 json scalar coverage).
+    "q59_json_props" -> ((s, d) => {
+      import s.implicits._
+      load(s, d)
+        .withColumn("k", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
     // Streaming-dedup batch analog: first event per (user_id, event_type)
     // in event-time order — what watermarked dropDuplicates keeps.
     "q57_dedup_first_event" -> ((s, d) => {
@@ -132,6 +146,12 @@ object Events {
              PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS movsum_cents
          FROM events ORDER BY user_id, event_id""",
+    "q59_json_props" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q57_dedup_first_event" ->
       """SELECT user_id, event_type, event_id AS first_event_id, ts_us
          FROM (
