@@ -140,7 +140,43 @@ object EntityResolution {
       .toDF("vec_id", "hops")
   }
 
+  /** Static PageRank over an undirected (u, v) edge frame (north-star
+    * "GraphX/Pregel for graph analytics"). Fixed iteration count;
+    * float message sums are partitioning-order sensitive, so this is
+    * rows-only-gated (no SQL oracle) and invariant-tested instead.
+    */
+  def pageRank(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
+               iters: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
+      .map(r => (r.getLong(0), ()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // undirected: one edge per direction
+    val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
+      .flatMap(r => Seq(Edge(r.getLong(0), r.getLong(1), ()),
+        Edge(r.getLong(1), r.getLong(0), ())))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranks = Graph(vertRdd, edgeRdd).staticPageRank(iters).vertices
+      .toDF("vec_id", "rank")
+    ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    vertRdd.unpersist(blocking = false)
+    edgeRdd.unpersist(blocking = false)
+    ranks
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Graph-analytics extension: PageRank over the ε-similarity graph.
+    // No DuckDB oracle (float fixpoint) — rows-only gate + ScalaTest
+    // invariants.
+    "q54_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val verts = Tables.embeddings(s, d).select($"vec_id")
+      pageRank(s, verts, epsPairs(s, d), iters = 10)
+        .select($"vec_id", round($"rank", 4).as("rank"))
+        .orderBy($"vec_id")
+    }),
     // §2.8-C1: ε-graph connected components = DBSCAN(min_samples=2)
     // clusters; representative = component = min member id.
     "q50_entity_resolution" -> ((s, d) => {
