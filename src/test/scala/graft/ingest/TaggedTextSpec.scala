@@ -47,6 +47,17 @@ class TaggedTextSpec extends AnyFunSuite {
     assert(out === Seq("辽宁大连", "邮编 12345 尾", "1234567 长数字"))
   }
 
+  test("ingest output round-trips through the typed Dataset[DocRecord]") {
+    val ds = graft.model.DocRecord.typed(
+      TaggedText.ingest(spark, TaggedQueries.FixtureGlob))
+    val recs = ds.collect()
+    assert(recs.length === 5)
+    val weird = recs.find(_.year_raw.contains("2022a")).get
+    assert(weird.year.isEmpty && weird.extra("Custom Tag") === "custom-value")
+    val full = recs.find(_.title.startsWith("面向领域")).get
+    assert(full.year.contains(2022) && full.author.get === Seq("王芳", "李明"))
+  }
+
   test("ingest fixture: first-wins dedup, int-or-raw year, extra map") {
     val df = TaggedText.ingest(spark, TaggedQueries.FixtureGlob).cache()
     assert(df.count() === 5)
