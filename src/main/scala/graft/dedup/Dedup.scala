@@ -160,21 +160,23 @@ object Dedup {
     })
   )
 
-  /** Oracle CTE mirror of [[lshCandidates]] (shared by q33 and q34). */
-  private val lshCandSql = """sh AS (
+  /** Oracle CTE mirror of [[lshCandidates]] (shared by q33 and q34);
+    * interpolates the SAME constants the Scala side uses.
+    */
+  private val lshCandSql = s"""sh AS (
   SELECT doc_id,
     CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1),
       j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2]) ELSE [] END AS s
   FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) t0),
 mhs AS (
-  SELECT doc_id, list_transform(range(8),
+  SELECT doc_id, list_transform(range($NSeeds),
     i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS m
   FROM sh),
 sig AS (
   SELECT doc_id, b, md5(m[2*b+1] || '|' || m[2*b+2]) AS h
-  FROM (SELECT doc_id, unnest(range(4)) AS b, m FROM mhs) t
+  FROM (SELECT doc_id, unnest(range($NBands)) AS b, m FROM mhs) t
   WHERE md5(m[2*b+1] || '|' || m[2*b+2]) IS NOT NULL),
-ok AS (SELECT b, h FROM sig GROUP BY b, h HAVING count(*) <= 50),
+ok AS (SELECT b, h FROM sig GROUP BY b, h HAVING count(*) <= $MaxBucket),
 capped AS (SELECT s.doc_id, s.b, s.h FROM sig s JOIN ok USING (b, h)),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2

@@ -67,30 +67,27 @@ object TopicEnrichment {
 
   private def P = BibGraph.sqlPrelude
 
+  /** Shared oracle mirror of [[classified]] (stub formula + validating
+    * join + paren strip) — one definition for both q81 and q82.
+    */
+  private val clsSql = """cls AS (
+  SELECT title, ref_type, label,
+    CASE WHEN doc_id % 37 = 0 THEN 99 ELSE doc_id % 22 + 1 END AS topic_id
+  FROM docs),
+j AS (
+  SELECT c.title, c.ref_type, c.label, c.topic_id,
+    CASE WHEN t.id IS NULL THEN 'error' ELSE 'ok' END AS status,
+    trim(regexp_replace(t.topic_name, '\s*\(.*?\)', '', 'g')) AS topic
+  FROM cls c LEFT JOIN topics t ON t.id = CAST(c.topic_id AS INTEGER))"""
+
   def oracles: Map[String, String] = Map(
     "q81_topic_classify" ->
       s"""WITH $P,
-         cls AS (
-           SELECT title, ref_type, label,
-             CASE WHEN doc_id % 37 = 0 THEN 99 ELSE doc_id % 22 + 1 END AS topic_id
-           FROM docs),
-         j AS (
-           SELECT c.title, c.ref_type, c.label, c.topic_id,
-             CASE WHEN t.id IS NULL THEN 'error' ELSE 'ok' END AS status,
-             trim(regexp_replace(t.topic_name, '\\s*\\(.*?\\)', '', 'g')) AS topic
-           FROM cls c LEFT JOIN topics t ON t.id = CAST(c.topic_id AS INTEGER))
+         $clsSql
          SELECT title, topic_id, status, topic FROM j ORDER BY title""",
     "q82_topic_rels" ->
       s"""WITH $P,
-         cls AS (
-           SELECT title, ref_type, label,
-             CASE WHEN doc_id % 37 = 0 THEN 99 ELSE doc_id % 22 + 1 END AS topic_id
-           FROM docs),
-         j AS (
-           SELECT c.title, c.ref_type, c.label,
-             CASE WHEN t.id IS NULL THEN 'error' ELSE 'ok' END AS status,
-             trim(regexp_replace(t.topic_name, '\\s*\\(.*?\\)', '', 'g')) AS topic
-           FROM cls c LEFT JOIN topics t ON t.id = CAST(c.topic_id AS INTEGER))
+         $clsSql
          SELECT title AS paperTitle, label AS paperLabel, topic AS topicName
          FROM j
          WHERE status = 'ok' AND title IS NOT NULL

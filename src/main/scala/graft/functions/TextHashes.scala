@@ -59,6 +59,11 @@ object TextHashes {
   case class MinHashSignature(child: Expression, numSeeds: Int)
     extends UnaryExpression with CodegenFallback {
 
+    // the seed prefix is a single ASCII digit — the md5(i || '|' || x)
+    // contract only holds for i in 0..9
+    require(numSeeds >= 1 && numSeeds <= 10,
+      s"numSeeds must be in [1, 10], got $numSeeds")
+
     override def dataType: DataType = ArrayType(StringType, containsNull = true)
     override def prettyName: String = "minhash_signature"
 

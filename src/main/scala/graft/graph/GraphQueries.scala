@@ -176,6 +176,12 @@ object GraphQueries {
   def fallbackSearch(s: SparkSession, d: String, terms: Seq[String],
                      maxResults: Int): DataFrame = {
     import s.implicits._
+    // no terms extracted → no fallback possible (the reference returns
+    // its no-results sentinel, `neo4j_query_executor.py:403-405`)
+    if (terms.isEmpty) {
+      return s.emptyDataFrame
+        .select(lit("").as("title"), lit("").as("topics_csv")).limit(0)
+    }
     val dd = docs(s, d)
     val withTopics = dd
       .join(hasTopic(s, d).select($"title", $"topic"), Seq("title"), "left")

@@ -11,12 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * These ignore `sfDir`: the input is the fixture directory itself, and
   * the DuckDB oracle re-derives the full parse→format→dedup pipeline from
-  * the same files via `read_text`, so S1-S3/P1-P3/P7/A1 are hash-gated
-  * like every other operator.
-  *
-  * Fixture contract (keeps the Spark-null ↔ SQL-empty mapping exact): no
-  * `{Field}:` lines with empty or all-semicolon values — absent fields are
-  * NULL on both sides.
+  * the same files via `read_text` — line-anchored extraction with
+  * last-occurrence-wins matching `parseEntries`' dict semantics, absent
+  * fields NULL on both sides — so S1-S3/P1-P3/P7/A1 are hash-gated like
+  * every other operator.
   */
 object TaggedQueries {
 
@@ -54,12 +52,16 @@ object TaggedQueries {
     })
   )
 
-  /** The same pipeline in DuckDB: read_text → blank-line block split →
-    * per-field regex extract → the P1-P3 cleaning chains → P7 sanitize →
-    * A1 first-wins window. `size(NULL)` is NULL on both sides.
+  /** The same pipeline in DuckDB: read_text → blank-line block split
+    * (the same `\\n\\s*\\n` regex the parser uses) → per-field extraction
+    * anchored to line starts, LAST occurrence winning (dict-overwrite
+    * parity with `parseEntries`) → the P1-P3 cleaning chains → P7
+    * sanitize → A1 first-wins window. An absent field is NULL on both
+    * sides (`list_extract` of an empty match list is NULL); `size(NULL)`
+    * is NULL on both sides.
     */
   private val pipelineSql = s"""f AS (
-  SELECT filename, string_split_regex(content, '\\n[ \\t]*\\n') AS blocks
+  SELECT filename, string_split_regex(content, '\\n\\s*\\n') AS blocks
   FROM read_text('$FixtureGlob')),
 bx AS (
   SELECT filename, unnest(range(len(blocks))) AS block_idx, blocks FROM f),
@@ -68,35 +70,32 @@ blk AS (
   FROM bx),
 rec0 AS (
   SELECT filename, block_idx, block FROM blk
-  WHERE regexp_matches(block, '\\{[^}]+\\}:')),
+  WHERE regexp_matches(block, '(?m)^\\{[^}]+\\}:')),
 raw AS (
   SELECT filename, block_idx,
-    regexp_extract(block, '\\{Title\\}:[ \\t]*([^\\n]*)', 1) AS title_r,
-    regexp_extract(block, '\\{Reference Type\\}:[ \\t]*([^\\n]*)', 1) AS rt_r,
-    regexp_extract(block, '\\{Year\\}:[ \\t]*([^\\n]*)', 1) AS year_r,
-    regexp_extract(block, '\\{Author\\}:[ \\t]*([^\\n]*)', 1) AS author_r,
-    regexp_extract(block, '\\{Keywords\\}:[ \\t]*([^\\n]*)', 1) AS kw_r,
-    regexp_extract(block, '\\{Publisher\\}:[ \\t]*([^\\n]*)', 1) AS pub_r,
-    regexp_extract(block, '\\{Author Address\\}:[ \\t]*([^\\n]*)', 1) AS addr_r
+    list_extract(regexp_extract_all(block, '(?m)^\\{Title\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS title_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Reference Type\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS rt_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Year\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS year_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Author\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS author_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Keywords\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS kw_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Publisher\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS pub_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Author Address\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS addr_r
   FROM rec0),
 clean AS (
   SELECT filename, block_idx,
-    NULLIF(trim(regexp_replace(regexp_replace(title_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS title,
-    NULLIF(trim(regexp_replace(regexp_replace(rt_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS ref_type,
-    NULLIF(trim(regexp_replace(regexp_replace(year_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS year_raw,
-    NULLIF(trim(regexp_replace(regexp_replace(pub_r, ';\\s*$$', ''), '\\s+', ' ', 'g')), '') AS publisher,
-    CASE WHEN author_r = '' THEN NULL ELSE
-      list_filter(list_transform(string_split(author_r, ';'),
-        x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') END AS author,
-    CASE WHEN kw_r = '' THEN NULL ELSE
-      list_filter(list_transform(string_split(kw_r, ';'),
-        x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') END AS keywords,
-    CASE WHEN addr_r = '' THEN NULL ELSE
-      list_filter(list_transform(
-        flatten(list_transform(string_split(addr_r, ';'),
-          p -> string_split_regex(p, '[.,/·]'))),
-        x -> trim(regexp_replace(regexp_replace(x, '\\b\\d{6}\\b', ' ', 'g'), '\\s+', ' ', 'g'))),
-        x -> x <> '') END AS author_address
+    trim(regexp_replace(regexp_replace(title_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS title,
+    trim(regexp_replace(regexp_replace(rt_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS ref_type,
+    trim(regexp_replace(regexp_replace(year_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS year_raw,
+    trim(regexp_replace(regexp_replace(pub_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS publisher,
+    list_filter(list_transform(string_split(author_r, ';'),
+      x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS author,
+    list_filter(list_transform(string_split(kw_r, ';'),
+      x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS keywords,
+    list_filter(list_transform(
+      flatten(list_transform(string_split(addr_r, ';'),
+        p -> string_split_regex(p, '[.,/·]'))),
+      x -> trim(regexp_replace(regexp_replace(x, '\\b\\d{6}\\b', ' ', 'g'), '\\s+', ' ', 'g'))),
+      x -> x <> '') AS author_address
   FROM raw),
 lab AS (
   SELECT *,

@@ -85,7 +85,7 @@ object Multimodal {
     */
   def sampleFrames(assets: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
     assets
-      .filter(col("meta.kind") === "video")
+      .filter(col("meta.kind") === "video" && col("meta.n_bytes") > 0)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0L), least(
@@ -154,7 +154,7 @@ object Multimodal {
          FROM (SELECT doc_id, text,
                  unnest(range(least((length(text) - 1) // 64 + 1, 4))) AS frame_idx
                FROM documents
-               WHERE doc_id % 3 = 2) t
+               WHERE doc_id % 3 = 2 AND length(text) > 0) t
          ORDER BY doc_id, frame_idx"""
   )
 }

@@ -76,8 +76,13 @@ object Router {
   def withFallback(s: SparkSession, sfDir: String, family: Int,
                    params: Map[String, String],
                    searchTerms: Seq[String]): DataFrame = {
-    val primary = route(s, sfDir, family, params)
+    // persist before probing: isEmpty runs a job, and without caching the
+    // consumer would re-execute the whole multi-hop plan a second time.
+    val primary = route(s, sfDir, family, params).persist()
     if (!primary.isEmpty) primary
-    else GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
+    else {
+      primary.unpersist(blocking = false)
+      GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
+    }
   }
 }

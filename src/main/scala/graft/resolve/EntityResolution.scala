@@ -90,10 +90,12 @@ object EntityResolution {
       .map(r => Edge(r.getLong(0), r.getLong(1), ()))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val graph = Graph(vertRdd, edgeRdd)
-    val out = graph.connectedComponents().vertices
-      .toDF("vec_id", "component")
+    val ccGraph = graph.connectedComponents()
+    val out = ccGraph.vertices.toDF("vec_id", "component")
     out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize once, then release the inputs
+    out.count() // materialize once, then release every upstream cache
+    ccGraph.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
     vertRdd.unpersist(blocking = false)
     edgeRdd.unpersist(blocking = false)
     out
@@ -157,10 +159,13 @@ object EntityResolution {
       .flatMap(r => Seq(Edge(r.getLong(0), r.getLong(1), ()),
         Edge(r.getLong(1), r.getLong(0), ())))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ranks = Graph(vertRdd, edgeRdd).staticPageRank(iters).vertices
-      .toDF("vec_id", "rank")
+    val graph = Graph(vertRdd, edgeRdd)
+    val rankGraph = graph.staticPageRank(iters)
+    val ranks = rankGraph.vertices.toDF("vec_id", "rank")
     ranks.persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
+    rankGraph.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
     vertRdd.unpersist(blocking = false)
     edgeRdd.unpersist(blocking = false)
     ranks
