@@ -58,6 +58,28 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark evicts dedup state and drops late duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Events.dedupFirstStream(in.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Evt(1, t(0), 1, "click"))
+      q.processAllAvailable()
+      // advance event time 3h -> watermark passes t(0)+1h, state evicted
+      in.addData(Evt(2, t(180), 2, "click"))
+      q.processAllAvailable()
+      // late duplicate behind the watermark: dropped as late input, not
+      // re-emitted as a fresh first-arrival
+      in.addData(Evt(3, t(1), 1, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("late_out").select($"event_id").as[Long]
+        .collect().toSet
+      assert(ids === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming JSON source ingests files incrementally (S4)") {
     val dir = java.nio.file.Files.createTempDirectory("jsonsrc").toString
     java.nio.file.Files.writeString(
