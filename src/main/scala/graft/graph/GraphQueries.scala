@@ -169,6 +169,38 @@ object GraphQueries {
       .orderBy($"topic", $"title")
   }
 
+  /** Variable-hop co-authorship reachability (the parameterized form of
+    * family 13/16's fixed hops — SURVEY §2.3 J10 "GraphX/Pregel BFS when
+    * hop count is a parameter"). String vertices get deterministic long
+    * ids via a dense rank over the sorted author set (at cluster scale:
+    * zipWithUniqueId + a broadcast dictionary), then Pregel BFS, then ids
+    * map back to names.
+    */
+  def coauthorReach(s: SparkSession, d: String, seed: String,
+                    maxHops: Int): DataFrame = {
+    import s.implicits._
+    val au = authored(s, d)
+    val ids = au.select($"author").distinct()
+      .withColumn("vec_id",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"author")).cast("long"))
+    val a = au.as("a")
+    val b = au.as("b")
+    val coEdges = a
+      .join(b, $"a.title" === $"b.title" && $"a.author" < $"b.author")
+      .select($"a.author".as("au"), $"b.author".as("bu")).distinct()
+      .join(ids.select($"author".as("au"), $"vec_id".as("u")), "au")
+      .join(ids.select($"author".as("bu"), $"vec_id".as("v")), "bu")
+      .select($"u", $"v")
+    val seedId = ids.filter($"author" === seed).select($"vec_id")
+      .as[Long].collect().headOption.getOrElse(-1L)
+    graft.resolve.EntityResolution
+      .bfsReach(s, ids.select($"vec_id"), coEdges, seedId, maxHops)
+      .join(ids, "vec_id")
+      .select($"author", $"hops")
+      .orderBy($"author")
+  }
+
   /** L2 fallback full-text search (F1 conjunctive abstract match OR F2
     * disjunctive topic/address match) + A8 collect + LIMIT
     * (`neo4j_query_executor.py:389-520`).
@@ -258,6 +290,9 @@ object GraphQueries {
 
     "q78_fallback_search" -> ((s, d) =>
       fallbackSearch(s, d, Seq("merge", "window"), 100)),
+
+    // Parameterized-hop traversal on the co-authorship graph (Pregel).
+    "q84_coauthor_reach" -> ((s, d) => coauthorReach(s, d, "Author_29", 2)),
 
     // A5 as ONE distributed aggregation: the FirstSeenDedup Aggregator
     // replaces q75's two-shuffle window formulation when the ordered
@@ -398,6 +433,20 @@ object GraphQueries {
            UNION ALL SELECT 'Topic', topic FROM has_topic)
          SELECT label, count(*) AS n FROM (SELECT DISTINCT label, id FROM nodes) u
          GROUP BY label ORDER BY label""",
+    "q84_coauthor_reach" ->
+      s"""WITH RECURSIVE $P,
+         ce0 AS (
+           SELECT DISTINCT a.author AS u, b.author AS v
+           FROM authored a JOIN authored b
+             ON a.title = b.title AND a.author < b.author),
+         ce AS (SELECT u, v FROM ce0 UNION SELECT v, u FROM ce0),
+         bfs(node, hops) AS (
+           SELECT 'Author_29', 0
+           UNION
+           SELECT ce.v, bfs.hops + 1 FROM bfs JOIN ce ON bfs.node = ce.u
+           WHERE bfs.hops < 2)
+         SELECT node AS author, CAST(min(hops) AS BIGINT) AS hops
+         FROM bfs GROUP BY node ORDER BY author""",
     "q79_alias_apply_agg" ->
       s"""WITH $P,
          exploded AS (
