@@ -36,7 +36,13 @@ object Router {
       case 11 => GraphQueries.authoredCheck(s, sfDir, p("author"),
         Seq(p("title"), p("title2")))
       case 12 => GraphQueries.docHasKeyword(s, sfDir, p("title"), p("keyword"))
-      case 13 => GraphQueries.coauthors(s, sfDir, p("author"))
+      case 13 =>
+        // optional "hops" parameter upgrades the fixed 2-hop co-author
+        // template to Pregel BFS reachability at any depth
+        params.get("hops") match {
+          case Some(h) => GraphQueries.coauthorReach(s, sfDir, p("author"), h.toInt)
+          case None => GraphQueries.coauthors(s, sfDir, p("author"))
+        }
       case 14 => GraphQueries.keywordCooccur(s, sfDir, p("keyword"), 10)
       case 15 => GraphQueries.orgTopics(s, sfDir, p("org"))
       case 16 => GraphQueries.collabTopics(s, sfDir, p("author"))

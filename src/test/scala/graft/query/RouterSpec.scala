@@ -19,6 +19,13 @@ class RouterSpec extends AnyFunSuite {
     assert(routed === direct && routed.nonEmpty)
   }
 
+  test("family 13 with hops param dispatches to Pregel reachability") {
+    val out = Router.route(spark, TinySf, 13,
+      Map("author" -> "Author_29", "hops" -> "2"))
+    assert(out.columns.toSeq === Seq("author", "hops"))
+    assert(out.count() > 6) // beyond the direct co-author set
+  }
+
   test("family 17 returns the 17-row capability catalog") {
     assert(Router.route(spark, TinySf, 17, Map.empty).count() === 17)
   }
