@@ -6,7 +6,8 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** A5 ordered dedup as a typed `Aggregator` (SURVEY.md §2.10/§7.4): the
-  * reference's `list(dict.fromkeys(xs))` — deduplicate keeping the FIRST
+  * reference's `list(dict.fromkeys(xs))` (`keyword_merger.py:263`,
+  * `Deprecated/extractor.py:108`) — deduplicate keeping the FIRST
   * occurrence, in one distributed pass.
   *
   * Input is (value, position); the buffer keeps the minimum position per

@@ -1,0 +1,27 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed storage for the graph frames — the write-time layout that
+  * makes the multi-hop self-joins co-located at 100 TB (PERF.md: "bucket
+  * the edge frames by the document key and the 2/3-hop self-joins
+  * co-locate"). Two tables bucketed+sorted on the same key with the same
+  * bucket count join with NO shuffle exchange (verified by
+  * `BucketedStoreSpec`); at cluster scale this removes the dominant
+  * shuffle of every co-author / co-occurrence / collaborator query.
+  *
+  * Uses the session catalog (`saveAsTable` — bucketing metadata lives in
+  * the metastore; a plain `.parquet(path)` write cannot record it).
+  */
+object BucketedStore {
+
+  /** Write `df` bucketed+sorted by `key` into the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def table(s: SparkSession, name: String): DataFrame = s.table(name)
+}
