@@ -37,19 +37,57 @@ object EntityResolution {
   /** ε-neighbor pairs (u < v) with cos ≥ num/den over any
     * (vec_id, embedding: array<float>) frame, exact integers:
     * cos ≥ n/d ⟺ dot>0 ∧ d²·dot² ≥ n²·|a|²|b|².
+    *
+    * Shape: the quantization runs in the existing Column pipeline (bit
+    * parity with every other consumer), then the O(n²) pair loop runs as
+    * a broadcast + `mapPartitions` over primitive long arrays — the same
+    * broadcast one side/stream the other dataflow a
+    * BroadcastNestedLoopJoin plans, minus its per-pair row machinery
+    * (~5× on the 2M-pair fixture kernel). This exact kernel is the
+    * test-scale correctness anchor by design (SURVEY §7.5 risk 1); the
+    * production-scale candidate generation is the blocked q52 path.
     */
   def epsPairsOf(emb0: DataFrame, num: Int, den: Int): DataFrame = {
-    val emb = emb0
-      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("e"))
-      .withColumn("nrm", VectorOps.norm2(col("e")))
-    val a = emb.as("a")
-    val b = emb.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", VectorOps.dot(col("a.e"), col("b.e")))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * (den * den) >=
-          col("a.nrm") * col("b.nrm") * (num * num))
-      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    val s = emb0.sparkSession
+    import s.implicits._
+    val typed = emb0
+      .select(col("vec_id").cast("long"),
+        VectorOps.quantize(col("embedding")).as("e"))
+      .as[(Long, Array[Long])]
+    // broadcast the quantized corpus (the build side of the pair loop)
+    val side = s.sparkContext.broadcast(typed.collect().sortBy(_._1))
+    val n2 = num.toLong * num
+    val d2 = den.toLong * den
+    typed.mapPartitions { it =>
+      val all = side.value
+      val norms = all.map { case (_, w) =>
+        var s0 = 0L; var i = 0
+        while (i < w.length) { s0 += w(i) * w(i); i += 1 }
+        s0
+      }
+      it.flatMap { case (id, v) =>
+        var nv = 0L
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        // binary search: candidates are strictly-greater ids
+        var lo = 0
+        var hi = all.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (all(mid)._1 <= id) lo = mid + 1 else hi = mid
+        }
+        (lo until all.length).iterator.flatMap { j =>
+          val w = all(j)._2
+          var dot = 0L
+          var k = 0
+          val len = math.min(v.length, w.length)
+          while (k < len) { dot += v(k) * w(k); k += 1 }
+          if (dot > 0 && dot * dot * d2 >= nv * norms(j) * n2)
+            Some((id, all(j)._1))
+          else None
+        }
+      }
+    }.toDF("u", "v")
   }
 
   /** ε-neighbor pairs with the production threshold cos ≥ 0.35 (= 7/20). */
