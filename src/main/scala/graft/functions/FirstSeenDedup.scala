@@ -16,33 +16,50 @@ import org.apache.spark.sql.functions.udaf
   * This replaces the window-function formulation (two shuffles: first-seen
   * rank + re-collect) with one aggregation when the list itself is the
   * desired output.
+  *
+  * The buffer is a MUTABLE `java.util.HashMap` behind a Kryo encoder:
+  * `ScalaAggregator` is a `TypedImperativeAggregate`, so the buffer lives
+  * as a JVM object across `reduce` calls and is (de)serialized only at
+  * partial-aggregate shuffle boundaries. The previous immutable
+  * `Map[String, Long]` buffer went through `ExpressionEncoder`, whose
+  * Catalyst map conversion rebuilt the whole buffer per serialization and
+  * allocated a new persistent map per row — 5× slower end-to-end (q79 vs
+  * the q75 window form).
   */
 object FirstSeenDedup
-  extends Aggregator[(String, Long), Map[String, Long], Seq[String]] {
+  extends Aggregator[(String, Long), java.util.HashMap[String, Long], Seq[String]] {
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
 
-  override def reduce(b: Map[String, Long], a: (String, Long)): Map[String, Long] = {
-    val (v, pos) = a
-    b.get(v) match {
-      case Some(p) if p <= pos => b
-      case _ => b + (v -> pos)
-    }
+  override def reduce(b: java.util.HashMap[String, Long],
+                      a: (String, Long)): java.util.HashMap[String, Long] = {
+    // getOrDefault, not get: a missing key returns null, which would NPE
+    // on unboxing to the primitive Long
+    if (a._2 < b.getOrDefault(a._1, Long.MaxValue)) b.put(a._1, a._2)
+    b
   }
 
-  override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
-    b2.foldLeft(b1) { case (acc, (v, pos)) =>
-      acc.get(v) match {
-        case Some(p) if p <= pos => acc
-        case _ => acc + (v -> pos)
-      }
+  override def merge(b1: java.util.HashMap[String, Long],
+                     b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    // fold the smaller map into the larger
+    val (big, small) = if (b1.size() >= b2.size()) (b1, b2) else (b2, b1)
+    val it = small.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue < big.getOrDefault(e.getKey, Long.MaxValue))
+        big.put(e.getKey, e.getValue)
     }
+    big
+  }
 
-  override def finish(b: Map[String, Long]): Seq[String] =
-    b.toSeq.sortBy { case (v, pos) => (pos, v) }.map(_._1)
+  override def finish(b: java.util.HashMap[String, Long]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    b.asScala.toSeq.sortBy { case (v, pos) => (pos, v) }.map(_._1)
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[java.util.HashMap[String, Long]] =
+    Encoders.kryo[java.util.HashMap[String, Long]]
 
   override def outputEncoder: Encoder[Seq[String]] =
     ExpressionEncoder[Seq[String]]()

@@ -100,14 +100,16 @@ object BibGraph {
 
   /** J2 config-driven edge frame: union of per-spec (src, dst, rel_type)
     * with direction applied and per-type dedup (A6,
-    * `csv_extractor.py:153-241`). Filtering on `rel_type` constant-folds
-    * the non-matching union branches away, so single-relation queries read
-    * only their own branch.
+    * `csv_extractor.py:153-241`). Rows with a missing/empty entity value
+    * produce no edge (the reference skips absent record keys). Filtering
+    * on `rel_type` constant-folds the non-matching union branches away,
+    * so single-relation queries read only their own branch.
     */
-  def edges(docsDF: DataFrame): DataFrame =
-    EdgeConfig.map { spec =>
+  def edgesFor(docsDF: DataFrame, config: Seq[EdgeSpec]): DataFrame =
+    config.map { spec =>
       val entity = if (spec.isArray) explode(col(spec.colName)) else col(spec.colName)
       val withEnt = docsDF.select(col("title"), entity.as("entity"))
+        .filter(col("entity").isNotNull && col("entity") =!= "")
       val (src, dst) =
         if (spec.fromNew) (col("entity"), col("title"))
         else (col("title"), col("entity"))
@@ -115,7 +117,30 @@ object BibGraph {
         .distinct()
     }.reduce(_ unionAll _)
 
+  def edges(docsDF: DataFrame): DataFrame = edgesFor(docsDF, EdgeConfig)
+
   def edges(s: SparkSession, d: String): DataFrame = edges(docs(s, d))
+
+  /** The SAME config-driven builder over [[graft.ingest.TaggedText.ingest]]
+    * output — the end-to-end wiring of the reference pipeline: tagged
+    * export → `cleaner.py` → `NODE_LINK_CONFIG` edges
+    * (`csv_extractor.py:153-241`). PUBLISHED_BY's record key is the first
+    * non-empty of Publisher / Place Published (`Hype.py:38-44`), derived
+    * here as `publisher_key`.
+    */
+  val TaggedEdgeConfig: Seq[EdgeSpec] = Seq(
+    EdgeSpec("author", isArray = true, "Author", "AUTHORED", fromNew = true),
+    EdgeSpec("tertiary_author", isArray = true, "Author", "TERTIARY_AUTHORED", fromNew = true),
+    EdgeSpec("keywords", isArray = true, "Keyword", "HAS_KEYWORD", fromNew = false),
+    EdgeSpec("publisher_key", isArray = false, "Organization", "PUBLISHED_BY", fromNew = false),
+    EdgeSpec("author_address", isArray = true, "Author_Address", "AUTHOR_ADDRESS", fromNew = false))
+
+  def taggedEdges(ingested: DataFrame): DataFrame =
+    edgesFor(
+      ingested.withColumn("publisher_key",
+        coalesce(nullif(col("publisher"), lit("")),
+          nullif(col("place_published"), lit("")))),
+      TaggedEdgeConfig)
 
   /** (author, title) pairs for AUTHORED. */
   def authored(s: SparkSession, d: String): DataFrame =

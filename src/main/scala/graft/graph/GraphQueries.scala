@@ -171,34 +171,45 @@ object GraphQueries {
 
   /** Variable-hop co-authorship reachability (the parameterized form of
     * family 13/16's fixed hops — SURVEY §2.3 J10 "GraphX/Pregel BFS when
-    * hop count is a parameter"). String vertices get deterministic long
-    * ids via a dense rank over the sorted author set (at cluster scale:
-    * zipWithUniqueId + a broadcast dictionary), then Pregel BFS, then ids
-    * map back to names.
+    * hop count is a parameter").
+    *
+    * String vertices get long ids via `xxhash64(author)`: fully
+    * distributed (no global window — the old `dense_rank` formulation
+    * funneled every author through one task), deterministic under
+    * recomputation (`zipWithUniqueId` would reassign ids if a cached
+    * partition were lost mid-query), and the edge builder hashes both
+    * endpoints in place instead of joining an id dictionary twice. A
+    * 64-bit collision would merge two authors — probability ~n²/2⁶⁵,
+    * ~3e-7 even at 10M distinct authors.
+    *
+    * The `authored` frame is persisted across its three uses (both sides
+    * of the co-author self-join + the name-back dictionary) and across
+    * GraphX's several materializations of its input RDDs.
     */
   def coauthorReach(s: SparkSession, d: String, seed: String,
                     maxHops: Int): DataFrame = {
     import s.implicits._
-    val au = authored(s, d)
-    val ids = au.select($"author").distinct()
-      .withColumn("vec_id",
-        dense_rank().over(org.apache.spark.sql.expressions.Window
-          .orderBy($"author")).cast("long"))
+    import org.apache.spark.storage.StorageLevel
+    val au = authored(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val a = au.as("a")
     val b = au.as("b")
     val coEdges = a
       .join(b, $"a.title" === $"b.title" && $"a.author" < $"b.author")
-      .select($"a.author".as("au"), $"b.author".as("bu")).distinct()
-      .join(ids.select($"author".as("au"), $"vec_id".as("u")), "au")
-      .join(ids.select($"author".as("bu"), $"vec_id".as("v")), "bu")
-      .select($"u", $"v")
-    val seedId = ids.filter($"author" === seed).select($"vec_id")
-      .as[Long].collect().headOption.getOrElse(-1L)
-    graft.resolve.EntityResolution
+      .select(xxhash64($"a.author").as("u"), xxhash64($"b.author").as("v"))
+      .distinct()
+    val ids = au.select($"author").distinct()
+      .select($"author", xxhash64($"author").as("vec_id"))
+    // one-row local job — the hash of the seed literal, not a corpus scan
+    val seedId = s.range(1).select(xxhash64(lit(seed))).as[Long].head()
+    val out = graft.resolve.EntityResolution
       .bfsReach(s, ids.select($"vec_id"), coEdges, seedId, maxHops)
       .join(ids, "vec_id")
       .select($"author", $"hops")
       .orderBy($"author")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while au is cached, then release it
+    au.unpersist(blocking = false)
+    out
   }
 
   /** L2 fallback full-text search (F1 conjunctive abstract match OR F2

@@ -49,6 +49,34 @@ object TaggedQueries {
       TaggedText.ingest(s, FixtureGlob)
         .groupBy($"area").agg(count(lit(1)).as("n"))
         .orderBy($"area")
+    }),
+
+    // End-to-end wiring (ingest → config-driven edges → family-5 query):
+    // tagged export → TaggedText.ingest → BibGraph.taggedEdges (the
+    // `NODE_LINK_CONFIG` analog over the REAL ingest schema) → Author →
+    // Document traversal with the year property — the full reference
+    // pipeline `cleaner.py:198` → `csv_extractor.py:153-241` → `Q.txt`
+    // family 5 in one lineage.
+    "q94_tagged_author_docs" -> ((s, _) => {
+      import s.implicits._
+      val ingested = TaggedText.ingest(s, FixtureGlob)
+      graft.graph.BibGraph.taggedEdges(ingested)
+        .filter($"rel_type" === "AUTHORED" && $"src" === "王芳")
+        .select($"dst".as("title"))
+        .join(ingested.select($"title", $"year".cast("long").as("year")), "title")
+        .select($"title", $"year").orderBy($"title")
+    }),
+
+    // PUBLISHED_BY over ingest-derived edges: the record key is the first
+    // non-empty of Publisher / Place Published (`Hype.py:38-44`) — the
+    // fixture exercises both branches (大连理工大学 via Publisher, 北京 via
+    // the Place Published fallback) plus the no-edge case (both absent).
+    "q95_tagged_published_by" -> ((s, _) => {
+      import s.implicits._
+      graft.graph.BibGraph.taggedEdges(TaggedText.ingest(s, FixtureGlob))
+        .filter($"rel_type" === "PUBLISHED_BY")
+        .select($"src".as("title"), $"dst".as("org"))
+        .orderBy($"title")
     })
   )
 
@@ -79,6 +107,7 @@ raw AS (
     list_extract(regexp_extract_all(block, '(?m)^\\{Author\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS author_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Keywords\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS kw_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Publisher\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS pub_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Place Published\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS place_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Author Address\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS addr_r
   FROM rec0),
 clean AS (
@@ -87,6 +116,7 @@ clean AS (
     trim(regexp_replace(regexp_replace(rt_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS ref_type,
     trim(regexp_replace(regexp_replace(year_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS year_raw,
     trim(regexp_replace(regexp_replace(pub_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS publisher,
+    trim(regexp_replace(regexp_replace(place_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS place_published,
     list_filter(list_transform(string_split(author_r, ';'),
       x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS author,
     list_filter(list_transform(string_split(kw_r, ';'),

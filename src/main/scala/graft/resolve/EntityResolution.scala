@@ -82,7 +82,12 @@ object EntityResolution {
           var k = 0
           val len = math.min(v.length, w.length)
           while (k < len) { dot += v(k) * w(k); k += 1 }
-          if (dot > 0 && dot * dot * d2 >= nv * norms(j) * n2)
+          // 128-bit exact compare of dot²·den² vs |a|²|b|²·num² — for
+          // unit-norm 1e4-quantized vectors the 64-bit products have only
+          // ~2× headroom and larger-norm embeddings would silently wrap;
+          // multiplyHigh keeps the predicate exact at any magnitude (and
+          // agrees with the oracle's HUGEINT arithmetic).
+          if (dot > 0 && cmp128(dot * d2, dot, nv * n2, norms(j)) >= 0)
             Some((id, all(j)._1))
           else None
         }
@@ -90,9 +95,46 @@ object EntityResolution {
     }.toDF("u", "v")
   }
 
+  /** Compare the 128-bit products a·b vs c·d (all operands non-negative
+    * and each pairwise product's factors within Long range): sign of
+    * a·b − c·d. `Math.multiplyHigh` is an intrinsic — two extra multiplies
+    * per pair, no allocation.
+    */
+  private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** ε-neighbor pairs with the production threshold cos ≥ 0.35 (= 7/20). */
   def epsPairs(s: SparkSession, d: String): DataFrame =
     epsPairsOf(Tables.embeddings(s, d), 7, 20)
+
+  /** The 100 TB-scale candidate generation: ε-neighbor pairs restricted to
+    * IVF centroid cells (the q41 coarse assignment) — an equi join on the
+    * bucket id, no all-pairs loop and no driver `collect()` anywhere in
+    * the lineage. Approximate: cross-cell neighbors are missed (standard
+    * IVF recall trade; nprobe>1 narrows it). Every graph-analytics query
+    * (q52 CC, q53 BFS, q54 PageRank) consumes THIS frame; the exact
+    * broadcast kernel above is only the q50 correctness anchor.
+    *
+    * Overflow note: the `dot*dot*400` column math runs under Spark 4 ANSI
+    * mode, which THROWS on Long overflow rather than wrapping — quantized
+    * unit-norm embeddings leave ~2× headroom (|dot| ≤ 1e8, dot²·400 ≤
+    * 4e18 < 2⁶³); larger-norm corpora would fail loudly, not corrupt.
+    */
+  def blockedEpsPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+  }
 
   /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
     * one or more columns — scalars and arrays alike — as one `value`
@@ -175,9 +217,16 @@ object EntityResolution {
         out.result()
       },
       (a: Int, b: Int) => math.min(a, b))
-    bfs.vertices.filter(_._2 != Int.MaxValue)
+    val out = bfs.vertices.filter(_._2 != Int.MaxValue)
       .map { case (id, hops) => (id, hops.toLong) }
       .toDF("vec_id", "hops")
+    out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once, then release the graph's caches
+    bfs.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    vertRdd.unpersist(blocking = false)
+    edgeRdd.unpersist(blocking = false)
+    out
   }
 
   /** Static PageRank over an undirected (u, v) edge frame (north-star
@@ -210,13 +259,14 @@ object EntityResolution {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Graph-analytics extension: PageRank over the ε-similarity graph.
-    // No DuckDB oracle (float fixpoint) — rows-only gate + ScalaTest
-    // invariants.
+    // Graph-analytics extension: PageRank over the blocked ε-similarity
+    // graph (same scale-safe candidate pairs as q52/q53). No DuckDB
+    // oracle (float fixpoint) — rows-only gate + ScalaTest invariants +
+    // the pinned sf0.001 golden in PageRankSpec.
     "q54_pagerank" -> ((s, d) => {
       import s.implicits._
       val verts = Tables.embeddings(s, d).select($"vec_id")
-      pageRank(s, verts, epsPairs(s, d), iters = 10)
+      pageRank(s, verts, blockedEpsPairs(s, d), iters = 10)
         .select($"vec_id", round($"rank", 4).as("rank"))
         .orderBy($"vec_id")
     }),
@@ -229,28 +279,21 @@ object EntityResolution {
 
     // The 100 TB scale path: ε-join blocked by IVF centroid cell (equi
     // join on the bucket id — no all-pairs), then the same CC + min-rep.
-    // Approximate: cross-cell neighbors are missed (standard IVF recall
-    // trade; nprobe>1 narrows it). Exact q50 is the correctness anchor.
+    // Exact q50 is the correctness anchor.
     "q52_er_blocked" -> ((s, d) => {
       import s.implicits._
-      val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
-      val a = assigned.as("a")
-      val b = assigned.as("b")
-      val pairs = a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-        .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-        .filter($"dot" > 0 &&
-          $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-        .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
       val verts = Tables.embeddings(s, d).select($"vec_id")
-      connectedComponents(s, verts, pairs).orderBy($"vec_id")
+      connectedComponents(s, verts, blockedEpsPairs(s, d)).orderBy($"vec_id")
     }),
 
     // Variable-length traversal: vertices within 2 hops of vec_id 0 in
-    // the ε-similarity graph, with hop distance (Pregel BFS).
+    // the blocked ε-similarity graph, with hop distance (Pregel BFS).
+    // Consumes the IVF-cell candidate pairs, NOT the exact broadcast
+    // kernel — no whole-corpus collect() in any analytics lineage.
     "q53_bfs_reach" -> ((s, d) => {
       import s.implicits._
       val verts = Tables.embeddings(s, d).select($"vec_id")
-      bfsReach(s, verts, epsPairs(s, d), seed = 0L, maxHops = 2)
+      bfsReach(s, verts, blockedEpsPairs(s, d), seed = 0L, maxHops = 2)
         .orderBy($"vec_id")
     }),
 
@@ -285,7 +328,8 @@ ed AS (SELECT u, v FROM (
            CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
            a.nrm AS na, b.nrm AS nb
          FROM n a JOIN n b ON a.vec_id < b.vec_id) p
-       WHERE dot > 0 AND 400*dot*dot >= 49*na*nb),
+       WHERE dot > 0
+         AND 400*CAST(dot AS HUGEINT)*dot >= 49*CAST(na AS HUGEINT)*nb),
 ee AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
 walk(node, lab) AS (
   SELECT vec_id, vec_id FROM n
@@ -342,7 +386,7 @@ comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)""
       s"""WITH RECURSIVE $blockedCcSql
          SELECT vec_id, component FROM comp ORDER BY vec_id""",
     "q53_bfs_reach" ->
-      s"""WITH RECURSIVE $ccSql,
+      s"""WITH RECURSIVE $blockedCcSql,
          bfs(node, hops) AS (
            SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
            UNION
