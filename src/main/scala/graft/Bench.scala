@@ -22,17 +22,24 @@ object Bench {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).limit(1).count())
     } catch { case _: Throwable => () }
     // sorted: deterministic execution order makes per-query times
-    // comparable across rounds.
+    // comparable across rounds. A crashing query is recorded as NEGATIVE
+    // elapsed time and listed under "failed" — it must not be mistakable
+    // for a fast success.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) dt else -dt)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

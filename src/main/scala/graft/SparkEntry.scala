@@ -22,6 +22,7 @@ object SparkEntry {
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),
     (query.QueryText.queries, query.QueryText.oracles),
+    (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )
 

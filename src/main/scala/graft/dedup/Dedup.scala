@@ -49,6 +49,10 @@ object Dedup {
     */
   private[dedup] def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // persist the signature frame: it feeds the bucket-size aggregate AND
+    // both sides of the capped self-join — uncached, the (expensive)
+    // one-pass MinHash computation would run three times.
     val sig = Tables.documents(s, d)
       .withColumn("sig", TextHashes.minhashSignature(split($"text", " "), NSeeds))
       .select($"doc_id", posexplode(array((0 until NBands).map(b =>
@@ -56,15 +60,20 @@ object Dedup {
           element_at($"sig", 2 * b + 2)))): _*))
         .as(Seq("band", "h")))
       .filter($"h".isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ok = sig.groupBy($"band", $"h")
       .agg(count(lit(1)).as("bsz")).filter($"bsz" <= MaxBucket)
       .select($"band", $"h")
     val capped = sig.join(ok, Seq("band", "h"))
-    capped.as("a").join(capped.as("b"),
+    val out = capped.as("a").join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.h" === $"b.h" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (small) candidate set, release signatures
+    sig.unpersist(blocking = false)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

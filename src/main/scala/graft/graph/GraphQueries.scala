@@ -305,6 +305,21 @@ object GraphQueries {
     // Parameterized-hop traversal on the co-authorship graph (Pregel).
     "q84_coauthor_reach" -> ((s, d) => coauthorReach(s, d, "Author_29", 2)),
 
+    // Family 7 alias-expanded (J5 over Organizations): the seed org is
+    // expanded through the θ=0.96 resolution mapping (prompt rule 1
+    // applied to PUBLISHED_BY — `neo4j_query_executor.py:269-278`), so a
+    // query for the variant spelling 'Org_5_alt' finds Org_5's documents.
+    "q83_org_docs_alias" -> ((s, d) => {
+      import s.implicits._
+      val expansion = graft.resolve.EntityResolution.orgMapping(s, d)
+        .filter($"original" === "Org_5_alt")
+        .select($"representative".as("org"))
+        .union(Seq("Org_5_alt").toDF("org"))
+        .distinct()
+      docs(s, d).join(broadcast(expansion), "org")
+        .select($"title", $"year").orderBy($"title")
+    }),
+
     // A5 as ONE distributed aggregation: the FirstSeenDedup Aggregator
     // replaces q75's two-shuffle window formulation when the ordered
     // deduped list itself is the output (`keyword_merger.py:263`).
@@ -444,6 +459,16 @@ object GraphQueries {
            UNION ALL SELECT 'Topic', topic FROM has_topic)
          SELECT label, count(*) AS n FROM (SELECT DISTINCT label, id FROM nodes) u
          GROUP BY label ORDER BY label""",
+    "q83_org_docs_alias" ->
+      s"""WITH RECURSIVE $P,
+         ${graft.resolve.EntityResolution.termCcSql("Org_", 576, 625)},
+         oexp AS (
+           SELECT representative AS org FROM omap
+           WHERE original = 'Org_5_alt'
+           UNION SELECT 'Org_5_alt')
+         SELECT d.title AS title, d.year AS year
+         FROM docs d JOIN oexp e ON d.org = e.org
+         ORDER BY title""",
     "q84_coauthor_reach" ->
       s"""WITH RECURSIVE $P,
          ce0 AS (

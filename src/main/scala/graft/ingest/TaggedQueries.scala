@@ -88,7 +88,7 @@ object TaggedQueries {
     * sides (`list_extract` of an empty match list is NULL); `size(NULL)`
     * is NULL on both sides.
     */
-  private val pipelineSql = s"""f AS (
+  private[graft] val pipelineSql = s"""f AS (
   SELECT filename, string_split_regex(content, '\\n\\s*\\n') AS blocks
   FROM read_text('$FixtureGlob')),
 bx AS (
@@ -108,6 +108,8 @@ raw AS (
     list_extract(regexp_extract_all(block, '(?m)^\\{Keywords\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS kw_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Publisher\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS pub_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Place Published\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS place_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Journal\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS journal_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{DOI\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS doi_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Author Address\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS addr_r
   FROM rec0),
 clean AS (
@@ -117,6 +119,8 @@ clean AS (
     trim(regexp_replace(regexp_replace(year_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS year_raw,
     trim(regexp_replace(regexp_replace(pub_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS publisher,
     trim(regexp_replace(regexp_replace(place_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS place_published,
+    trim(regexp_replace(regexp_replace(journal_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS journal,
+    trim(regexp_replace(regexp_replace(doi_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS doi,
     list_filter(list_transform(string_split(author_r, ';'),
       x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS author,
     list_filter(list_transform(string_split(kw_r, ';'),

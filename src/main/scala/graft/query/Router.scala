@@ -82,13 +82,15 @@ object Router {
   def withFallback(s: SparkSession, sfDir: String, family: Int,
                    params: Map[String, String],
                    searchTerms: Seq[String]): DataFrame = {
-    // persist before probing: isEmpty runs a job, and without caching the
-    // consumer would re-execute the whole multi-hop plan a second time.
-    val primary = route(s, sfDir, family, params).persist()
-    if (!primary.isEmpty) primary
-    else {
-      primary.unpersist(blocking = false)
-      GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
-    }
+    // cache only around the isEmpty probe and ALWAYS release it — the
+    // previous version leaked the cached plan on the non-empty path.
+    // Trade: a non-empty primary is re-executed once by the consumer
+    // (uncached); acceptable for a driver-side control-flow probe, and no
+    // storage memory is held beyond this call.
+    val primary = route(s, sfDir, family, params)
+    primary.persist()
+    val empty = try primary.isEmpty finally primary.unpersist(blocking = false)
+    if (!empty) primary
+    else GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
   }
 }

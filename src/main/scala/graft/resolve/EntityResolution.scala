@@ -136,6 +136,63 @@ object EntityResolution {
       .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
   }
 
+  // --------------------------------------------------------------------
+  // Organization / Author_Address resolution (the reference applies the
+  // SAME keyword_merging machinery to Publisher+Place Published at θ=0.96
+  // and Author Address at θ=0.95 — `Hype.py:81-82`,
+  // `keyword_merger.py:286-287`).
+  // --------------------------------------------------------------------
+
+  /** Term universe for org/address resolution over the fixture: every
+    * 10th embedding carries TWO term spellings — `P<k>` and `P<k>_alt` —
+    * that encode to the SAME vector. This is the deterministic encoder
+    * stub (SURVEY §7.5 risk 5): a real sentence encoder maps trivial
+    * formatting variants of one organization/address to (near-)identical
+    * embeddings; the `_alt` spelling models exactly that. The universe is
+    * deliberately a small slice of the corpus — entity universes are far
+    * smaller than the document corpus (the reference resolves 597
+    * organizations against 88k keywords), so the exact kernel is the
+    * right tool even at scale.
+    *
+    * Output: (term, vec_id, embedding) with term-level ids 2k / 2k+1.
+    */
+  def variantTerms(s: SparkSession, d: String, prefix: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .filter($"vec_id" % 10 === 0)
+      .select(expr("CAST(vec_id DIV 10 AS BIGINT)").as("k"), $"embedding")
+      .select(explode(array(
+        struct(concat(lit(prefix), $"k").as("term"),
+          ($"k" * 2).as("vec_id")),
+        struct(concat(lit(prefix), $"k", lit("_alt")).as("term"),
+          ($"k" * 2 + 1).as("vec_id")))).as("t"), $"embedding")
+      .select($"t.term".as("term"), $"t.vec_id".as("vec_id"), $"embedding")
+  }
+
+  /** §2.8 applied to a named term universe: exact ε-join at cos ≥ num/den
+    * → CC → representative = LEXICOGRAPHIC MIN TERM per cluster (the
+    * reference's Python `min(group)`, `keyword_merger.py:222` — not the
+    * min id), noise → identity. Returns (original, representative).
+    */
+  def aliasMapping(terms: DataFrame, num: Int, den: Int): DataFrame = {
+    val s = terms.sparkSession
+    val comp = connectedComponents(s, terms.select("vec_id"),
+      epsPairsOf(terms, num, den))
+    val named = comp.join(terms.select(col("vec_id"), col("term")), "vec_id")
+    val reps = named.groupBy(col("component"))
+      .agg(min(col("term")).as("representative"))
+    named.join(broadcast(reps), "component")
+      .select(col("term").as("original"), col("representative"))
+  }
+
+  /** Organization mapping at the reference threshold θ=0.96 (= 24/25). */
+  def orgMapping(s: SparkSession, d: String): DataFrame =
+    aliasMapping(variantTerms(s, d, "Org_"), 24, 25)
+
+  /** Author-address mapping at θ=0.95 (= 19/20). */
+  def addressMapping(s: SparkSession, d: String): DataFrame =
+    aliasMapping(variantTerms(s, d, "Addr_"), 19, 20)
+
   /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
     * one or more columns — scalars and arrays alike — as one `value`
     * column; the term universe the resolution clusters over.
@@ -297,6 +354,29 @@ object EntityResolution {
         .orderBy($"vec_id")
     }),
 
+    // Organization resolution at the reference threshold θ=0.96
+    // (`Hype.py:81-82`): exact ε-join over the org term universe → CC →
+    // lexicographic-min-term representative. The `_alt` spelling variants
+    // (identical embeddings) merge; nothing else on this fixture reaches
+    // 0.96 — the real-data shape (the reference's own org mapping has 6
+    // non-identity entries out of 597).
+    "q88_org_mapping" -> ((s, d) => {
+      import s.implicits._
+      orgMapping(s, d).orderBy($"original")
+    }),
+
+    // Author_Address resolution at θ=0.95 (`keyword_merger.py:286-287`),
+    // projected to its non-identity ALIAS_OF edges
+    // (`csv_extractor.py:269-273` — one edge per merged spelling).
+    "q89_addr_alias_edges" -> ((s, d) => {
+      import s.implicits._
+      addressMapping(s, d)
+        .filter($"original" =!= $"representative")
+        .select($"original".as("src"), $"representative".as("dst"),
+          lit("ALIAS_OF").as("rel_type"))
+        .orderBy($"src")
+    }),
+
     // §2.8-C2 + J11/A9: cluster regroup, size gate (≥3), deterministic
     // corrector stub (promote 2nd-smallest member to representative).
     "q51_er_refined_mapping" -> ((s, d) => {
@@ -378,7 +458,52 @@ walk(node, lab) AS (
 ),
 comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)"""
 
+  /** Oracle mirror of [[variantTerms]] + [[aliasMapping]]: the o-prefixed
+    * CTE chain ends in `omap(original, representative)`. All names are
+    * collision-free with [[graft.graph.BibGraph.sqlPrelude]] so the two
+    * preludes compose in one WITH (the alias-expanded org query).
+    */
+  def termCcSql(prefix: String, numSq: Int, denSq: Int): String = s"""oq0 AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+  FROM embeddings WHERE vec_id % 10 = 0),
+on0 AS (SELECT vec_id, e,
+          CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+        FROM oq0),
+oterms AS (
+  SELECT '$prefix' || CAST(vec_id // 10 AS BIGINT) AS term,
+         (vec_id // 10) * 2 AS tid, e, nrm FROM on0
+  UNION ALL
+  SELECT '$prefix' || CAST(vec_id // 10 AS BIGINT) || '_alt',
+         (vec_id // 10) * 2 + 1, e, nrm FROM on0),
+oed AS (SELECT u, v FROM (
+          SELECT a.tid AS u, b.tid AS v,
+            CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
+            a.nrm AS na, b.nrm AS nb
+          FROM oterms a JOIN oterms b ON a.tid < b.tid) p
+        WHERE dot > 0
+          AND $denSq*CAST(dot AS HUGEINT)*dot >= $numSq*CAST(na AS HUGEINT)*nb),
+oee AS (SELECT u, v FROM oed UNION SELECT v, u FROM oed),
+owalk(node, lab) AS (
+  SELECT tid, tid FROM oterms
+  UNION
+  SELECT oee.v, owalk.lab FROM owalk JOIN oee ON owalk.node = oee.u),
+ocomp AS (SELECT node AS tid, min(lab) AS component FROM owalk GROUP BY node),
+oreps AS (SELECT c.component, min(t.term) AS representative
+          FROM ocomp c JOIN oterms t ON c.tid = t.tid GROUP BY c.component),
+omap AS (SELECT t.term AS original, r.representative
+         FROM oterms t JOIN ocomp c ON t.tid = c.tid
+         JOIN oreps r ON c.component = r.component)"""
+
   def oracles: Map[String, String] = Map(
+    "q88_org_mapping" ->
+      s"""WITH RECURSIVE ${termCcSql("Org_", 576, 625)}
+         SELECT original, representative FROM omap ORDER BY original""",
+    "q89_addr_alias_edges" ->
+      s"""WITH RECURSIVE ${termCcSql("Addr_", 361, 400)}
+         SELECT original AS src, representative AS dst,
+                'ALIAS_OF' AS rel_type
+         FROM omap WHERE original <> representative ORDER BY src""",
     "q50_entity_resolution" ->
       s"""WITH RECURSIVE $ccSql
          SELECT vec_id, component FROM comp ORDER BY vec_id""",

@@ -33,7 +33,17 @@ object Similarity {
     * deterministic fixture quantizer) are broadcast; the assignment is one
     * O(n·k) map, no shuffle.
     */
-  def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    ivfAssignedN(s, d, 1).drop("probe_rank")
+
+  /** Generalized assignment keeping the `nprobe` NEAREST centroid cells
+    * per vector (`probe_rank` = 1..nprobe). The corpus is stored under
+    * its rank-1 cell; at query time probing rank-2+ cells recovers
+    * neighbors that fell just across a cell boundary — the standard IVF
+    * recall knob. Candidate sets from different probed cells are disjoint
+    * (each corpus vector lives in exactly one cell), so no dedup join.
+    */
+  def ivfAssignedN(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("e"))
@@ -45,8 +55,8 @@ object Similarity {
       .withColumn("adot", dot($"e", $"ce"))
       .withColumn("akey", cos2Key($"adot", $"nrm", $"cnrm"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"e", $"nrm", $"cid")
+      .filter($"rn" <= nprobe)
+      .select($"vec_id", $"e", $"nrm", $"cid", $"rn".as("probe_rank"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,6 +96,27 @@ object Similarity {
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
       q.join(assigned.as("c"), Seq("cid"))
+        .filter($"qid" =!= $"c.vec_id")
+        .withColumn("dot", dot($"qe", $"c.e"))
+        .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
+        .select($"qid", $"c.vec_id".as("nid"), $"key")
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // IVF search with nprobe=2: queries probe their TWO nearest centroid
+    // cells (the recall extension named on q42) — same shuffle shape, 2×
+    // the probed candidates, recall strictly ≥ nprobe=1.
+    "q43_ivf_topk_nprobe2" -> ((s, d) => {
+      import s.implicits._
+      val corpus = ivfAssigned(s, d)
+      val q = ivfAssignedN(s, d, 2).filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
+      val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(corpus.as("c"), Seq("cid"))
         .filter($"qid" =!= $"c.vec_id")
         .withColumn("dot", dot($"qe", $"c.e"))
         .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
@@ -168,6 +199,45 @@ object Similarity {
                  q.nrm AS qn, c.nrm AS cn
                FROM full0 q JOIN full0 c
                  ON q.cid = c.cid AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    "q43_ivf_topk_nprobe2" ->
+      s"""WITH q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                  FROM n WHERE vec_id % 50 = 0),
+         ap AS (SELECT n.vec_id, cent.cid,
+                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+                 n.nrm, cent.cnrm
+               FROM n CROSS JOIN cent),
+         ranked AS (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                 * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+           FROM ap),
+         corpus AS (SELECT r.vec_id, r.cid, n.e, n.nrm
+                    FROM ranked r JOIN n ON r.vec_id = n.vec_id
+                    WHERE r.rn = 1),
+         probes AS (SELECT r.vec_id, r.cid, n.e, n.nrm
+                    FROM ranked r JOIN n ON r.vec_id = n.vec_id
+                    WHERE r.rn <= 2 AND r.vec_id < 10),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e, (x,i) -> x * c.e[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM probes q JOIN corpus c
+                 ON q.cid = c.cid AND q.vec_id <> c.vec_id),
          k AS (SELECT qid, nid,
                  CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
                    * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key

@@ -39,13 +39,22 @@ object Neo4jCsv {
     write(out, path, singleFile)
   }
 
-  /** Document node CSV with the reference's property columns. */
+  /** Document node CSV with the reference's FULL 12-column property set
+    * (`csv_extractor.py:45-59`): `:ID,:LABEL,title,year,abstract,journal,
+    * volume,issue,pages,doi,url,isbn_issn`. A property column absent from
+    * the input frame is written empty — the reference's missing-key
+    * behavior (`csv_extractor.py:127-140` dynamic header, blank fill).
+    */
   def writeDocumentNodes(docs: DataFrame, path: String,
                          singleFile: Boolean = true): Unit = {
+    val have = docs.columns.toSet
+    def c(name: String) =
+      (if (have(name)) col(name) else lit(null).cast("string")).as(name)
     val out = docs.select(
       col("title").as(":ID"), col("label").as(":LABEL"),
-      col("title").as("title"), col("year"), col("abstract"),
-      col("journal")).dropDuplicates(":ID")
+      col("title").as("title"), c("year"), c("abstract"), c("journal"),
+      c("volume"), c("issue"), c("pages"), c("doi"), c("url"),
+      c("isbn_issn")).dropDuplicates(":ID")
     write(out, path, singleFile)
   }
 

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{TaggedQueries, TaggedText}
+
+/** Oracle-gated write→read-back round trips for the Neo4j CSV / JSON
+  * sinks (SURVEY.md §2.1 S5-S7): each query WRITES the sink format to a
+  * scratch dir, READS it back, and returns the content — the DuckDB
+  * oracle derives the same rows from the original inputs, so a pass proves the
+  * full serialization contract (headers, QUOTE_MINIMAL escaping with
+  * doubled quotes, CJK passthrough, empty-for-null) survives the disk
+  * round trip, not merely that the writer ran.
+  *
+  * Scratch dirs are per-invocation temp dirs — the queries stay
+  * deterministic and rerunnable (overwrite semantics), and the read-back
+  * frame is small (node/edge frames of the tagged fixture or the kmap
+  * dimension).
+  */
+object SinkQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5 document-node CSV round trip over the REAL ingest (CJK titles
+    // with quotes/commas, absent properties → empty → NULL on read-back).
+    "q96_node_csv_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = tmp("q96_nodes")
+      Neo4jCsv.writeDocumentNodes(
+        TaggedText.ingest(s, TaggedQueries.FixtureGlob), dir)
+      s.read.option("header", "true").option("escape", "\"").csv(dir)
+        .toDF("id", "label", "title", "year", "abstract", "journal",
+          "volume", "issue", "pages", "doi", "url", "isbn_issn")
+        .select($"id", $"label", $"year", $"journal", $"doi")
+        .orderBy($"id")
+    }),
+
+    // S6 relationship CSV round trip: ingest-derived AUTHORED edges.
+    "q97_rel_csv_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = tmp("q97_rels")
+      Neo4jCsv.writeRels(
+        graft.graph.BibGraph.taggedEdges(
+          TaggedText.ingest(s, TaggedQueries.FixtureGlob)),
+        "AUTHORED", "Author", "Document", dir)
+      s.read.option("header", "true").option("escape", "\"").csv(dir)
+        .toDF("author", "title", "rel_type")
+        .orderBy($"author", $"title")
+    }),
+
+    // S7 JSON mapping sink round trip (`keyword_merger.py:235-247`):
+    // write the keyword alias mapping, read it back through the declared
+    // schema.
+    "q98_mapping_json_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmp("q98_map") + "/mapping"
+      JsonSinks.writeMapping(graft.graph.BibGraph.keywordMapping(s, d), dir)
+      JsonSinks.readMapping(s, dir).orderBy($"original")
+    })
+  )
+
+  private def P = TaggedQueries.pipelineSql
+
+  def oracles: Map[String, String] = Map(
+    "q96_node_csv_roundtrip" ->
+      s"""WITH $P
+         SELECT title AS id, label,
+           CAST(TRY_CAST(year_raw AS INTEGER) AS VARCHAR) AS year,
+           journal, doi
+         FROM dedup WHERE rn = 1 ORDER BY id""",
+    "q97_rel_csv_roundtrip" ->
+      s"""WITH $P
+         SELECT DISTINCT author, title, 'AUTHORED' AS rel_type
+         FROM (SELECT unnest(author) AS author, title
+               FROM dedup WHERE rn = 1) t
+         ORDER BY author, title""",
+    "q98_mapping_json_roundtrip" ->
+      s"""WITH ${graft.graph.BibGraph.sqlPrelude}
+         SELECT original, representative FROM kmap ORDER BY original"""
+  )
+}

@@ -125,7 +125,8 @@ object Events {
     "q56_sessionization" ->
       """WITH x AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_us
            FROM events),
          b AS (
            SELECT user_id, event_id, ts_us,
@@ -157,7 +158,7 @@ object Events {
          FROM (
            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
              row_number() OVER (PARTITION BY user_id, event_type
-               ORDER BY ts, event_id) AS rn
+               ORDER BY epoch_us(ts), event_id) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type"""
   )

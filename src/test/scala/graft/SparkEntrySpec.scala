@@ -24,7 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
       graph.GraphQueries.queries, resolve.EntityResolution.queries,
       streaming.Events.queries, enrich.TopicEnrichment.queries,
       ingest.TaggedQueries.queries, query.QueryText.queries,
-      multimodal.Multimodal.queries)
+      sinks.SinkQueries.queries, multimodal.Multimodal.queries)
     val names = perModule.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

@@ -49,4 +49,33 @@ class EntityResolutionSpec extends AnyFunSuite {
       assert(members.map(_._1).min === label)
     }
   }
+
+  test("org/address thresholds separate: cos≈0.9553 merges at θ=0.95, not at θ=0.96") {
+    // cos((1,0),(0.9,0.3)) = 0.9/√0.9 ≈ 0.94868 < both; cos((1,0),(1,0.3))
+    // = 1/√1.09 ≈ 0.95783 — between 24/25 = 0.96 and 19/20 = 0.95. The
+    // same universe resolves differently under the two reference
+    // thresholds (`Hype.py:81-82` orgs 0.96, addresses 0.95).
+    val terms = Seq(
+      ("T0", 0L, Array(1.0f, 0.0f)),
+      ("T1", 1L, Array(1.0f, 0.3f)),
+      ("T2", 2L, Array(0.0f, 1.0f))).toDF("term", "vec_id", "embedding")
+    val at95 = EntityResolution.aliasMapping(terms, 19, 20)
+      .as[(String, String)].collect().toMap
+    val at96 = EntityResolution.aliasMapping(terms, 24, 25)
+      .as[(String, String)].collect().toMap
+    assert(at95 === Map("T0" -> "T0", "T1" -> "T0", "T2" -> "T2"))
+    assert(at96 === Map("T0" -> "T0", "T1" -> "T1", "T2" -> "T2"))
+  }
+
+  test("aliasMapping representative is the lexicographic MIN TERM, not the min id") {
+    // identical vectors merge at any threshold; the cluster's rep must be
+    // the string-min term ('A...' even though its vec_id is larger) —
+    // `keyword_merger.py:222` Python min() semantics.
+    val terms = Seq(
+      ("Zeta", 0L, Array(1.0f, 0.0f)),
+      ("Alpha", 1L, Array(1.0f, 0.0f))).toDF("term", "vec_id", "embedding")
+    val m = EntityResolution.aliasMapping(terms, 24, 25)
+      .as[(String, String)].collect().toMap
+    assert(m === Map("Zeta" -> "Alpha", "Alpha" -> "Alpha"))
+  }
 }

@@ -46,12 +46,38 @@ class SinksSpec extends AnyFunSuite {
       "D1,区块链,HAS_KEYWORD", "D2,机器学习,HAS_KEYWORD"))
   }
 
-  test("document node CSV header matches the reference column set") {
+  test("document node CSV: full 12-column reference header; absent props empty") {
     val dir = Files.createTempDirectory("docs").toString
+    // input carries only a subset of the property columns — the sink must
+    // still write the full reference header with blanks (missing-key fill)
     val docs = Seq(("T1", "Patent", 2020L, "abs", "J1"))
       .toDF("title", "label", "year", "abstract", "journal")
     Neo4jCsv.writeDocumentNodes(docs, dir)
-    assert(readCsvLines(dir).head === ":ID,:LABEL,title,year,abstract,journal")
+    val lines = readCsvLines(dir)
+    assert(lines.head ===
+      ":ID,:LABEL,title,year,abstract,journal,volume,issue,pages,doi,url,isbn_issn")
+    assert(lines.tail === Seq("T1,Patent,T1,2020,abs,J1,,,,,,"))
+  }
+
+  test("document node CSV golden over the real ingest (CJK, quotes, commas)") {
+    val dir = Files.createTempDirectory("docsgold").toString
+    val ingested = graft.ingest.TaggedText
+      .ingest(spark, graft.ingest.TaggedQueries.FixtureGlob)
+    Neo4jCsv.writeDocumentNodes(ingested, dir)
+    val lines = readCsvLines(dir)
+    assert(lines.head ===
+      ":ID,:LABEL,title,year,abstract,journal,volume,issue,pages,doi,url,isbn_issn")
+    val body = lines.tail.toSet
+    // full property row, CJK unquoted (QUOTE_MINIMAL)
+    assert(body.contains(
+      "面向领域知识图谱构建的关键技术研究,Journal_Article,面向领域知识图谱构建的关键技术研究," +
+        "2022,本文研究了知识图谱构建的关键技术。,计算机学报,45,3,1-12,10.0000/test.0001,,"))
+    // embedded quotes doubled + comma-containing title quoted; non-numeric
+    // year ('2022a') falls back to empty in the typed column
+    assert(body.contains(
+      "\"含有\"\"引号\"\"与,逗号的标题\",Journal_Article," +
+        "\"含有\"\"引号\"\"与,逗号的标题\",,,,,,,,,"))
+    assert(body.size === 5) // one row per deduped document
   }
 
   test("JSON mapping sink round-trips exactly") {
