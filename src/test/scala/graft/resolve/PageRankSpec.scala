@@ -25,4 +25,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(ranks(1L) > ranks(9L))
     assert(ranks(1L) === ranks(2L) && ranks(2L) === ranks(3L))
   }
+
+  test("q54 pinned golden on the sf0.001 fixture (closes the no_oracle gap)") {
+    // The registered q54 (blocked ε-graph, 10 iterations, round(rank, 4))
+    // against hand-pinned values from the fixture — the golden gate the
+    // float fixpoint denies the DuckDB oracle. Tolerance 1e-4 absorbs
+    // summation-order ulp jitter without weakening the 4-decimal pin.
+    val df = EntityResolution.queries("q54_pagerank")(spark, "/root/testdata/sf0.001")
+    val ranks = df.as[(Long, Double)].collect().toMap
+    assert(ranks.size === 500)
+    val expected = Map(
+      50L -> 5.9520, 265L -> 4.9096, 212L -> 4.0977, 248L -> 4.0977,
+      45L -> 3.8672, 0L -> 0.4237, 499L -> 0.4237)
+    expected.foreach { case (id, want) =>
+      assert(math.abs(ranks(id) - want) <= 1e-4, s"vec_id $id: ${ranks(id)} != $want")
+    }
+    // probability-mass invariant: normalized ranks sum to ~N
+    val total = ranks.values.sum
+    assert(math.abs(total - 500.0) < 0.1)
+    // the global top-1 is the densest cell's hub
+    assert(ranks.maxBy { case (id, r) => (r, -id) }._1 === 50L)
+  }
 }
