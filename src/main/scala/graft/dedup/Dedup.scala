@@ -150,6 +150,49 @@ object Dedup {
         .orderBy($"doc_id")
     }),
 
+    // SimHash near-dup pairs (Manku-style banded hamming join): band the
+    // 16-bit simhash into two 8-bit halves; docs agreeing exactly on
+    // either half are candidates (pigeonhole guarantees recall for
+    // hamming <= 1; 2-3 is best-effort — at production width you'd use a
+    // 64-bit simhash with 4x16-bit bands for a guaranteed <= 3), then
+    // verify exact hamming <= 3 on candidates only. The bucket join is an
+    // equi shuffle join on (band, bits) with the same deterministic
+    // per-bucket cap as LSH, so no degenerate band value can go quadratic.
+    "q37_simhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val banded = Tables.documents(s, d)
+        .select($"doc_id",
+          TextHashes.simhash16(split($"text", " ")).as("sh"))
+        .select($"doc_id", $"sh",
+          posexplode(array(substring($"sh", 1, 8), substring($"sh", 9, 8)))
+            .as(Seq("band", "bits")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ok = banded.groupBy($"band", $"bits")
+        .agg(count(lit(1)).as("bsz")).filter($"bsz" <= MaxBucket)
+        .select($"band", $"bits")
+      val capped = banded.join(ok, Seq("band", "bits"))
+      val cand = capped.as("a").join(capped.as("b"),
+          $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.sh".as("sa"), $"b.sh".as("sb"))
+        .distinct()
+      // 16 codegen'd per-position compares, summed — candidates only, no
+      // interpreted HOF sweep over the corpus.
+      val ham = (1 to 16).map(i =>
+        when(substring($"sa", i, 1) === substring($"sb", i, 1), 0)
+          .otherwise(1)).reduce(_ + _)
+      val out = cand.withColumn("hamming", ham.cast("int"))
+        .filter($"hamming" <= 3)
+        .select($"d1", $"d2", $"hamming")
+        .orderBy($"d1", $"d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize, then release the banded signatures
+      banded.unpersist(blocking = false)
+      out
+    }),
+
     // Embedding-cosine near-dup (cos >= 0.25 ⟺ 16·dot² >= |a|²|b|², exact
     // integers), blocked by IVF centroid bucket: pairs are generated ONLY
     // within a coarse-quantizer cell (same assignment as q41), making the
@@ -192,6 +235,18 @@ cand AS (
   FROM capped a JOIN capped b2
     ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id)"""
 
+  /** Oracle CTE for the 16-bit simhash (shared by q35 and q37) — same
+    * hex-digit majority vote as [[TextHashes.simhash16]].
+    */
+  private val simhashSql = """sh0 AS (
+  SELECT doc_id,
+    list_aggregate(list_transform(range(1, 17), p ->
+      CASE WHEN list_sum(list_transform(th, x ->
+             CASE WHEN substring(x, p, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+      THEN '1' ELSE '0' END), 'string_agg', '') AS sh
+  FROM (SELECT doc_id, list_transform(string_split(text,' '), t -> md5(t)) AS th
+        FROM documents) t0)"""
+
   def oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
@@ -232,15 +287,32 @@ cand AS (
          FROM p WHERE inter * 1000 >= uni * 700
          ORDER BY d1, d2""",
     "q35_simhash" ->
-      """SELECT doc_id,
-           list_aggregate(list_transform(range(1, 17), p ->
-             CASE WHEN list_sum(list_transform(th, x ->
-                    CASE WHEN substring(x, p, 1) >= '8' THEN 1 ELSE -1 END)) > 0
-             THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
-         FROM (SELECT doc_id,
-                 list_transform(string_split(text,' '), t -> md5(t)) AS th
-               FROM documents) t
-         ORDER BY doc_id""",
+      s"""WITH $simhashSql
+         SELECT doc_id, sh AS simhash FROM sh0 ORDER BY doc_id""",
+    "q37_simhash_neardup" ->
+      s"""WITH $simhashSql,
+         banded AS (
+           SELECT doc_id, sh, b,
+             CASE WHEN b = 0 THEN substring(sh, 1, 8)
+                  ELSE substring(sh, 9, 8) END AS bits
+           FROM (SELECT doc_id, sh, unnest([0, 1]) AS b FROM sh0) t),
+         ok AS (SELECT b, bits FROM banded
+                GROUP BY b, bits HAVING count(*) <= $MaxBucket),
+         capped AS (SELECT bd.doc_id, bd.sh, bd.b, bd.bits
+                    FROM banded bd JOIN ok USING (b, bits)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+                           a.sh AS sa, b2.sh AS sb
+           FROM capped a JOIN capped b2
+             ON a.b = b2.b AND a.bits = b2.bits AND a.doc_id < b2.doc_id),
+         h AS (
+           SELECT d1, d2,
+             CAST(list_sum(list_transform(range(1, 17), p ->
+               CASE WHEN substring(sa, p, 1) = substring(sb, p, 1)
+                    THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+           FROM cand)
+         SELECT d1, d2, hamming FROM h WHERE hamming <= 3
+         ORDER BY d1, d2""",
     "q36_cosine_neardup" ->
       """WITH q0 AS (
            SELECT vec_id,

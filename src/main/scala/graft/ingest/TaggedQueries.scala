@@ -161,6 +161,30 @@ dedup AS (
          SELECT regexp_extract(filename, '([^/]+)/[^/]+/[^/]+$$', 1) AS area,
                 count(*) AS n
          FROM dedup WHERE rn = 1
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // Ingest-derived AUTHORED edges (edgesFor: distinct non-empty entity,
+    // src=author dst=title) for the seed author, joined back for the year
+    // property — title is unique after the first-wins dedup, so the edge
+    // dst join is 1:1.
+    "q94_tagged_author_docs" ->
+      s"""WITH $pipelineSql
+         SELECT DISTINCT t.title,
+           CAST(TRY_CAST(t.year_raw AS INTEGER) AS BIGINT) AS year
+         FROM (SELECT title, year_raw, unnest(author) AS a
+               FROM dedup WHERE rn = 1) t
+         WHERE t.a = '王芳'
+         ORDER BY title""",
+    // PUBLISHED_BY record key = first non-empty of Publisher /
+    // Place Published (Hype.py:38-44); records with neither produce no
+    // edge (edgesFor's missing-entity skip).
+    "q95_tagged_published_by" ->
+      s"""WITH $pipelineSql
+         SELECT title,
+           coalesce(nullif(publisher, ''), nullif(place_published, '')) AS org
+         FROM dedup
+         WHERE rn = 1
+           AND coalesce(nullif(publisher, ''), nullif(place_published, ''))
+               IS NOT NULL
+         ORDER BY title"""
   )
 }

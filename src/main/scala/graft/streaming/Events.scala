@@ -10,9 +10,10 @@ import graft.Tables
   * incremental ingest maps to `readStream`).
   *
   * Two layers:
-  *  - batch analogs (q55-q57) registered in the oracle gate — tumbling
-  *    windows, gap-based sessionization, first-event dedup. These define
-  *    the semantics the streaming shapes must agree with.
+  *  - batch analogs (q44, q55-q59) registered in the oracle gate —
+  *    as-of join, tumbling windows, gap-based sessionization, rolling
+  *    sums, JSON props, first-event dedup. These define the semantics the
+  *    streaming shapes must agree with.
   *  - true Structured Streaming shapes ([[tumblingCountsStream]],
   *    [[dedupFirstStream]], [[sessionCountsStream]]) used with any
   *    streaming source (MemoryStream in tests, `readStream` in prod) —
@@ -101,6 +102,37 @@ object Events {
         .orderBy($"event_type")
     }),
 
+    // As-of join — an operator Spark lacks natively: each purchase matched
+    // to the same user's most recent click at-or-before it (LEFT semantics:
+    // purchases with no prior click keep NULLs). Spark-first shape: union
+    // both sides tagged, ONE shuffle on user_id, then a running
+    // last(..., ignoreNulls) window — no per-probe range join, no
+    // BroadcastNestedLoopJoin. At equal ts_us the click sorts before the
+    // purchase (is_probe false < true), giving inclusive at-or-before —
+    // the same tie rule as the oracle's ASOF `>=`. Scale: sort-merge per
+    // user key, linear per-user scan; hot-user skew is bounded by that
+    // user's own event count (no cross product).
+    "q44_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val tagged = load(s, d)
+        .filter($"event_type".isin("purchase", "click"))
+        .select($"user_id", $"ts_us", $"event_id",
+          ($"event_type" === "purchase").as("is_probe"),
+          when($"event_type" === "click", $"event_id").as("c_id"),
+          when($"event_type" === "click", $"ts_us").as("c_ts"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us", $"is_probe", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id", last($"c_id", ignoreNulls = true).over(w))
+        .withColumn("click_ts", last($"c_ts", ignoreNulls = true).over(w))
+        .filter($"is_probe")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ts_us".as("purchase_ts_us"), $"click_id",
+          ($"ts_us" - $"click_ts").as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
     // Streaming-dedup batch analog: first event per (user_id, event_type)
     // in event-time order — what watermarked dropDuplicates keeps.
     "q57_dedup_first_event" -> ((s, d) => {
@@ -153,6 +185,21 @@ object Events {
            CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // DuckDB's native ASOF LEFT JOIN — inclusive `>=` matches the Spark
+    // side's clicks-first tie ordering; the fixture has zero duplicate
+    // (user_id, epoch_us) click keys at every sf, so the match is unique.
+    "q44_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id,
+                      epoch_us(ts) AS c_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+                c.click_id, p.ts_us - c.c_ts AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_us >= c.c_ts
+         ORDER BY purchase_id""",
     "q57_dedup_first_event" ->
       """SELECT user_id, event_type, event_id AS first_event_id, ts_us
          FROM (
