@@ -10,10 +10,10 @@ import graft.Tables
   * incremental ingest maps to `readStream`).
   *
   * Two layers:
-  *  - batch analogs (q44, q55-q59) registered in the oracle gate —
-  *    as-of join, tumbling windows, gap-based sessionization, rolling
-  *    sums, JSON props, first-event dedup. These define the semantics the
-  *    streaming shapes must agree with.
+  *  - batch analogs (q44-q45, q55-q59) registered in the oracle gate —
+  *    as-of join, bucketed range join, tumbling windows, gap-based
+  *    sessionization, rolling sums, JSON props, first-event dedup. These
+  *    define the semantics the streaming shapes must agree with.
   *  - true Structured Streaming shapes ([[tumblingCountsStream]],
   *    [[dedupFirstStream]], [[sessionCountsStream]]) used with any
   *    streaming source (MemoryStream in tests, `readStream` in prod) —
@@ -133,6 +133,35 @@ object Events {
         .orderBy($"purchase_id")
     }),
 
+    // Range join via interval bucketing — the other join Spark lacks a
+    // native operator for: all pairs of same-user events within ±5
+    // minutes. Naively this is an inequality join (BNLJ); bucketed, each
+    // probe row explodes into its 3 neighbor 5-minute buckets and the
+    // pair join becomes an equi hash join on (user_id, bucket) with the
+    // exact |Δts| predicate applied after. A qualifying pair matches in
+    // exactly one of the 3 neighbor buckets (the build row's own), so no
+    // dedup pass is needed. Scale: fan-out is a constant 3×, the shuffle
+    // key is (user, bucket) — time-skew spreads across buckets instead of
+    // concentrating in one task.
+    "q45_range_join" -> ((s, d) => {
+      import s.implicits._
+      val BucketUs = 300000000L // 5 min — bucket width = the range radius
+      val ev = load(s, d)
+        .select($"user_id", $"event_id", $"ts_us",
+          expr(s"ts_us DIV $BucketUs").as("bucket"))
+      val probe = ev.withColumn("nb",
+        explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)))
+      probe.as("a")
+        .join(ev.withColumnRenamed("bucket", "nb").as("b"),
+          $"a.user_id" === $"b.user_id" && $"a.nb" === $"b.nb" &&
+            $"a.event_id" < $"b.event_id")
+        .filter(abs($"a.ts_us" - $"b.ts_us") <= BucketUs)
+        .select($"a.event_id".as("e1"), $"b.event_id".as("e2"),
+          $"a.user_id".as("user_id"),
+          ($"b.ts_us" - $"a.ts_us").as("delta_us"))
+        .orderBy($"e1", $"e2")
+    }),
+
     // Streaming-dedup batch analog: first event per (user_id, event_type)
     // in event-time order — what watermarked dropDuplicates keeps.
     "q57_dedup_first_event" -> ((s, d) => {
@@ -185,6 +214,17 @@ object Events {
            CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The oracle is the NAIVE inequality join — DuckDB runs it as an
+    // IEJoin; the Spark side's bucketed rewrite must reproduce it exactly.
+    "q45_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events)
+         SELECT a.event_id AS e1, b.event_id AS e2, a.user_id,
+                b.ts_us - a.ts_us AS delta_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(a.ts_us - b.ts_us) <= 300000000
+         ORDER BY e1, e2""",
     // DuckDB's native ASOF LEFT JOIN — inclusive `>=` matches the Spark
     // side's clicks-first tie ordering; the fixture has zero duplicate
     // (user_id, epoch_us) click keys at every sf, so the match is unique.

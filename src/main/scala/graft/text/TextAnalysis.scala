@@ -6,7 +6,7 @@ import graft.Tables
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` fixture: token counting, language-ID heuristic, quality
-  * scoring, fingerprinting, corpus term frequency.
+  * scoring, fingerprinting, corpus term frequency, KMV distinct sketch.
   *
   * Re-expresses the reference's string/cleaning surface (SURVEY.md
   * §2.2 P1-P3 trim/split/whitespace-collapse, §2.7 F5 normalization,
@@ -85,6 +85,49 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // KMV (k-minimum-values) distinct-cardinality sketch — the
+    // deterministic, MERGEABLE sketch: per lang, keep the K=64 smallest
+    // md5 content hashes of its documents; estimate =
+    // (K-1)/fraction(kth) for the distinct-contents count (the exact
+    // dedup statistic q30 computes globally, here sketched per group).
+    // Unlike HLL (engine-specific hashing), md5 order is identical in
+    // both engines, so the sketch itself is hash-gated against the
+    // oracle. Scale: the K-min selection is two-stage — K smallest per
+    // (lang, 2-hex-digit salt bucket) first, then K smallest of those
+    // <= 256·K survivors per lang — so no single task ever sees a whole
+    // language group; the sketch state is O(K) per group and
+    // union-mergeable across partitions/datasets (the 100 TB property).
+    // The estimate constant 283726776524341248 = (K-1)·16^13 = 2^58-2^52
+    // (6 mantissa bits — exactly representable, so the one double
+    // divide is bit-identical cross-engine); kth13 = first 13 hex chars
+    // (52 bits, exact in BIGINT and in a double's mantissa).
+    "q25_kmv_distinct" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 64
+      val tok = Tables.documents(s, d)
+        .select($"lang", md5($"text").as("h")).distinct()
+      val w1 = Window.partitionBy($"lang", substring($"h", 1, 2)).orderBy($"h")
+      val w2 = Window.partitionBy($"lang").orderBy($"h")
+      val sketch = tok
+        .withColumn("rn1", row_number().over(w1)).filter($"rn1" <= K)
+        .withColumn("rn", row_number().over(w2)).filter($"rn" <= K)
+        .groupBy($"lang")
+        .agg(count(lit(1)).cast("long").as("k_actual"), max($"h").as("kth_hash"))
+        .withColumn("kth13",
+          conv(substring($"kth_hash", 1, 13), 16, 10).cast("long"))
+        .withColumn("est_distinct",
+          when($"k_actual" < K, $"k_actual")
+            .otherwise(round(lit(283726776524341248.0) / $"kth13").cast("long")))
+      val exact = tok.groupBy($"lang").agg(count(lit(1)).as("exact_distinct"))
+      sketch.join(exact, "lang")
+        .withColumn("err_permille", expr(
+          "CAST(abs(est_distinct - exact_distinct) * 1000 DIV exact_distinct AS BIGINT)"))
+        .select($"lang", $"exact_distinct", $"k_actual", $"est_distinct",
+          $"err_permille")
+        .orderBy($"lang")
+    }),
+
     // Corpus term frequency, top-20 (SURVEY A2 distinct-value extraction
     // + A7 count-per-group + top-k). Map-side combine bounds the shuffle.
     "q24_word_freq_topk" -> ((s, d) => {
@@ -138,6 +181,37 @@ object TextAnalysis {
     "q24_word_freq_topk" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
-         GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    // The oracle keeps only the SEMANTICS (global K smallest per lang) —
+    // the Spark side's salted two-stage selection must reproduce it.
+    "q25_kmv_distinct" ->
+      """WITH hx AS (
+           SELECT DISTINCT lang, md5(text) AS h FROM documents),
+         r AS (SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM hx),
+         sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_actual,
+                       max(h) AS kth_hash
+                FROM r WHERE rn <= 64 GROUP BY lang),
+         ki AS (SELECT lang, k_actual,
+                  CAST(list_sum(list_transform(range(13), i ->
+                    CAST(strpos('0123456789abcdef',
+                           substring(kth_hash, CAST(i + 1 AS INTEGER), 1))
+                         - 1 AS BIGINT)
+                    * (CAST(1 AS BIGINT)
+                       << CAST(4 * (12 - i) AS INTEGER)))) AS BIGINT) AS kth13
+                FROM sk),
+         est AS (SELECT lang, k_actual,
+                   CASE WHEN k_actual < 64 THEN k_actual
+                        ELSE CAST(round(283726776524341248.0 / kth13) AS BIGINT)
+                   END AS est_distinct
+                 FROM ki),
+         ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+                FROM hx GROUP BY lang)
+         SELECT e.lang, ex.exact_distinct, e.k_actual, e.est_distinct,
+           CAST(abs(e.est_distinct - ex.exact_distinct) * 1000
+                // ex.exact_distinct AS BIGINT) AS err_permille
+         FROM est e JOIN ex ON e.lang = ex.lang
+         ORDER BY e.lang"""
   )
 }
