@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 
 /** Streaming extension over the `events` fixture (BASELINE north star;
@@ -288,4 +289,53 @@ object Events {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** State for [[asOfStream]]: the most recent click per user — O(1). */
+  case class AsOfState(clickTs: Long, clickId: Long)
+  case class AsOfIn(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  case class AsOfOut(purchase_id: Long, user_id: Long, purchase_ts_us: Long,
+      click_id: Option[Long], gap_us: Option[Long])
+
+  /** Streaming twin of the q44 as-of join, via `flatMapGroupsWithState`
+    * custom state: per user, the state holds the most recent click; each
+    * purchase emits its match (LEFT semantics — no prior click → Nones).
+    * Within a micro-batch, events are processed in (ts_us, clicks-first,
+    * event_id) order — the same tie rule as q44; across batches the state
+    * is monotonic (a late click older than the held one never replaces
+    * it), so an in-order source reproduces q44 exactly, and out-of-order
+    * purchases degrade to best-state-seen (the inherent streaming
+    * approximation — bound it with a watermark upstream). Also runs in
+    * BATCH mode (state empty, one iterator per user), where it must equal
+    * q44 exactly — asserted in `EventsStreamSpec`.
+    *
+    * Input schema: user_id LONG, ts TIMESTAMP, event_id LONG,
+    * event_type STRING.
+    */
+  def asOfStream(events: DataFrame): Dataset[AsOfOut] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[AsOfIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          val out = Seq.newBuilder[AsOfOut]
+          var st = state.getOption
+          it.toSeq
+            .sortBy(e => (e.ts_us, e.event_type != "click", e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click") {
+                if (st.forall(p => e.ts_us >= p.clickTs))
+                  st = Some(AsOfState(e.ts_us, e.event_id))
+              } else if (e.event_type == "purchase")
+                out += AsOfOut(e.event_id, user, e.ts_us,
+                  st.map(_.clickId), st.map(p => e.ts_us - p.clickTs))
+            }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -98,6 +98,47 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join carries click state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = Events.asOfStream(in.toDF())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Evt(1, t(0), 1, "click"), Evt(2, t(5), 1, "purchase"),
+        Evt(3, t(6), 2, "purchase"))
+      q.processAllAvailable()
+      // batch 2: purchase matches the click held in state from batch 1
+      in.addData(Evt(4, t(10), 1, "purchase"),
+        Evt(5, t(11), 1, "click"), Evt(6, t(12), 1, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out")
+        .select($"purchase_id", $"click_id", $"gap_us")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows === Set(
+        (2L, Some(1L), Some(300000000L)), // 5 min after click 1
+        (3L, None, None),                 // user 2 never clicked
+        (4L, Some(1L), Some(600000000L)), // state from the PREVIOUS batch
+        (6L, Some(5L), Some(60000000L)))) // in-batch newer click wins
+    } finally q.stop()
+  }
+
+  test("batch-mode asOfStream equals the q44 oracle-gated join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    val got = Events.asOfStream(ev)
+      .collect()
+      .map(o => (o.purchase_id, o.user_id, o.purchase_ts_us, o.click_id,
+        o.gap_us)).toSet
+    val want = Events.queries("q44_asof_join")(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.exists(_._4.isEmpty) && want.exists(_._4.nonEmpty))
+  }
+
   test("session windows close after a 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Evt]
