@@ -128,6 +128,26 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Deterministic train/val/test split (80/10/10): bucket =
+    // int(first 4 hex of md5(doc_id)) % 1000 — pure per-row map, no
+    // shuffle, reproducible across engines/runs/cluster sizes, and stable
+    // under corpus growth (a doc's split never changes when others are
+    // added — the property random sampling lacks). The %1000 of a 16-bit
+    // value carries a ~0.8% bucket bias (65536 % 1000 != 0) — irrelevant
+    // for split assignment, documented for honesty.
+    "q26_split_assign" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 1000).as("bucket"))
+        .withColumn("split",
+          when($"bucket" < 800, lit("train"))
+            .when($"bucket" < 900, lit("val"))
+            .otherwise(lit("test")))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus term frequency, top-20 (SURVEY A2 distinct-value extraction
     // + A7 count-per-group + top-k). Map-side combine bounds the shuffle.
     "q24_word_freq_topk" -> ((s, d) => {
@@ -182,6 +202,22 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q26_split_assign" ->
+      """SELECT doc_id, bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(4), i ->
+               CAST(strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)),
+                                CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)
+               * (CAST(1 AS BIGINT)
+                  << CAST(4 * (3 - i) AS INTEGER)))) AS BIGINT) % 1000
+               AS bucket
+           FROM documents) t
+         ORDER BY doc_id""",
     // The oracle keeps only the SEMANTICS (global K smallest per lang) —
     // the Spark side's salted two-stage selection must reproduce it.
     "q25_kmv_distinct" ->
