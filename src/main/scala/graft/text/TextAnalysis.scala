@@ -128,6 +128,40 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Repetition quality filters (the published web-corpus cleaning
+    // signals — duplicate n-gram fraction and most-common-word dominance
+    // à la C4/Gopher, in exact permille integers): dup3_permille =
+    // fraction of 3-grams that are repeats; top_tok_permille = share of
+    // the most frequent token. The 3-gram stats are per-row array maps
+    // (no shuffle); the token mode is an explode + two-level aggregation
+    // keyed on (doc_id, token) — key-spread, map-side combined, no skew
+    // concentration.
+    "q27_repetition_stats" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("toks"))
+      val gram = base
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        .withColumn("g", when(size($"toks") >= 3, expr(
+          """transform(sequence(1, size(toks) - 2),
+             j -> concat(element_at(toks, j), ' ',
+                         element_at(toks, j + 1), ' ',
+                         element_at(toks, j + 2)))"""))
+          .otherwise(array()))
+        .withColumn("n3", greatest(size($"toks") - 2, lit(0)).cast("long"))
+        .withColumn("d3", size(array_distinct($"g")).cast("long"))
+      val top = base.select($"doc_id", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"))
+      gram.join(top, "doc_id")
+        .select($"doc_id", $"n_tokens",
+          when($"n3" > 0, expr("CAST((n3 - d3) * 1000 DIV n3 AS BIGINT)"))
+            .otherwise(lit(0L)).as("dup3_permille"),
+          expr("CAST(top_c * 1000 DIV n_tokens AS BIGINT)")
+            .as("top_tok_permille"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic train/val/test split (80/10/10): bucket =
     // int(first 4 hex of md5(doc_id)) % 1000 — pure per-row map, no
     // shuffle, reproducible across engines/runs/cluster sizes, and stable
@@ -202,6 +236,31 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q27_repetition_stats" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         gram AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n3,
+             CAST(len(list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(range(1, len(toks) - 1),
+                   j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2])
+               ELSE [] END)) AS BIGINT) AS d3
+           FROM base),
+         top AS (
+           SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+             SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+             GROUP BY doc_id, tok) g
+           GROUP BY doc_id)
+         SELECT gram.doc_id, n_tokens,
+           CASE WHEN n3 > 0
+                THEN CAST((n3 - d3) * 1000 // n3 AS BIGINT) ELSE 0 END
+             AS dup3_permille,
+           CAST(top_c * 1000 // n_tokens AS BIGINT) AS top_tok_permille
+         FROM gram JOIN top ON gram.doc_id = top.doc_id
+         ORDER BY gram.doc_id""",
     "q26_split_assign" ->
       """SELECT doc_id, bucket,
            CASE WHEN bucket < 800 THEN 'train'
