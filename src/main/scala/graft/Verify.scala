@@ -15,7 +15,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // wipe stale outputs first: queries renamed/removed since a previous
+    // dump would otherwise linger and show up as phantom entries in the
+    // driver's checker.
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      Option(outRoot.listFiles()).toSeq.flatten.foreach(rm)
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
