@@ -290,6 +290,28 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join — Spark-NATIVE streaming range join:
+    * each purchase joined to the same user's clicks within the preceding
+    * 10 minutes. Both sides carry watermarks and the join has an explicit
+    * event-time range, which is exactly what lets Structured Streaming
+    * bound BOTH state stores (clicks older than watermark + range are
+    * evicted; purchases likewise) — the streaming twin of q45's bucketed
+    * batch range join. Inner semantics: purchases with no click in range
+    * produce no row.
+    *
+    * Input schemas: user_id LONG, ts TIMESTAMP, event_id LONG.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes").alias("c")
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    p.join(c, expr(
+      """c.user_id = p.user_id AND
+         c.ts BETWEEN p.ts - INTERVAL 10 MINUTES AND p.ts"""))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("p.user_id").as("user_id"),
+        col("p.ts").as("purchase_ts"), col("c.ts").as("click_ts"))
+  }
+
   /** State for [[asOfStream]]: the most recent click per user — O(1). */
   case class AsOfState(clickTs: Long, clickId: Long)
   case class AsOfIn(user_id: Long, ts_us: Long, event_id: Long,

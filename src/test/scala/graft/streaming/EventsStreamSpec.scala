@@ -123,6 +123,25 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-range clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = Events.intervalJoinStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Evt(1, t(0), 1, "click"), Evt(2, t(8), 1, "click"),
+        Evt(3, t(0), 2, "click"))
+      purchases.addData(Evt(10, t(9), 1, "purchase"), // clicks 1 (9m) + 2 (1m)
+        Evt(11, t(30), 2, "purchase"))                // click 3 is 30m old: out
+      q.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch-mode asOfStream equals the q44 oracle-gated join") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, dir)
