@@ -46,6 +46,11 @@ object Dedup {
     * concatenated minhashes) with a deterministic per-bucket cap —
     * oversized buckets (degenerate band values) are dropped whole, so the
     * within-bucket self-join fan-out is bounded by `MaxBucket`².
+    *
+    * Cache contract: the RETURNED frame is persisted (already
+    * materialized — the signature frame it was derived from is released
+    * here); the caller owns it and may `unpersist()` after consumption.
+    * Same contract for q37's candidate frame below.
     */
   private[dedup] def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
