@@ -198,6 +198,28 @@ object Dedup {
       out
     }),
 
+    // Dedup endgame — multi-signal near-dup CLUSTERING: the union of the
+    // text pairs (q34: LSH candidates verified by exact Jaccard) and the
+    // embedding pairs (q36: IVF-blocked cosine; doc_id ≡ vec_id on the
+    // fixture) fed to GraphX connected components over ALL documents →
+    // min-doc canonical representative per cluster (singletons map to
+    // themselves). rep_id IS the dedup decision: keep rows where
+    // doc_id = rep_id. Oracle reproduces the clustering with a recursive
+    // min-label walk. Scale: pair generation is the blocked/banded work
+    // above; CC is iterative Pregel on the (sparse) near-dup graph.
+    "q39_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val text = queries("q34_jaccard_neardup")(s, d).select($"d1", $"d2")
+      val emb = queries("q36_cosine_neardup")(s, d)
+        .select($"v1".as("d1"), $"v2".as("d2"))
+      val pairs = text.unionByName(emb).distinct()
+        .select($"d1".as("u"), $"d2".as("v"))
+      val verts = Tables.documents(s, d).select($"doc_id".as("vec_id"))
+      graft.resolve.EntityResolution.connectedComponents(s, verts, pairs)
+        .select($"vec_id".as("doc_id"), $"component".as("rep_id"))
+        .orderBy($"doc_id")
+    }),
+
     // Embedding-cosine near-dup (cos >= 0.25 ⟺ 16·dot² >= |a|²|b|², exact
     // integers), blocked by IVF centroid bucket: pairs are generated ONLY
     // within a coarse-quantizer cell (same assignment as q41), making the
@@ -319,35 +341,64 @@ cand AS (
          SELECT d1, d2, hamming FROM h WHERE hamming <= 3
          ORDER BY d1, d2""",
     "q36_cosine_neardup" ->
-      """WITH q0 AS (
-           SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
-           FROM embeddings),
-         n AS (SELECT vec_id, e,
-                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
-               FROM q0),
-         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                  FROM n WHERE vec_id % 50 = 0),
-         ap AS (SELECT n.vec_id, cent.cid,
-                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
-                 n.nrm, cent.cnrm
-               FROM n CROSS JOIN cent),
-         assigned AS (
-           SELECT vec_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY
-                 CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
-                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
-             FROM ap) t WHERE rn = 1),
-         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
-                   FROM assigned a JOIN n ON a.vec_id = n.vec_id),
-         p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS na, b.nrm AS nb,
-                 CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot
-               FROM full0 a JOIN full0 b
-                 ON a.cid = b.cid AND a.vec_id < b.vec_id)
-         SELECT v1, v2, dot FROM p
-         WHERE dot > 0 AND dot * dot * 16 >= na * nb
-         ORDER BY v1, v2"""
+      s"""WITH $cosinePairsSql
+         SELECT v1, v2, dot FROM cpairs ORDER BY v1, v2""",
+    "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshCandSql,
+         tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t
+                FROM documents),
+         jp AS (SELECT d1, d2 FROM (
+                  SELECT c.d1, c.d2,
+                    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+                    CAST(len(a.t) + len(b.t)
+                         - len(list_intersect(a.t, b.t)) AS BIGINT) AS uni
+                  FROM cand c
+                  JOIN tt a ON c.d1 = a.doc_id
+                  JOIN tt b ON c.d2 = b.doc_id) v
+                WHERE inter * 1000 >= uni * 700),
+         $cosinePairsSql,
+         allp AS (SELECT d1 AS u, d2 AS v FROM jp
+                  UNION SELECT v1, v2 FROM cpairs),
+         ee AS (SELECT u, v FROM allp UNION SELECT v, u FROM allp),
+         walk(node, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT ee.v, walk.lab FROM walk JOIN ee ON walk.node = ee.u),
+         comp AS (SELECT node AS doc_id, min(lab) AS rep_id
+                  FROM walk GROUP BY node)
+         SELECT doc_id, rep_id FROM comp ORDER BY doc_id"""
   )
+
+  /** Oracle CTE chain for the IVF-blocked cosine pairs (shared by q36 and
+    * q39) — ends in `cpairs(v1, v2, dot)`.
+    */
+  private val cosinePairsSql = """q0 AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+  FROM embeddings),
+n AS (SELECT vec_id, e,
+        CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+      FROM q0),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+         FROM n WHERE vec_id % 50 = 0),
+ap AS (SELECT n.vec_id, cent.cid,
+        CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+        n.nrm, cent.cnrm
+      FROM n CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY
+        CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+          * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+    FROM ap) t WHERE rn = 1),
+full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+          FROM assigned a JOIN n ON a.vec_id = n.vec_id),
+p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS na, b.nrm AS nb,
+        CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot
+      FROM full0 a JOIN full0 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id),
+cpairs AS (SELECT v1, v2, dot FROM p
+           WHERE dot > 0 AND dot * dot * 16 >= na * nb)"""
 }
