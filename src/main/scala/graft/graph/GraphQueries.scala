@@ -257,6 +257,29 @@ object GraphQueries {
     "q73_org_topics" -> ((s, d) => orgTopics(s, d, "Org_3")),
     "q74_collab_topics" -> ((s, d) => collabTopics(s, d, "Author_29")),
 
+    // Graph analytics: triangle count on the coauthor graph (the
+    // clustering-coefficient building block, rounding out BFS/PageRank/
+    // CC). Edges are the distinct ordered coauthor pairs (a < b) from
+    // the 2-hop doc self-join; triangles via the standard ordered 3-way
+    // self-join (a < b < c — each triangle emitted exactly once, and the
+    // ordering halves every join input vs undirected enumeration). The
+    // three references to `e` are an identical plan subtree — Catalyst's
+    // ReuseExchange materializes the edge shuffle once. Scale: shuffles
+    // on title then author keys; no cross product.
+    "q46_coauthor_triangles" -> ((s, d) => {
+      import s.implicits._
+      val au = authored(s, d)
+      val e = au.as("x").join(au.as("y"),
+          $"x.title" === $"y.title" && $"x.author" < $"y.author")
+        .select($"x.author".as("a"), $"y.author".as("b")).distinct()
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      val tris = e.as("e1")
+        .join(e.as("e2"), $"e1.b" === $"e2.a")
+        .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.crossJoin(tris)
+    }),
+
     // J1 + A5: alias-mapping application with first-seen-order dedup,
     // in exploded relational form (title, ord, kw) — `keyword_merger.py:
     // 252-263`'s `list(dict.fromkeys(...))` without arrays.
@@ -397,6 +420,16 @@ object GraphQueries {
          FROM authored a JOIN authored b
            ON a.title = b.title AND b.author <> a.author
          WHERE a.author = 'Author_29' ORDER BY coauthor""",
+    "q46_coauthor_triangles" ->
+      s"""WITH $P,
+         e AS (SELECT DISTINCT a.author AS a, b.author AS b
+               FROM authored a JOIN authored b
+                 ON a.title = b.title AND a.author < b.author)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                  AS n_triangles""",
     "q72_keyword_cooccur" ->
       s"""WITH $P
          SELECT b.kw AS kw, count(*) AS n
