@@ -128,6 +128,23 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // BPE-ish pre-tokenization count (GPT-2-style pre-tokenizer shape,
+    // restricted to an engine-portable character-class regex: a token is
+    // an optional leading space + a letter run, digit run, or
+    // punctuation run). Complements q20's whitespace count — the two
+    // together are the token-budget estimators a data pipeline feeds to
+    // its training-mix planner. Pure per-row map, codegen'd regex.
+    "q28_bpeish_tokens" -> ((s, d) => {
+      import s.implicits._
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_ws"),
+          expr(s"CAST(size(regexp_extract_all(text, '$pat', 0)) AS BIGINT)")
+            .as("n_bpeish"))
+        .orderBy($"doc_id")
+    }),
+
     // Repetition quality filters (the published web-corpus cleaning
     // signals — duplicate n-gram fraction and most-common-word dominance
     // à la C4/Gopher, in exact permille integers): dup3_permille =
@@ -236,6 +253,12 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q28_bpeish_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text,
+                ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
     "q27_repetition_stats" ->
       """WITH base AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
