@@ -280,6 +280,35 @@ object GraphQueries {
       edges.crossJoin(tris)
     }),
 
+    // Community detection: connected components on the coauthor graph —
+    // each author labeled with the lexicographic-min author of their
+    // collaboration component (the same min-term representative rule the
+    // alias machinery uses). GraphX CC runs on the numeric Author_<n>
+    // suffix as the vertex id (a carrier only — the representative is
+    // recomputed as the min STRING per component, so the oracle's
+    // recursive min-label walk over author strings agrees exactly).
+    "q47_coauthor_communities" -> ((s, d) => {
+      import s.implicits._
+      val au = authored(s, d)
+      val e = au.as("x").join(au.as("y"),
+          $"x.title" === $"y.title" && $"x.author" < $"y.author")
+        .select($"x.author".as("a"), $"y.author".as("b")).distinct()
+      val verts = au.select($"author").distinct()
+        .select(expr("CAST(substring(author, 8) AS BIGINT)").as("vec_id"),
+          $"author")
+      val pairs = e.select(
+        expr("CAST(substring(a, 8) AS BIGINT)").as("u"),
+        expr("CAST(substring(b, 8) AS BIGINT)").as("v"))
+      val cc = graft.resolve.EntityResolution
+        .connectedComponents(s, verts.select("vec_id"), pairs)
+      val named = cc.join(verts, "vec_id")
+      val reps = named.groupBy($"component")
+        .agg(min($"author").as("community"))
+      named.join(broadcast(reps), "component")
+        .select($"author", $"community")
+        .orderBy($"author")
+    }),
+
     // J1 + A5: alias-mapping application with first-seen-order dedup,
     // in exploded relational form (title, ord, kw) — `keyword_merger.py:
     // 252-263`'s `list(dict.fromkeys(...))` without arrays.
@@ -420,6 +449,20 @@ object GraphQueries {
          FROM authored a JOIN authored b
            ON a.title = b.title AND b.author <> a.author
          WHERE a.author = 'Author_29' ORDER BY coauthor""",
+    "q47_coauthor_communities" ->
+      s"""WITH RECURSIVE $P,
+         e AS (SELECT DISTINCT a.author AS a, b.author AS b
+               FROM authored a JOIN authored b
+                 ON a.title = b.title AND a.author < b.author),
+         ee AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+         verts AS (SELECT DISTINCT author FROM authored),
+         walk(node, lab) AS (
+           SELECT author, author FROM verts
+           UNION
+           SELECT ee.v, walk.lab FROM walk JOIN ee ON walk.node = ee.u),
+         comp AS (SELECT node AS author, min(lab) AS community
+                  FROM walk GROUP BY node)
+         SELECT author, community FROM comp ORDER BY author""",
     "q46_coauthor_triangles" ->
       s"""WITH $P,
          e AS (SELECT DISTINCT a.author AS a, b.author AS b

@@ -30,4 +30,35 @@ class BucketedStoreSpec extends AnyFunSuite {
       .select($"a.author", $"b.author").as[(String, String)].collect().toSet
     assert(bucketed === plain && plain.nonEmpty)
   }
+
+  test("partitioned write prunes non-matching partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("partstore").toString
+    // documents partitioned by (split, lang) — the q26 layout
+    val docs = graft.Tables.documents(spark, TinySf)
+      .withColumn("split",
+        when(conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000 < 800, "train").otherwise("holdout"))
+    BucketedStore.writePartitioned(docs, dir, "split", "lang")
+    val back = spark.read.parquet(dir)
+      .filter($"split" === "train" && $"lang" === "zh")
+
+    // the filter must be resolved as PartitionFilters (directory pruning),
+    // not a row-level data filter over the full corpus
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition pruning:\n$scan")
+    val expected = docs.filter($"split" === "train" && $"lang" === "zh").count()
+    // execute THIS DataFrame's own plan so its scan metrics populate
+    // (count() would build a separate QueryExecution)
+    assert(back.collect().length.toLong === expected && expected > 0)
+    // and the executed scan actually opened fewer files than the layout
+    // holds (inputFiles ignores pruning; the scan metric does not)
+    val scanned = back.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.sum
+    val allFiles = spark.read.parquet(dir).inputFiles.length.toLong
+    assert(scanned > 0 && scanned < allFiles,
+      s"scan opened $scanned of $allFiles files — no pruning")
+  }
 }
