@@ -35,6 +35,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop any frames the query persisted (candidate caches, CC
+      // outputs) so queries are measured independently instead of under
+      // the previous queries' accumulated storage pressure
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       (name, if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

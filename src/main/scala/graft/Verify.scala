@@ -20,8 +20,12 @@ object Verify {
     // driver's checker.
     val outRoot = new java.io.File(outDir)
     if (outRoot.isDirectory) {
+      // NOFOLLOW: a symlinked entry is deleted as a link, never recursed
+      // into — recursing would wipe content OUTSIDE outDir.
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        if (java.nio.file.Files.isDirectory(f.toPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Option(f.listFiles()).toSeq.flatten.foreach(rm)
         f.delete(); ()
       }
       Option(outRoot.listFiles()).toSeq.flatten.foreach(rm)
@@ -33,6 +37,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query persisted frames between queries
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -129,21 +129,8 @@ object Dedup {
     // exact integer threshold |∩|*1000 >= 700*|∪|, evaluated only on
     // q33's candidate pairs (that is what a verify stage is; the
     // candidate join is the blocking).
-    "q34_jaccard_neardup" -> ((s, d) => {
-      import s.implicits._
-      val t = Tables.documents(s, d)
-        .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
-      lshCandidates(s, d)
-        .join(t.select($"doc_id".as("d1"), $"t".as("ta")), "d1")
-        .join(t.select($"doc_id".as("d2"), $"t".as("tb")), "d2")
-        .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
-        .withColumn("uni",
-          (size($"ta") + size($"tb")).cast("long") - $"inter")
-        .filter($"inter" * 1000 >= $"uni" * 700)
-        .select($"d1", $"d2",
-          expr("CAST(inter * 1000 DIV uni AS BIGINT)").as("jaccard_permille"))
-        .orderBy($"d1", $"d2")
-    }),
+    "q34_jaccard_neardup" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // SimHash (16-bit, hex-digit majority vote over md5'd tokens) — one
     // native pass instead of 16 interpreted aggregate() sweeps.
@@ -209,8 +196,8 @@ object Dedup {
     // above; CC is iterative Pregel on the (sparse) near-dup graph.
     "q39_dedup_clusters" -> ((s, d) => {
       import s.implicits._
-      val text = queries("q34_jaccard_neardup")(s, d).select($"d1", $"d2")
-      val emb = queries("q36_cosine_neardup")(s, d)
+      val text = jaccardPairs(s, d).select($"d1", $"d2")
+      val emb = cosinePairs(s, d)
         .select($"v1".as("d1"), $"v2".as("d2"))
       val pairs = text.unionByName(emb).distinct()
         .select($"d1".as("u"), $"d2".as("v"))
@@ -226,18 +213,43 @@ object Dedup {
     // pair join an equi hash join on the bucket id instead of an all-pairs
     // BroadcastNestedLoopJoin. Cross-bucket near-dups are the recall trade
     // (standard IVF; nprobe>1 is the extension).
-    "q36_cosine_neardup" -> ((s, d) => {
-      import s.implicits._
-      val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
-      val a = assigned.as("a")
-      val b = assigned.as("b")
-      a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-        .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-        .filter($"dot" > 0 && $"dot" * $"dot" * 16 >= $"a.nrm" * $"b.nrm")
-        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"dot")
-        .orderBy($"v1", $"v2")
-    })
+    "q36_cosine_neardup" -> ((s, d) =>
+      cosinePairs(s, d).orderBy(col("v1"), col("v2")))
   )
+
+  /** q34's Jaccard verify WITHOUT the presentation sort — shared by q34
+    * (which orders it) and q39 (which feeds it to clustering, where order
+    * is irrelevant — executing the sorted registry entry there would pay
+    * a range shuffle just to discard it).
+    */
+  private[dedup] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d)
+      .select($"doc_id", array_distinct(split($"text", " ")).as("t"))
+    lshCandidates(s, d)
+      .join(t.select($"doc_id".as("d1"), $"t".as("ta")), "d1")
+      .join(t.select($"doc_id".as("d2"), $"t".as("tb")), "d2")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("uni",
+        (size($"ta") + size($"tb")).cast("long") - $"inter")
+      .filter($"inter" * 1000 >= $"uni" * 700)
+      .select($"d1", $"d2",
+        expr("CAST(inter * 1000 DIV uni AS BIGINT)").as("jaccard_permille"))
+  }
+
+  /** q36's IVF-blocked cosine pairs WITHOUT the presentation sort —
+    * shared by q36 and q39 (same rationale as [[jaccardPairs]]).
+    */
+  private[dedup] def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assigned = graft.similarity.Similarity.ivfAssigned(s, d)
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 && $"dot" * $"dot" * 16 >= $"a.nrm" * $"b.nrm")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"dot")
+  }
 
   /** Oracle CTE mirror of [[lshCandidates]] (shared by q33 and q34);
     * interpolates the SAME constants the Scala side uses.

@@ -85,9 +85,9 @@ object EntityResolution {
           // 128-bit exact compare of dot²·den² vs |a|²|b|²·num² — for
           // unit-norm 1e4-quantized vectors the 64-bit products have only
           // ~2× headroom and larger-norm embeddings would silently wrap;
-          // multiplyHigh keeps the predicate exact at any magnitude (and
-          // agrees with the oracle's HUGEINT arithmetic).
-          if (dot > 0 && cmp128(dot * d2, dot, nv * n2, norms(j)) >= 0)
+          // the scaled compare keeps the predicate exact at any magnitude
+          // (and agrees with the oracle's HUGEINT arithmetic).
+          if (dot > 0 && cmpScaled(dot, d2, nv, n2, norms(j)) >= 0)
             Some((id, all(j)._1))
           else None
         }
@@ -95,10 +95,23 @@ object EntityResolution {
     }.toDF("u", "v")
   }
 
+  /** Sign of dot²·d2 − nv·nw·n2, exact at ANY operand magnitude. Fast
+    * path: when the pre-scaled factors (dot·d2, nv·n2) themselves fit in
+    * a Long, [[cmp128]] compares the two 128-bit products with
+    * `multiplyHigh` intrinsics (no allocation). Otherwise — embeddings
+    * whose quantized norms push dot·d2 past 63 bits — fall back to BigInt
+    * (allocates, but only for such extreme inputs; never silently wraps).
+    */
+  private def cmpScaled(dot: Long, d2: Long, nv: Long, n2: Long,
+                        nw: Long): Int =
+    if (dot <= Long.MaxValue / d2 && nv <= Long.MaxValue / n2)
+      cmp128(dot * d2, dot, nv * n2, nw)
+    else
+      (BigInt(dot) * BigInt(dot) * d2).compare(BigInt(nv) * BigInt(nw) * n2)
+
   /** Compare the 128-bit products a·b vs c·d (all operands non-negative
-    * and each pairwise product's factors within Long range): sign of
-    * a·b − c·d. `Math.multiplyHigh` is an intrinsic — two extra multiplies
-    * per pair, no allocation.
+    * and within Long range): sign of a·b − c·d. `Math.multiplyHigh` is an
+    * intrinsic — two extra multiplies per pair, no allocation.
     */
   private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
     val hi1 = Math.multiplyHigh(a, b)

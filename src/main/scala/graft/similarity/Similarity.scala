@@ -112,8 +112,12 @@ object Similarity {
     // the probed candidates, recall strictly ≥ nprobe=1.
     "q43_ivf_topk_nprobe2" -> ((s, d) => {
       import s.implicits._
-      val corpus = ivfAssigned(s, d)
-      val q = ivfAssignedN(s, d, 2).filter($"vec_id" < 10)
+      // ONE nprobe=2 assignment serves both sides: the corpus is exactly
+      // its probe_rank==1 subset, the queries keep both probed cells —
+      // assigning separately would run the O(n·k) centroid scan twice.
+      val both = ivfAssignedN(s, d, 2)
+      val corpus = both.filter($"probe_rank" === 1).drop("probe_rank")
+      val q = both.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
       q.join(corpus.as("c"), Seq("cid"))

@@ -350,7 +350,12 @@ object Events {
             .sortBy(e => (e.ts_us, e.event_type != "click", e.event_id))
             .foreach { e =>
               if (e.event_type == "click") {
-                if (st.forall(p => e.ts_us >= p.clickTs))
+                // strictly-newer, with the batch rule's event_id tiebreak
+                // on equal ts — an equal-ts click arriving in a LATER
+                // micro-batch must not displace a larger-id click, or
+                // in-order replay would diverge from q44.
+                if (st.forall(p => e.ts_us > p.clickTs ||
+                    (e.ts_us == p.clickTs && e.event_id > p.clickId)))
                   st = Some(AsOfState(e.ts_us, e.event_id))
               } else if (e.event_type == "purchase")
                 out += AsOfOut(e.event_id, user, e.ts_us,

@@ -31,6 +31,11 @@ class PageRankSpec extends AnyFunSuite {
     // against hand-pinned values from the fixture — the golden gate the
     // float fixpoint denies the DuckDB oracle. Tolerance 1e-4 absorbs
     // summation-order ulp jitter without weakening the 4-decimal pin.
+    // NOTE: the pins encode TestSpark's partitioning (local[4], 4 shuffle
+    // partitions) as well as the fixture — float message sums are
+    // partition-order sensitive (the very reason q54 has no SQL oracle).
+    // If this fails after a parallelism/Spark change with <=1e-3 drift,
+    // re-pin; a larger drift is a real regression.
     val df = EntityResolution.queries("q54_pagerank")(spark, "/root/testdata/sf0.001")
     val ranks = df.as[(Long, Double)].collect().toMap
     assert(ranks.size === 500)
