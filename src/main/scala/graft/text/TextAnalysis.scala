@@ -128,6 +128,25 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Classifier evaluation: confusion counts of the q21 language-ID
+    // heuristic against the declared lang column — the eval loop every
+    // heuristic/model stage in a data pipeline needs (q21 is the
+    // prediction op; this is its measurement op). One map-side-combined
+    // shuffle on the (declared, predicted) pair.
+    "q29_langid_confusion" -> ((s, d) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      Tables.documents(s, d)
+        .select($"lang",
+          (size(filter(toks, t => t.isin("the", "a"))).cast("long") * 1000 >=
+            size(toks).cast("long") * 60).as("en_like"))
+        .withColumn("pred_lang",
+          when($"en_like", lit("en-like")).otherwise(lit("other")))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
     // BPE-ish pre-tokenization count (GPT-2-style pre-tokenizer shape,
     // restricted to an engine-portable character-class regex: a token is
     // an optional leading space + a letter run, digit run, or
@@ -253,6 +272,17 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q29_langid_confusion" ->
+      """SELECT lang,
+           CASE WHEN en_markers * 1000 >= n_tokens * 60
+                THEN 'en-like' ELSE 'other' END AS pred_lang,
+           count(*) AS n
+         FROM (SELECT lang,
+                 CAST(len(list_filter(string_split(text,' '),
+                          t -> t IN ('the','a'))) AS BIGINT) AS en_markers,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+               FROM documents) t
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q28_bpeish_tokens" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
