@@ -142,6 +142,32 @@ class EventsStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join drops clicks behind the watermark (state bounded)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = Events.intervalJoinStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ij_late_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Evt(1, t(0), 1, "click"))
+      purchases.addData(Evt(10, t(5), 1, "purchase"))
+      q.processAllAvailable()
+      // advance event time far past the 10-min watermark + range on both
+      // streams so click 1's state is evicted
+      clicks.addData(Evt(2, t(300), 9, "click"))
+      purchases.addData(Evt(11, t(300), 9, "purchase"))
+      q.processAllAvailable()
+      // a late purchase that WOULD have matched click 1 arrives behind
+      // the watermark: dropped as late input, no resurrected join row
+      purchases.addData(Evt(12, t(6), 1, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("ij_late_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((10L, 1L), (11L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch-mode asOfStream equals the q44 oracle-gated join") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(spark, dir)
