@@ -45,8 +45,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // headline total aggregates SUCCESSFUL queries only — a crashing
+    // query's time-to-failure would otherwise make totals incomparable
+    // across rounds whose failure sets differ; crashes are surfaced via
+    // "failed" + their negative per-query entries.
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

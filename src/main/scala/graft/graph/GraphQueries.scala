@@ -283,10 +283,12 @@ object GraphQueries {
     // Community detection: connected components on the coauthor graph —
     // each author labeled with the lexicographic-min author of their
     // collaboration component (the same min-term representative rule the
-    // alias machinery uses). GraphX CC runs on the numeric Author_<n>
-    // suffix as the vertex id (a carrier only — the representative is
-    // recomputed as the min STRING per component, so the oracle's
-    // recursive min-label walk over author strings agrees exactly).
+    // alias machinery uses). GraphX vertex ids via `xxhash64(author)` — a
+    // carrier only (the representative is recomputed as the min STRING per
+    // component, so the oracle's recursive min-label walk over author
+    // strings agrees exactly), and portable: no dependence on the
+    // 'Author_<n>' fixture naming, no ANSI cast that would throw on a
+    // non-conforming author string (same scheme as coauthorReach).
     "q47_coauthor_communities" -> ((s, d) => {
       import s.implicits._
       val au = authored(s, d)
@@ -294,11 +296,8 @@ object GraphQueries {
           $"x.title" === $"y.title" && $"x.author" < $"y.author")
         .select($"x.author".as("a"), $"y.author".as("b")).distinct()
       val verts = au.select($"author").distinct()
-        .select(expr("CAST(substring(author, 8) AS BIGINT)").as("vec_id"),
-          $"author")
-      val pairs = e.select(
-        expr("CAST(substring(a, 8) AS BIGINT)").as("u"),
-        expr("CAST(substring(b, 8) AS BIGINT)").as("v"))
+        .select(xxhash64($"author").as("vec_id"), $"author")
+      val pairs = e.select(xxhash64($"a").as("u"), xxhash64($"b").as("v"))
       val cc = graft.resolve.EntityResolution
         .connectedComponents(s, verts.select("vec_id"), pairs)
       val named = cc.join(verts, "vec_id")

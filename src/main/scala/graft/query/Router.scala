@@ -82,15 +82,14 @@ object Router {
   def withFallback(s: SparkSession, sfDir: String, family: Int,
                    params: Map[String, String],
                    searchTerms: Seq[String]): DataFrame = {
-    // cache only around the isEmpty probe and ALWAYS release it — the
-    // previous version leaked the cached plan on the non-empty path.
-    // Trade: a non-empty primary is re-executed once by the consumer
-    // (uncached); acceptable for a driver-side control-flow probe, and no
-    // storage memory is held beyond this call.
-    val primary = route(s, sfDir, family, params)
-    primary.persist()
-    val empty = try primary.isEmpty finally primary.unpersist(blocking = false)
-    if (!empty) primary
+    // localCheckpoint executes the primary plan EXACTLY ONCE and returns a
+    // frame backed by the materialized blocks — the isEmpty probe and the
+    // consumer both read those blocks, so the expensive multi-hop plan is
+    // neither leaked as a lingering cache nor executed twice. (Blocks are
+    // executor-local, not fault-tolerant — fine for a driver-side
+    // control-flow probe whose result is consumed immediately.)
+    val primary = route(s, sfDir, family, params).localCheckpoint()
+    if (!primary.isEmpty) primary
     else GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
   }
 }

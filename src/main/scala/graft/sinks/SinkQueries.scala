@@ -21,9 +21,14 @@ import graft.ingest.{TaggedQueries, TaggedText}
   */
 object SinkQueries {
 
-  private def tmp(prefix: String): String = {
+  private def tmp(s: SparkSession, prefix: String): String = {
+    // namespaced by the Spark application id: stable within a run (true
+    // overwrite semantics across repeated queries), but concurrent
+    // Bench/Verify/test processes — or other users on a shared tmpdir —
+    // can no longer clobber each other's round-trip data.
     val p = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_scratch_$prefix")
+      .get(System.getProperty("java.io.tmpdir"),
+        s"graft_${s.sparkContext.applicationId}", s"scratch_$prefix")
     def rm(f: java.io.File): Unit = {
       if (Files.isDirectory(f.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -38,7 +43,7 @@ object SinkQueries {
     // with quotes/commas, absent properties → empty → NULL on read-back).
     "q96_node_csv_roundtrip" -> ((s, _) => {
       import s.implicits._
-      val dir = tmp("q96_nodes")
+      val dir = tmp(s, "q96_nodes")
       Neo4jCsv.writeDocumentNodes(
         TaggedText.ingest(s, TaggedQueries.FixtureGlob), dir)
       s.read.option("header", "true").option("escape", "\"").csv(dir)
@@ -51,7 +56,7 @@ object SinkQueries {
     // S6 relationship CSV round trip: ingest-derived AUTHORED edges.
     "q97_rel_csv_roundtrip" -> ((s, _) => {
       import s.implicits._
-      val dir = tmp("q97_rels")
+      val dir = tmp(s, "q97_rels")
       Neo4jCsv.writeRels(
         graft.graph.BibGraph.taggedEdges(
           TaggedText.ingest(s, TaggedQueries.FixtureGlob)),
@@ -66,7 +71,7 @@ object SinkQueries {
     // schema.
     "q98_mapping_json_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val dir = tmp("q98_map") + "/mapping"
+      val dir = tmp(s, "q98_map") + "/mapping"
       JsonSinks.writeMapping(graft.graph.BibGraph.keywordMapping(s, d), dir)
       JsonSinks.readMapping(s, dir).orderBy($"original")
     })

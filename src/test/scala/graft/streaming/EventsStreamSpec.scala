@@ -184,6 +184,93 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._4.isEmpty) && want.exists(_._4.nonEmpty))
   }
 
+  test("q44 fixture contract: (user_id, micros) click keys are unique") {
+    // The q44 oracle relies on this: with duplicate equal-micros clicks,
+    // the Spark window deterministically picks max event_id while DuckDB
+    // ASOF's pick among ties is unspecified — a regenerated fixture that
+    // violates the property must fail HERE, loudly, not as a flaky hash.
+    import org.apache.spark.sql.functions.expr
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dups = graft.Tables.events(spark, d)
+        .filter($"event_type" === "click")
+        .groupBy($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)"))
+        .count().filter($"count" > 1).count()
+      assert(dups === 0L,
+        s"$d has duplicate (user_id, epoch_us) click keys — q44's ASOF " +
+          "oracle tie-break is unspecified; pre-dedup clicks or regenerate")
+    }
+  }
+
+  import org.apache.spark.sql.functions.unix_micros
+
+  private def fixtureEvts(dir: String): Seq[Evt] = {
+    import org.apache.spark.sql.functions._
+    // collect Rows and construct Evt on the driver: Evt is spec-inner, so
+    // Catalyst cannot synthesize a deserializer for `.as[Evt]` here.
+    graft.Tables.events(spark, dir)
+      .select($"event_id",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("ts"),
+        $"user_id", $"event_type")
+      .collect().toSeq
+      .map(r => Evt(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+  }
+
+  test("tumbling-window stream replay equals the q55 batch analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val evts = fixtureEvts("/root/testdata/sf0.001")
+    val in = MemoryStream[Evt]
+    val q = Events.tumblingCountsStream(in.toDF())
+      .writeStream.format("memory").queryName("q55_replay")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches so the replay actually exercises incremental
+      // state, not a single-batch degenerate run
+      val (b1, b2) = evts.splitAt(evts.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("q55_replay")
+        .select(unix_micros($"window_start").as("window_start_us"),
+          $"event_type", $"n")
+        .as[(Long, String, Long)].collect().toSet
+      val want = Events.queries("q55_tumbling_windows")(
+          spark, "/root/testdata/sf0.001")
+        .select($"window_start_us", $"event_type", $"n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session-window stream replay equals the q56 batch analog") {
+    implicit val sqlCtx = spark.sqlContext
+    val evts = fixtureEvts("/root/testdata/sf0.001")
+    val in = MemoryStream[Evt]
+    val q = Events.sessionCountsStream(in.toDF())
+      .writeStream.format("memory").queryName("q56_replay")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = evts.splitAt(evts.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      // session ids differ (ordinal vs start time) — compare the session
+      // SET as (user, start_us, n_events). NB the one semantic edge:
+      // session_window breaks at gap == 30min exactly (end-exclusive)
+      // where the batch `>` keeps it; the fixture has no exact-30-min
+      // gap, so equality here also guards that property.
+      val got = spark.table("q56_replay")
+        .select($"user_id", unix_micros($"session_start").as("start_us"),
+          $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = Events.queries("q56_sessionization")(
+          spark, "/root/testdata/sf0.001")
+        .select($"user_id", $"start_us", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows close after a 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Evt]
