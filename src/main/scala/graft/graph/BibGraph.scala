@@ -157,15 +157,21 @@ object BibGraph {
     edges(s, d).filter(col("rel_type") === "HAS_KEYWORD")
       .select(col("src").as("title"), col("dst").as("kw"))
 
-  /** Alias mapping A3-shape: original → representative = lexicographic min
-    * of the keyword's md5-prefix bucket; identity for singletons (noise →
-    * self, `keyword_merger.py:230-232`).
+  /** Alias mapping A3-shape over ANY frame with an `original` column:
+    * original → representative = lexicographic min of the term's
+    * md5-prefix bucket; identity for singletons (noise → self,
+    * `keyword_merger.py:230-232`). The generalized form lets the tagged
+    * ingest path derive its own mapping from REAL extracted keywords.
     */
+  def keywordMappingOf(terms: DataFrame): DataFrame =
+    terms.select(col("original")).distinct()
+      .withColumn("representative",
+        min(col("original"))
+          .over(Window.partitionBy(substring(md5(col("original")), 1, 1))))
+
   def keywordMapping(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    docs(s, d).select(explode($"kws").as("original")).distinct()
-      .withColumn("representative",
-        min($"original").over(Window.partitionBy(substring(md5($"original"), 1, 1))))
+    keywordMappingOf(docs(s, d).select(explode($"kws").as("original")))
   }
 
   /** ALIAS_OF edges: one per non-identity mapping entry

@@ -1,0 +1,119 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.enrich.Taxonomy
+
+/** The frame pair every Q.txt template family runs over (SURVEY.md §2.3)
+  * — the engine-facing parameterization of the 17-family library, so the
+  * SAME template code serves both the synthetic fixture-derived graph and
+  * the REAL tagged-text ingest (`cleaner.py:198` → `csv_extractor.py:
+  * 153-241` → `Q.txt:1-64` end-to-end).
+  *
+  * Contract:
+  *  - `docs`: one row per unique document; at least `title` (unique),
+  *    `year` (long, nullable), `label`, `journal`, `abstract`, `addr`.
+  *    Extra columns are allowed and ignored by the templates.
+  *  - `edges`: (src, dst, rel_type) — AUTHORED / TERTIARY_AUTHORED
+  *    (author→title), HAS_KEYWORD / PUBLISHED_BY / HAS_TOPIC /
+  *    AUTHOR_ADDRESS (title→entity), per-type deduplicated (A6).
+  *  - `kwMapping`: (original, representative) alias mapping (J1) driving
+  *    the family-6/10 alias expansion (prompt rule 1).
+  *
+  * The derived views below are narrow per-type filters of the edge union
+  * — constant folding prunes the non-matching union branches, so a
+  * single-relation query reads only its own branch. At 100 TB the edge
+  * frame would be bucketed by `src` (see BucketedStore) so the multi-hop
+  * self-joins are co-located; the views preserve that partitioning.
+  */
+final case class DocGraph(docs: DataFrame, edges: DataFrame,
+                          kwMapping: DataFrame) {
+
+  /** (author, title) pairs for AUTHORED. */
+  def authored: DataFrame =
+    edges.filter(col("rel_type") === "AUTHORED")
+      .select(col("src").as("author"), col("dst").as("title"))
+
+  /** (author, title, rel) for both author relations (family 11 checks). */
+  def authoredAll: DataFrame =
+    edges.filter(col("rel_type").isin("AUTHORED", "TERTIARY_AUTHORED"))
+      .select(col("src").as("author"), col("dst").as("title"),
+        col("rel_type").as("rel"))
+
+  /** (title, kw) pairs for HAS_KEYWORD. */
+  def hasKeyword: DataFrame =
+    edges.filter(col("rel_type") === "HAS_KEYWORD")
+      .select(col("src").as("title"), col("dst").as("kw"))
+
+  /** (title, topic) pairs for HAS_TOPIC. */
+  def hasTopic: DataFrame =
+    edges.filter(col("rel_type") === "HAS_TOPIC")
+      .select(col("src").as("title"), col("dst").as("topic"))
+
+  /** (title, org) pairs for PUBLISHED_BY. */
+  def published: DataFrame =
+    edges.filter(col("rel_type") === "PUBLISHED_BY")
+      .select(col("src").as("title"), col("dst").as("org"))
+
+  /** J5 alias expansion of a seed keyword: the seed plus its ALIAS_OF
+    * target (`neo4j_query_executor.py:269-278`).
+    */
+  def aliasExpand(seed: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    kwMapping.filter(col("original") === seed)
+      .select(col("representative").as("kw"))
+      .union(Seq(seed).toDF("kw"))
+      .distinct()
+  }
+}
+
+object DocGraph {
+
+  /** Binding 1: the deterministic fixture-derived graph (every q6x/q7x/q8x
+    * oracle row rides this).
+    */
+  def synthetic(s: SparkSession, d: String): DocGraph = {
+    val topicEdges = BibGraph.hasTopic(s, d)
+      .select(col("title").as("src"), col("topic").as("dst"),
+        lit("HAS_TOPIC").as("rel_type"))
+    DocGraph(
+      docs = BibGraph.docs(s, d),
+      edges = BibGraph.edges(s, d) unionAll topicEdges,
+      kwMapping = BibGraph.keywordMapping(s, d))
+  }
+
+  /** Binding 2: the REAL ingest path — a [[graft.ingest.TaggedText.ingest]]
+    * frame (tagged export → parse → format → first-wins dedup) becomes a
+    * queryable graph: `NODE_LINK_CONFIG` edges over the ingest schema,
+    * alias mapping derived from the extracted keywords themselves, and a
+    * HAS_TOPIC stub classifier (md5-bucket topic id + broadcast taxonomy
+    * join — the deterministic stand-in for `TopicClassfication.py`'s LLM,
+    * SURVEY §7.5 risk 5).
+    */
+  def ofIngested(ingested: DataFrame): DocGraph = {
+    val s = ingested.sparkSession
+    import s.implicits._
+    val docsView = ingested.select(
+      $"title",
+      $"year".cast("long").as("year"),
+      $"label", $"journal", $"abstract",
+      array_join($"author_address", "; ").as("addr"))
+    // deterministic topic id from the title's md5 prefix — 1..22, always
+    // valid, identical arithmetic on the DuckDB oracle side
+    val topicId =
+      (conv(substring(md5($"title"), 1, 6), 16, 10).cast("long") % 22 + 1)
+        .cast("int")
+    val topicEdges = ingested
+      .join(broadcast(Taxonomy.df(s).select($"id", $"topic_name")),
+        $"id" === topicId)
+      .select($"title".as("src"),
+        trim(regexp_replace($"topic_name", "\\s*\\(.*?\\)", "")).as("dst"),
+        lit("HAS_TOPIC").as("rel_type"))
+    DocGraph(
+      docs = docsView,
+      edges = BibGraph.taggedEdges(ingested) unionAll topicEdges,
+      kwMapping = BibGraph.keywordMappingOf(
+        ingested.select(explode($"keywords").as("original"))))
+  }
+}

@@ -28,146 +28,173 @@ object GraphQueries {
   private def P = BibGraph.sqlPrelude
 
   // ------------------------------------------------------------------
-  // Parameterized template library — the engine-facing API the Router
-  // (L1) dispatches to; the q6x registry below binds fixture seeds for
-  // the oracle gate.
+  // Parameterized template library — every family takes a [[DocGraph]]
+  // (docs/edges/kwMapping frame bundle), so the SAME template serves the
+  // synthetic fixture graph AND the real tagged ingest. The (s, sfDir)
+  // overloads are thin synthetic bindings the q6x oracle registry and the
+  // Router's sfDir entry point ride.
   // ------------------------------------------------------------------
 
   /** Family 1 (J3): Document -> Author. */
-  def docAuthors(s: SparkSession, d: String, title: String): DataFrame = {
-    import s.implicits._
-    authored(s, d).filter($"title" === title)
-      .select($"author").orderBy($"author")
-  }
+  def docAuthors(g: DocGraph, title: String): DataFrame =
+    g.authored.filter(col("title") === title)
+      .select(col("author")).orderBy(col("author"))
+
+  def docAuthors(s: SparkSession, d: String, title: String): DataFrame =
+    docAuthors(DocGraph.synthetic(s, d), title)
 
   /** Family 2 (J3): Document -> Keyword. */
-  def docKeywords(s: SparkSession, d: String, title: String): DataFrame = {
-    import s.implicits._
-    hasKeyword(s, d).filter($"title" === title)
-      .select($"kw").orderBy($"kw")
-  }
+  def docKeywords(g: DocGraph, title: String): DataFrame =
+    g.hasKeyword.filter(col("title") === title)
+      .select(col("kw")).orderBy(col("kw"))
 
-  /** Family 3 (J3): Document -> Organization. */
-  def docOrg(s: SparkSession, d: String, title: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).filter($"title" === title).select($"title", $"org")
-  }
+  def docKeywords(s: SparkSession, d: String, title: String): DataFrame =
+    docKeywords(DocGraph.synthetic(s, d), title)
+
+  /** Family 3 (J3): Document -> Organization (PUBLISHED_BY edge). */
+  def docOrg(g: DocGraph, title: String): DataFrame =
+    g.published.filter(col("title") === title).select(col("title"), col("org"))
+
+  def docOrg(s: SparkSession, d: String, title: String): DataFrame =
+    docOrg(DocGraph.synthetic(s, d), title)
 
   /** Family 4 (J3): Document -> Topic. */
-  def docTopic(s: SparkSession, d: String, title: String): DataFrame = {
-    import s.implicits._
-    hasTopic(s, d).filter($"title" === title).select($"title", $"topic")
-  }
+  def docTopic(g: DocGraph, title: String): DataFrame =
+    g.hasTopic.filter(col("title") === title).select(col("title"), col("topic"))
+
+  def docTopic(s: SparkSession, d: String, title: String): DataFrame =
+    docTopic(DocGraph.synthetic(s, d), title)
 
   /** Family 5 (J4): Author -> Document (with year property). */
-  def authorDocs(s: SparkSession, d: String, author: String): DataFrame = {
-    import s.implicits._
-    authored(s, d).filter($"author" === author)
-      .join(docs(s, d).select($"title", $"year"), "title")
-      .select($"title", $"year").orderBy($"title")
-  }
+  def authorDocs(g: DocGraph, author: String): DataFrame =
+    g.authored.filter(col("author") === author)
+      .join(g.docs.select(col("title"), col("year")), "title")
+      .select(col("title"), col("year")).orderBy(col("title"))
+
+  def authorDocs(s: SparkSession, d: String, author: String): DataFrame =
+    authorDocs(DocGraph.synthetic(s, d), author)
 
   /** Family 6 (J4+J5): Keyword -> Document, alias-expanded (prompt rule 1). */
-  def keywordDocs(s: SparkSession, d: String, keyword: String): DataFrame = {
-    import s.implicits._
-    hasKeyword(s, d)
-      .join(broadcast(aliasExpand(s, d, keyword)), "kw")
-      .select($"title").distinct().orderBy($"title")
-  }
+  def keywordDocs(g: DocGraph, keyword: String): DataFrame =
+    g.hasKeyword
+      .join(broadcast(g.aliasExpand(keyword)), "kw")
+      .select(col("title")).distinct().orderBy(col("title"))
+
+  def keywordDocs(s: SparkSession, d: String, keyword: String): DataFrame =
+    keywordDocs(DocGraph.synthetic(s, d), keyword)
 
   /** Family 7 (J4): Organization -> Document. */
-  def orgDocs(s: SparkSession, d: String, org: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).filter($"org" === org)
-      .select($"title", $"year").orderBy($"title")
-  }
+  def orgDocs(g: DocGraph, org: String): DataFrame =
+    g.published.filter(col("org") === org)
+      .join(g.docs.select(col("title"), col("year")), "title")
+      .select(col("title"), col("year")).orderBy(col("title"))
+
+  def orgDocs(s: SparkSession, d: String, org: String): DataFrame =
+    orgDocs(DocGraph.synthetic(s, d), org)
 
   /** Families 8/9: Node -> Properties fetch. */
-  def docProperties(s: SparkSession, d: String, title: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).filter($"title" === title)
-      .select($"title", $"label", $"year", $"journal", $"abstract")
-  }
+  def docProperties(g: DocGraph, title: String): DataFrame =
+    g.docs.filter(col("title") === title)
+      .select(col("title"), col("label"), col("year"), col("journal"),
+        col("abstract"))
+
+  def docProperties(s: SparkSession, d: String, title: String): DataFrame =
+    docProperties(DocGraph.synthetic(s, d), title)
 
   /** Family 10 (A7, the flagship slice — SURVEY §7.3): per-year document
     * counts for an alias-expanded keyword.
     */
-  def keywordPerYear(s: SparkSession, d: String, keyword: String): DataFrame = {
-    import s.implicits._
-    hasKeyword(s, d)
-      .join(broadcast(aliasExpand(s, d, keyword)), "kw")
-      .select($"title").distinct()
-      .join(docs(s, d).select($"title", $"year"), "title")
-      .groupBy($"year").agg(count(lit(1)).as("n_docs"))
-      .orderBy($"year")
-  }
+  def keywordPerYear(g: DocGraph, keyword: String): DataFrame =
+    g.hasKeyword
+      .join(broadcast(g.aliasExpand(keyword)), "kw")
+      .select(col("title")).distinct()
+      .join(g.docs.select(col("title"), col("year")), "title")
+      .groupBy(col("year")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("year"))
+
+  def keywordPerYear(s: SparkSession, d: String, keyword: String): DataFrame =
+    keywordPerYear(DocGraph.synthetic(s, d), keyword)
 
   /** Family 11 (J6): which of the candidate docs did the author
     * (co-)write, and via which relationship?
     */
+  def authoredCheck(g: DocGraph, author: String,
+                    titles: Seq[String]): DataFrame =
+    g.authoredAll
+      .filter(col("author") === author && col("title").isin(titles: _*))
+      .select(col("title"), col("rel")).orderBy(col("title"), col("rel"))
+
   def authoredCheck(s: SparkSession, d: String, author: String,
-                    titles: Seq[String]): DataFrame = {
-    import s.implicits._
-    authoredAll(s, d)
-      .filter($"author" === author && $"title".isin(titles: _*))
-      .select($"title", $"rel").orderBy($"title", $"rel")
-  }
+                    titles: Seq[String]): DataFrame =
+    authoredCheck(DocGraph.synthetic(s, d), author, titles)
 
   /** Family 12 (J6): does the doc carry the keyword? (semi-join shape) */
-  def docHasKeyword(s: SparkSession, d: String, title: String,
-                    keyword: String): DataFrame = {
-    import s.implicits._
-    hasKeyword(s, d)
-      .filter($"title" === title && $"kw" === keyword)
+  def docHasKeyword(g: DocGraph, title: String, keyword: String): DataFrame =
+    g.hasKeyword
+      .filter(col("title") === title && col("kw") === keyword)
       .agg((count(lit(1)) > 0).as("has_kw"))
-  }
+
+  def docHasKeyword(s: SparkSession, d: String, title: String,
+                    keyword: String): DataFrame =
+    docHasKeyword(DocGraph.synthetic(s, d), title, keyword)
 
   /** Family 13 (J7): co-authors via the 2-hop self-join on the doc key. */
-  def coauthors(s: SparkSession, d: String, author: String): DataFrame = {
-    import s.implicits._
-    val a = authored(s, d).as("a")
-    val b = authored(s, d).as("b")
-    a.filter($"a.author" === author)
-      .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
-      .select($"b.author".as("coauthor")).distinct().orderBy($"coauthor")
+  def coauthors(g: DocGraph, author: String): DataFrame = {
+    val a = g.authored.as("a")
+    val b = g.authored.as("b")
+    a.filter(col("a.author") === author)
+      .join(b, col("a.title") === col("b.title") &&
+        col("b.author") =!= col("a.author"))
+      .select(col("b.author").as("coauthor")).distinct()
+      .orderBy(col("coauthor"))
   }
+
+  def coauthors(s: SparkSession, d: String, author: String): DataFrame =
+    coauthors(DocGraph.synthetic(s, d), author)
 
   /** Family 14 (J8+A7): co-occurring keywords, count-ranked top-k. */
-  def keywordCooccur(s: SparkSession, d: String, keyword: String,
-                     k: Int): DataFrame = {
-    import s.implicits._
-    val a = hasKeyword(s, d).as("a")
-    val b = hasKeyword(s, d).as("b")
-    a.filter($"a.kw" === keyword)
-      .join(b, $"a.title" === $"b.title" && $"b.kw" =!= $"a.kw")
-      .groupBy($"b.kw".as("kw")).agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"kw").limit(k)
+  def keywordCooccur(g: DocGraph, keyword: String, k: Int): DataFrame = {
+    val a = g.hasKeyword.as("a")
+    val b = g.hasKeyword.as("b")
+    a.filter(col("a.kw") === keyword)
+      .join(b, col("a.title") === col("b.title") &&
+        col("b.kw") =!= col("a.kw"))
+      .groupBy(col("b.kw").as("kw")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("kw")).limit(k)
   }
+
+  def keywordCooccur(s: SparkSession, d: String, keyword: String,
+                     k: Int): DataFrame =
+    keywordCooccur(DocGraph.synthetic(s, d), keyword, k)
 
   /** Family 15 (J9): Organization -> Document -> Topic. */
-  def orgTopics(s: SparkSession, d: String, org: String): DataFrame = {
-    import s.implicits._
-    docs(s, d).filter($"org" === org).select($"title")
-      .join(hasTopic(s, d).select($"title", $"topic"), "title")
-      .select($"topic").distinct().orderBy($"topic")
-  }
+  def orgTopics(g: DocGraph, org: String): DataFrame =
+    g.published.filter(col("org") === org).select(col("title"))
+      .join(g.hasTopic, "title")
+      .select(col("topic")).distinct().orderBy(col("topic"))
+
+  def orgTopics(s: SparkSession, d: String, org: String): DataFrame =
+    orgTopics(DocGraph.synthetic(s, d), org)
 
   /** Family 16 (J10): 3-hop collaborator-topics + abstract property. */
-  def collabTopics(s: SparkSession, d: String, author: String): DataFrame = {
-    import s.implicits._
-    val a = authored(s, d).as("a")
-    val b = authored(s, d).as("b")
-    val coa = a.filter($"a.author" === author)
-      .join(b, $"a.title" === $"b.title" && $"b.author" =!= $"a.author")
-      .select($"b.author".as("coauthor")).distinct()
-    val c = authored(s, d).as("c")
-    coa.join(c, $"coauthor" === $"c.author")
-      .select($"c.title".as("title")).distinct()
-      .join(hasTopic(s, d).select($"title", $"topic"), "title")
-      .join(docs(s, d).select($"title", $"abstract"), "title")
-      .select($"topic", $"title", $"abstract").distinct()
-      .orderBy($"topic", $"title")
+  def collabTopics(g: DocGraph, author: String): DataFrame = {
+    val a = g.authored.as("a")
+    val b = g.authored.as("b")
+    val coa = a.filter(col("a.author") === author)
+      .join(b, col("a.title") === col("b.title") &&
+        col("b.author") =!= col("a.author"))
+      .select(col("b.author").as("coauthor")).distinct()
+    val c = g.authored.as("c")
+    coa.join(c, col("coauthor") === col("c.author"))
+      .select(col("c.title").as("title")).distinct()
+      .join(g.hasTopic, "title")
+      .join(g.docs.select(col("title"), col("abstract")), "title")
+      .select(col("topic"), col("title"), col("abstract")).distinct()
+      .orderBy(col("topic"), col("title"))
   }
+
+  def collabTopics(s: SparkSession, d: String, author: String): DataFrame =
+    collabTopics(DocGraph.synthetic(s, d), author)
 
   /** Variable-hop co-authorship reachability (the parameterized form of
     * family 13/16's fixed hops — SURVEY §2.3 J10 "GraphX/Pregel BFS when
@@ -186,11 +213,11 @@ object GraphQueries {
     * of the co-author self-join + the name-back dictionary) and across
     * GraphX's several materializations of its input RDDs.
     */
-  def coauthorReach(s: SparkSession, d: String, seed: String,
-                    maxHops: Int): DataFrame = {
+  def coauthorReach(g: DocGraph, seed: String, maxHops: Int): DataFrame = {
+    val s = g.docs.sparkSession
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val au = authored(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val au = g.authored.persist(StorageLevel.MEMORY_AND_DISK)
     val a = au.as("a")
     val b = au.as("b")
     val coEdges = a
@@ -212,12 +239,17 @@ object GraphQueries {
     out
   }
 
+  def coauthorReach(s: SparkSession, d: String, seed: String,
+                    maxHops: Int): DataFrame =
+    coauthorReach(DocGraph.synthetic(s, d), seed, maxHops)
+
   /** L2 fallback full-text search (F1 conjunctive abstract match OR F2
     * disjunctive topic/address match) + A8 collect + LIMIT
     * (`neo4j_query_executor.py:389-520`).
     */
-  def fallbackSearch(s: SparkSession, d: String, terms: Seq[String],
+  def fallbackSearch(g: DocGraph, terms: Seq[String],
                      maxResults: Int): DataFrame = {
+    val s = g.docs.sparkSession
     import s.implicits._
     // no terms extracted → no fallback possible (the reference returns
     // its no-results sentinel, `neo4j_query_executor.py:403-405`)
@@ -225,9 +257,8 @@ object GraphQueries {
       return s.emptyDataFrame
         .select(lit("").as("title"), lit("").as("topics_csv")).limit(0)
     }
-    val dd = docs(s, d)
-    val withTopics = dd
-      .join(hasTopic(s, d).select($"title", $"topic"), Seq("title"), "left")
+    val withTopics = g.docs
+      .join(g.hasTopic, Seq("title"), "left")
       .groupBy($"title", $"abstract", $"addr")
       .agg(array_join(sort_array(collect_list($"topic")), ";").as("topics_csv"))
     val conj = terms.map(t => lower($"abstract").contains(t.toLowerCase))
@@ -238,6 +269,10 @@ object GraphQueries {
       .select($"title", $"topics_csv")
       .orderBy($"title").limit(maxResults)
   }
+
+  def fallbackSearch(s: SparkSession, d: String, terms: Seq[String],
+                     maxResults: Int): DataFrame =
+    fallbackSearch(DocGraph.synthetic(s, d), terms, maxResults)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_doc_authors" -> ((s, d) => docAuthors(s, d, "D42")),

@@ -77,7 +77,43 @@ object TaggedQueries {
         .filter($"rel_type" === "PUBLISHED_BY")
         .select($"src".as("title"), $"dst".as("org"))
         .orderBy($"title")
-    })
+    }),
+
+    // ----------------------------------------------------------------
+    // The SAME Q.txt template library over the REAL ingest — each entry
+    // below is a GraphQueries family running on DocGraph.ofIngested
+    // (tagged export → parse → format → dedup → NODE_LINK_CONFIG edges),
+    // the full reference lifecycle `cleaner.py:198` →
+    // `csv_extractor.py:153-241` → `Q.txt` in one gated lineage.
+    // ----------------------------------------------------------------
+
+    // Family 6 (J4+J5): keyword → documents, alias-expanded through the
+    // mapping derived from the INGESTED keywords (keywordMappingOf).
+    "q100_tagged_keyword_docs" -> ((s, _) =>
+      graft.graph.GraphQueries.keywordDocs(
+        graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
+        "知识图谱")),
+
+    // Family 10 (A7, the flagship slice) over the ingest path.
+    "q101_tagged_keyword_per_year" -> ((s, _) =>
+      graft.graph.GraphQueries.keywordPerYear(
+        graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
+        "深度学习")),
+
+    // Family 13 (J7): 2-hop co-author self-join over ingest-derived
+    // AUTHORED edges.
+    "q102_tagged_coauthors" -> ((s, _) =>
+      graft.graph.GraphQueries.coauthors(
+        graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
+        "王芳")),
+
+    // Family 16 (J10): 3-hop collaborator-topics + abstract property —
+    // exercises the ingest path's HAS_TOPIC stub classifier and the
+    // nullable abstract column.
+    "q103_tagged_collab_topics" -> ((s, _) =>
+      graft.graph.GraphQueries.collabTopics(
+        graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
+        "王芳"))
   )
 
   /** The same pipeline in DuckDB: read_text → blank-line block split
@@ -110,7 +146,8 @@ raw AS (
     list_extract(regexp_extract_all(block, '(?m)^\\{Place Published\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS place_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Journal\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS journal_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{DOI\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS doi_r,
-    list_extract(regexp_extract_all(block, '(?m)^\\{Author Address\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS addr_r
+    list_extract(regexp_extract_all(block, '(?m)^\\{Author Address\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS addr_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Abstract\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS abs_r
   FROM rec0),
 clean AS (
   SELECT filename, block_idx,
@@ -121,6 +158,7 @@ clean AS (
     trim(regexp_replace(regexp_replace(place_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS place_published,
     trim(regexp_replace(regexp_replace(journal_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS journal,
     trim(regexp_replace(regexp_replace(doi_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS doi,
+    trim(regexp_replace(regexp_replace(abs_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS abstract,
     list_filter(list_transform(string_split(author_r, ';'),
       x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS author,
     list_filter(list_transform(string_split(kw_r, ';'),
@@ -143,7 +181,75 @@ dedup AS (
   SELECT *, row_number() OVER (PARTITION BY title ORDER BY filename, block_idx) AS rn
   FROM lab WHERE title IS NOT NULL AND title <> '')"""
 
+  /** [[pipelineSql]] extended with the graph-side CTEs DocGraph.ofIngested
+    * derives: deduped docs, AUTHORED pairs, HAS_KEYWORD pairs, the
+    * keyword alias mapping (md5-bucket min-rep over INGESTED keywords),
+    * and the HAS_TOPIC stub (md5-prefix topic id → taxonomy join →
+    * paren-gloss strip) — same arithmetic as the Spark side.
+    */
+  private[graft] val graphSql = s"""$pipelineSql,
+ded AS (SELECT * FROM dedup WHERE rn = 1),
+topics(id, category_code, topic_name) AS (VALUES
+  ${graft.enrich.Taxonomy.sqlValues}),
+tauth AS (
+  SELECT DISTINCT a AS author, title
+  FROM (SELECT title, unnest(author) AS a FROM ded) t),
+thk AS (
+  SELECT DISTINCT title, kw
+  FROM (SELECT title, unnest(keywords) AS kw FROM ded) t),
+tkmap AS (
+  SELECT kw AS original,
+         min(kw) OVER (PARTITION BY substring(md5(kw), 1, 1)) AS representative
+  FROM (SELECT DISTINCT unnest(keywords) AS kw FROM ded) t),
+ttop AS (
+  SELECT d.title,
+         trim(regexp_replace(t.topic_name, '\\s*\\(.*?\\)', '', 'g')) AS topic
+  FROM ded d JOIN topics t
+    ON t.id = CAST(CAST('0x' || substring(md5(d.title), 1, 6) AS BIGINT)
+                   % 22 + 1 AS INTEGER))"""
+
   def oracles: Map[String, String] = Map(
+    "q100_tagged_keyword_docs" ->
+      s"""WITH $graphSql,
+         exp AS (
+           SELECT representative AS kw FROM tkmap WHERE original = '知识图谱'
+           UNION SELECT '知识图谱')
+         SELECT DISTINCT h.title AS title
+         FROM thk h JOIN exp e ON h.kw = e.kw
+         ORDER BY title""",
+    "q101_tagged_keyword_per_year" ->
+      s"""WITH $graphSql,
+         exp AS (
+           SELECT representative AS kw FROM tkmap WHERE original = '深度学习'
+           UNION SELECT '深度学习'),
+         matched AS (
+           SELECT DISTINCT h.title FROM thk h JOIN exp e ON h.kw = e.kw)
+         SELECT CAST(TRY_CAST(d.year_raw AS INTEGER) AS BIGINT) AS year,
+                count(*) AS n_docs
+         FROM matched m JOIN ded d ON m.title = d.title
+         GROUP BY 1 ORDER BY year""",
+    "q102_tagged_coauthors" ->
+      s"""WITH $graphSql
+         SELECT DISTINCT b.author AS coauthor
+         FROM tauth a JOIN tauth b
+           ON a.title = b.title AND b.author <> a.author
+         WHERE a.author = '王芳' ORDER BY coauthor""",
+    "q103_tagged_collab_topics" ->
+      s"""WITH $graphSql,
+         coa AS (
+           SELECT DISTINCT b.author AS coauthor
+           FROM tauth a JOIN tauth b
+             ON a.title = b.title AND b.author <> a.author
+           WHERE a.author = '王芳'),
+         cdocs AS (
+           SELECT DISTINCT c.title FROM coa JOIN tauth c
+             ON coa.coauthor = c.author)
+         SELECT DISTINCT t.topic AS topic, cd.title AS title,
+                d.abstract AS abstract
+         FROM cdocs cd
+         JOIN ttop t ON t.title = cd.title
+         JOIN ded d ON d.title = cd.title
+         ORDER BY topic, title""",
     "q90_tagged_ingest" ->
       s"""WITH $pipelineSql
          SELECT title, label,

@@ -1,7 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.graph.GraphQueries
+import graft.graph.{DocGraph, GraphQueries}
 
 /** L1 query-template router (SURVEY.md §2.9; `neo4j_query_executor.py:
   * 240-384`): the reference turns a natural-language question into one of
@@ -16,40 +16,48 @@ import graft.graph.GraphQueries
   */
 object Router {
 
-  /** Dispatch a Q.txt family. Family 17 ("what can you query?") returns
-    * the catalog itself: one row per family with its parameter names.
+  /** Dispatch a Q.txt family over ANY [[DocGraph]] — the synthetic
+    * fixture binding or a real tagged-ingest graph. Family 17 ("what can
+    * you query?") returns the catalog itself: one row per family with its
+    * parameter names.
     */
-  def route(s: SparkSession, sfDir: String, family: Int,
+  def route(g: DocGraph, family: Int,
             params: Map[String, String]): DataFrame = {
     def p(key: String): String = params.getOrElse(key,
       throw new IllegalArgumentException(s"family $family needs param '$key'"))
     family match {
-      case 1  => GraphQueries.docAuthors(s, sfDir, p("title"))
-      case 2  => GraphQueries.docKeywords(s, sfDir, p("title"))
-      case 3  => GraphQueries.docOrg(s, sfDir, p("title"))
-      case 4  => GraphQueries.docTopic(s, sfDir, p("title"))
-      case 5  => GraphQueries.authorDocs(s, sfDir, p("author"))
-      case 6  => GraphQueries.keywordDocs(s, sfDir, p("keyword"))
-      case 7  => GraphQueries.orgDocs(s, sfDir, p("org"))
-      case 8 | 9 => GraphQueries.docProperties(s, sfDir, p("title"))
-      case 10 => GraphQueries.keywordPerYear(s, sfDir, p("keyword"))
-      case 11 => GraphQueries.authoredCheck(s, sfDir, p("author"),
+      case 1  => GraphQueries.docAuthors(g, p("title"))
+      case 2  => GraphQueries.docKeywords(g, p("title"))
+      case 3  => GraphQueries.docOrg(g, p("title"))
+      case 4  => GraphQueries.docTopic(g, p("title"))
+      case 5  => GraphQueries.authorDocs(g, p("author"))
+      case 6  => GraphQueries.keywordDocs(g, p("keyword"))
+      case 7  => GraphQueries.orgDocs(g, p("org"))
+      case 8 | 9 => GraphQueries.docProperties(g, p("title"))
+      case 10 => GraphQueries.keywordPerYear(g, p("keyword"))
+      case 11 => GraphQueries.authoredCheck(g, p("author"),
         Seq(p("title"), p("title2")))
-      case 12 => GraphQueries.docHasKeyword(s, sfDir, p("title"), p("keyword"))
+      case 12 => GraphQueries.docHasKeyword(g, p("title"), p("keyword"))
       case 13 =>
         // optional "hops" parameter upgrades the fixed 2-hop co-author
         // template to Pregel BFS reachability at any depth
         params.get("hops") match {
-          case Some(h) => GraphQueries.coauthorReach(s, sfDir, p("author"), h.toInt)
-          case None => GraphQueries.coauthors(s, sfDir, p("author"))
+          case Some(h) => GraphQueries.coauthorReach(g, p("author"), h.toInt)
+          case None => GraphQueries.coauthors(g, p("author"))
         }
-      case 14 => GraphQueries.keywordCooccur(s, sfDir, p("keyword"), 10)
-      case 15 => GraphQueries.orgTopics(s, sfDir, p("org"))
-      case 16 => GraphQueries.collabTopics(s, sfDir, p("author"))
-      case 17 => catalog(s)
+      case 14 => GraphQueries.keywordCooccur(g, p("keyword"), 10)
+      case 15 => GraphQueries.orgTopics(g, p("org"))
+      case 16 => GraphQueries.collabTopics(g, p("author"))
+      case 17 => catalog(g.docs.sparkSession)
       case n => throw new IllegalArgumentException(s"unknown family $n")
     }
   }
+
+  /** Synthetic-fixture binding of [[route]]. */
+  def route(s: SparkSession, sfDir: String, family: Int,
+            params: Map[String, String]): DataFrame =
+    if (family == 17) catalog(s)
+    else route(DocGraph.synthetic(s, sfDir), family, params)
 
   /** Family 17: the queryable-capability listing. */
   def catalog(s: SparkSession): DataFrame = {
@@ -79,7 +87,7 @@ object Router {
     * search over abstracts/topics/addresses with the harvested terms
     * (`neo4j_query_executor.py:340-344` lazy-fallback control flow).
     */
-  def withFallback(s: SparkSession, sfDir: String, family: Int,
+  def withFallback(g: DocGraph, family: Int,
                    params: Map[String, String],
                    searchTerms: Seq[String]): DataFrame = {
     // localCheckpoint executes the primary plan EXACTLY ONCE and returns a
@@ -88,8 +96,13 @@ object Router {
     // neither leaked as a lingering cache nor executed twice. (Blocks are
     // executor-local, not fault-tolerant — fine for a driver-side
     // control-flow probe whose result is consumed immediately.)
-    val primary = route(s, sfDir, family, params).localCheckpoint()
+    val primary = route(g, family, params).localCheckpoint()
     if (!primary.isEmpty) primary
-    else GraphQueries.fallbackSearch(s, sfDir, searchTerms, 100)
+    else GraphQueries.fallbackSearch(g, searchTerms, 100)
   }
+
+  def withFallback(s: SparkSession, sfDir: String, family: Int,
+                   params: Map[String, String],
+                   searchTerms: Seq[String]): DataFrame =
+    withFallback(DocGraph.synthetic(s, sfDir), family, params, searchTerms)
 }
