@@ -20,6 +20,13 @@ object TaggedQueries {
 
   val FixtureGlob = "/root/repo/src/test/resources/tagged/*/*/*.txt"
 
+  /** A second, ER-focused tagged fixture whose keywords carry spelling
+    * variants (a parenthetical gloss) that the term-encoder stub maps to
+    * identical embeddings — the merge case the keyword resolution exists
+    * for.
+    */
+  val ErFixtureGlob = "/root/repo/src/test/resources/tagged_er/*/*/*.txt"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full ingest pipeline: parse → format → first-wins dedup, projected
     // to scalar-only columns (arrays rendered as joined strings).
@@ -113,7 +120,29 @@ object TaggedQueries {
     "q103_tagged_collab_topics" -> ((s, _) =>
       graft.graph.GraphQueries.collabTopics(
         graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
-        "王芳"))
+        "王芳")),
+
+    // ----------------------------------------------------------------
+    // The FULL reference lifecycle §3.1 in one gated lineage: tagged
+    // export → parseEntries/format/dedup → A2 distinct keywords →
+    // encoder stub → ε-join → CC → min-term mapping (q104) → ALIAS_OF
+    // into the graph → family-6 alias-expanded match (q105), where a
+    // query for the VARIANT spelling finds the canonically-tagged docs.
+    // ----------------------------------------------------------------
+
+    "q104_tagged_er_mapping" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedKeywordMapping(
+        TaggedText.ingest(s, ErFixtureGlob), 24, 25)
+        .orderBy(col("original"))),
+
+    "q105_tagged_er_alias_docs" -> ((s, _) => {
+      val ingested = TaggedText.ingest(s, ErFixtureGlob)
+      val mapping = graft.resolve.EntityResolution
+        .ingestedKeywordMapping(ingested, 24, 25)
+      val g = graft.graph.DocGraph.ofIngested(ingested)
+        .copy(kwMapping = mapping)
+      graft.graph.GraphQueries.keywordDocs(g, "知识图谱 (KG)")
+    })
   )
 
   /** The same pipeline in DuckDB: read_text → blank-line block split
@@ -124,9 +153,9 @@ object TaggedQueries {
     * sides (`list_extract` of an empty match list is NULL); `size(NULL)`
     * is NULL on both sides.
     */
-  private[graft] val pipelineSql = s"""f AS (
+  private[graft] def pipelineSqlFor(glob: String): String = s"""f AS (
   SELECT filename, string_split_regex(content, '\\n\\s*\\n') AS blocks
-  FROM read_text('$FixtureGlob')),
+  FROM read_text('$glob')),
 bx AS (
   SELECT filename, unnest(range(len(blocks))) AS block_idx, blocks FROM f),
 blk AS (
@@ -181,6 +210,8 @@ dedup AS (
   SELECT *, row_number() OVER (PARTITION BY title ORDER BY filename, block_idx) AS rn
   FROM lab WHERE title IS NOT NULL AND title <> '')"""
 
+  private[graft] val pipelineSql = pipelineSqlFor(FixtureGlob)
+
   /** [[pipelineSql]] extended with the graph-side CTEs DocGraph.ofIngested
     * derives: deduped docs, AUTHORED pairs, HAS_KEYWORD pairs, the
     * keyword alias mapping (md5-bucket min-rep over INGESTED keywords),
@@ -208,7 +239,65 @@ ttop AS (
     ON t.id = CAST(CAST('0x' || substring(md5(d.title), 1, 6) AS BIGINT)
                    % 22 + 1 AS INTEGER))"""
 
+  /** Oracle mirror of the ER lifecycle over the ER fixture: the same
+    * parse→format→dedup pipeline, then distinct keywords → the md5-based
+    * encoder stub (quantized directly to the 1e-4 integer lattice —
+    * every dim is dyadic so Spark's float→double→round chain agrees
+    * exactly) → ε-join at θ=24/25 in HUGEINT arithmetic → min-label CC
+    * walk → min-term representative.
+    */
+  private[graft] val erSql = s"""${pipelineSqlFor(ErFixtureGlob)},
+ded AS (SELECT * FROM dedup WHERE rn = 1),
+kws AS (
+  SELECT DISTINCT kw FROM (SELECT title, unnest(keywords) AS kw FROM ded) t
+  WHERE kw IS NOT NULL AND kw <> ''),
+terms AS (
+  SELECT kw AS term,
+         CAST('0x' || substring(md5(kw), 1, 15) AS BIGINT) AS tid,
+         list_transform([0, 1, 2, 3, 4, 5, 6, 7], i ->
+           CAST(round(
+             (CAST('0x' || substring(
+                md5(trim(regexp_replace(kw, '\\s*\\(.*?\\)', '', 'g'))),
+                CAST(i * 4 + 1 AS INTEGER), 4) AS BIGINT) - 32768)
+             / 32768.0 * 10000) AS BIGINT)) AS e
+  FROM kws),
+tn AS (SELECT term, tid, e,
+         CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+       FROM terms),
+ted AS (SELECT u, v FROM (
+          SELECT a.tid AS u, b.tid AS v,
+            CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
+            a.nrm AS na, b.nrm AS nb
+          FROM tn a JOIN tn b ON a.tid < b.tid) p
+        WHERE dot > 0
+          AND 625*CAST(dot AS HUGEINT)*dot >= 576*CAST(na AS HUGEINT)*nb),
+tee AS (SELECT u, v FROM ted UNION SELECT v, u FROM ted),
+twalk(node, lab) AS (
+  SELECT tid, tid FROM tn
+  UNION
+  SELECT tee.v, twalk.lab FROM twalk JOIN tee ON twalk.node = tee.u),
+tcomp AS (SELECT node AS tid, min(lab) AS component FROM twalk GROUP BY node),
+treps AS (SELECT c.component, min(t.term) AS representative
+          FROM tcomp c JOIN tn t ON c.tid = t.tid GROUP BY c.component),
+tmap AS (SELECT t.term AS original, r.representative
+         FROM tn t JOIN tcomp c ON t.tid = c.tid
+         JOIN treps r ON c.component = r.component),
+thk2 AS (SELECT DISTINCT title, kw
+         FROM (SELECT title, unnest(keywords) AS kw FROM ded) t)"""
+
   def oracles: Map[String, String] = Map(
+    "q104_tagged_er_mapping" ->
+      s"""WITH RECURSIVE $erSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q105_tagged_er_alias_docs" ->
+      s"""WITH RECURSIVE $erSql,
+         exp AS (
+           SELECT representative AS kw FROM tmap
+           WHERE original = '知识图谱 (KG)'
+           UNION SELECT '知识图谱 (KG)')
+         SELECT DISTINCT h.title AS title
+         FROM thk2 h JOIN exp e ON h.kw = e.kw
+         ORDER BY title""",
     "q100_tagged_keyword_docs" ->
       s"""WITH $graphSql,
          exp AS (

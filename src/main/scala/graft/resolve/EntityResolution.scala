@@ -47,13 +47,29 @@ object EntityResolution {
     * test-scale correctness anchor by design (SURVEY §7.5 risk 1); the
     * production-scale candidate generation is the blocked q52 path.
     */
-  def epsPairsOf(emb0: DataFrame, num: Int, den: Int): DataFrame = {
+  /** Ceiling on the exact kernel's input — the broadcast side must fit on
+    * the driver and the pair loop is O(n²); term universes (orgs,
+    * addresses, keywords: ~10²-10⁵ in the reference) sit far below it,
+    * corpora sit far above. */
+  val MaxExactVectors: Long = 1000000L
+
+  def epsPairsOf(emb0: DataFrame, num: Int, den: Int,
+                 maxExactVectors: Long = MaxExactVectors): DataFrame = {
     val s = emb0.sparkSession
     import s.implicits._
     val typed = emb0
       .select(col("vec_id").cast("long"),
         VectorOps.quantize(col("embedding")).as("e"))
       .as[(Long, Array[Long])]
+    // self-enforcing contract: nothing STOPPED a future query from
+    // pointing the exact kernel at a corpus-scale frame — now the guard
+    // fails loudly before the driver-side collect, naming the scale path.
+    val n = typed.count()
+    require(n <= maxExactVectors,
+      s"epsPairsOf is the EXACT all-pairs kernel (driver-broadcast build " +
+        s"side, O(n^2) compare loop): input has $n vectors > " +
+        s"maxExactVectors=$maxExactVectors. Use blockedEpsPairs (IVF-cell " +
+        "equi join, fully distributed) for corpus-scale inputs.")
     // broadcast the quantized corpus (the build side of the pair loop)
     val side = s.sparkContext.broadcast(typed.collect().sortBy(_._1))
     val n2 = num.toLong * num
@@ -205,6 +221,43 @@ object EntityResolution {
   /** Author-address mapping at θ=0.95 (= 19/20). */
   def addressMapping(s: SparkSession, d: String): DataFrame =
     aliasMapping(variantTerms(s, d, "Addr_"), 19, 20)
+
+  /** Deterministic term-encoder stub (SURVEY §7.5 risk 5): an 8-dim
+    * vector from the md5 of the paren-gloss-stripped, trimmed term (the
+    * P10 normalization — `TopicTocsv.py:60`), each dim
+    * (hexChunk − 32768) / 32768 ∈ [−1, 1). Trivial formatting variants of
+    * one term (a parenthetical gloss) encode IDENTICALLY — the property a
+    * real sentence encoder provides approximately, made exact; unrelated
+    * terms land on near-orthogonal random vectors. Every value is dyadic
+    * (k/2¹⁵), so Float, Double, and the oracle's arithmetic agree bit-for-
+    * bit.
+    */
+  def termEmbedding(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val norm = trim(regexp_replace(term, "\\s*\\(.*?\\)", ""))
+    val h = md5(norm)
+    array((0 until 8).map { i =>
+      ((conv(substring(h, i * 4 + 1, 4), 16, 10).cast("long") - 32768L)
+        / lit(32768.0)).cast("float")
+    }: _*)
+  }
+
+  /** The FULL reference lifecycle §3.1 over real ingest — clean → merge:
+    * A2 distinct keyword values of an ingested frame
+    * (`keyword_merger.py:150-163`) → encoder stub → ε-join at the
+    * keyword threshold → CC → lexicographic-min-term mapping
+    * (`keyword_merger.py:103-266`). Term ids are the first 60 bits of the
+    * term's md5 — stable, distributed, oracle-reproducible (ids are a CC
+    * carrier only; the representative is the min STRING).
+    */
+  def ingestedKeywordMapping(ingested: DataFrame, num: Int,
+                             den: Int): DataFrame = {
+    val terms = distinctValues(ingested, Seq("keywords"))
+      .select(col("value").as("term"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("vec_id"),
+        termEmbedding(col("value")).as("embedding"))
+    aliasMapping(terms, num, den)
+  }
 
   /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
     * one or more columns — scalars and arrays alike — as one `value`

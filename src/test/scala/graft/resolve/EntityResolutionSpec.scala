@@ -67,6 +67,18 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(at96 === Map("T0" -> "T0", "T1" -> "T1", "T2" -> "T2"))
   }
 
+  test("exact-kernel size guard trips above maxExactVectors, names the scale path") {
+    val big = Seq.tabulate(6)(i => (i.toLong, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.epsPairsOf(big, 7, 20, maxExactVectors = 5L)
+    }
+    assert(e.getMessage.contains("blockedEpsPairs"))
+    // at-or-below the ceiling still runs
+    assert(EntityResolution.epsPairsOf(big, 7, 20, maxExactVectors = 6L)
+      .count() >= 0L)
+  }
+
   test("aliasMapping representative is the lexicographic MIN TERM, not the min id") {
     // identical vectors merge at any threshold; the cluster's rep must be
     // the string-min term ('A...' even though its vec_id is larger) —

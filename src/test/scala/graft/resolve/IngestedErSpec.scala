@@ -1,0 +1,35 @@
+package graft.resolve
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ingest.{TaggedQueries, TaggedText}
+
+/** The full clean→merge→graph→query lifecycle over REAL ingest (§3.1):
+  * keyword spelling variants (parenthetical gloss) merge through the
+  * encoder stub + ε-join + CC, and the alias-expanded family-6 query for
+  * the VARIANT spelling finds the canonically-tagged documents.
+  */
+class IngestedErSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ingested keyword mapping merges gloss variants, keeps others identity") {
+    val m = EntityResolution.ingestedKeywordMapping(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("知识图谱 (KG)") === "知识图谱")
+    assert(m("知识图谱") === "知识图谱")
+    assert(m("深度学习 (DL)") === "深度学习")
+    assert(m("强化学习") === "强化学习")
+    assert(m("量子计算") === "量子计算")
+    assert(m("图神经网络") === "图神经网络")
+    assert(m.size === 7)
+  }
+
+  test("family-6 query for the variant spelling finds the canonical docs") {
+    val titles = TaggedQueries.queries("q105_tagged_er_alias_docs")(spark, "")
+      .collect().map(_.getString(0)).toSeq
+    // ER Doc One is tagged 知识图谱 (canonical), ER Doc Two is tagged with
+    // the variant — the expansion must surface BOTH
+    assert(titles === Seq("ER Doc One", "ER Doc Two"))
+  }
+}
