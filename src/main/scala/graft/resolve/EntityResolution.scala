@@ -352,45 +352,73 @@ object EntityResolution {
     out
   }
 
-  /** Static PageRank over an undirected (u, v) edge frame (north-star
-    * "GraphX/Pregel for graph analytics"). Fixed iteration count;
-    * float message sums are partitioning-order sensitive, so this is
-    * rows-only-gated (no SQL oracle) and invariant-tested instead.
+  /** Scale of the exact PageRank fixed-point arithmetic: ranks are
+    * BIGINTs in units of 1e-9. */
+  val PrScale: Long = 1000000000L
+
+  /** Static PageRank over an undirected (u, v) edge frame in EXACT
+    * scaled-integer arithmetic: rank' = 0.15·S + Σ_in (rank·85) div
+    * (100·outdeg), all BIGINT, truncating division. Results are therefore
+    * independent of partitioning, parallelism, and summation order —
+    * unlike a float fixpoint — so q54 carries a full DuckDB hash oracle
+    * (the same integer recurrence unrolled as CTEs) instead of a
+    * rows-only gate + pinned golden.
+    *
+    * Shape: a driver-side loop of `iters` join+aggregate rounds — each
+    * round is one shuffle on the edge key and one on the vertex key, the
+    * same dataflow GraphX Pregel runs per superstep, minus its
+    * vertex-program machinery. The edge/degree frames are persisted once
+    * across all rounds; each round's rank frame is materialized and the
+    * previous round released, so lineage stays shallow and storage is
+    * bounded by two rank frames. Overflow: total mass ≤ n·S, so Longs
+    * hold to ~10⁹ vertices; Spark 4 ANSI mode would fail loudly, not
+    * wrap, beyond that.
     */
   def pageRank(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
                iters: Int): DataFrame = {
-    import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val vertRdd = vertices.select(col("vec_id").cast("long")).rdd
-      .map(r => (r.getLong(0), ()))
+    val ee = pairs
+      .select(col("u").cast("long").as("src"), col("v").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("v").cast("long").as("src"), col("u").cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // undirected: one edge per direction
-    val edgeRdd = pairs.select(col("u").cast("long"), col("v").cast("long")).rdd
-      .flatMap(r => Seq(Edge(r.getLong(0), r.getLong(1), ()),
-        Edge(r.getLong(1), r.getLong(0), ())))
+    val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val graph = Graph(vertRdd, edgeRdd)
-    val rankGraph = graph.staticPageRank(iters)
-    val ranks = rankGraph.vertices.toDF("vec_id", "rank")
-    ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
-    rankGraph.unpersist(blocking = false)
-    graph.unpersist(blocking = false)
-    vertRdd.unpersist(blocking = false)
-    edgeRdd.unpersist(blocking = false)
+    val verts = vertices.select(col("vec_id").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reset = PrScale * 15 / 100
+    var ranks = verts.select(col("vec_id"), lit(PrScale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ee
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("vec_id"),
+          expr("(rank * 85) DIV (100 * outdeg)").as("contrib"))
+      val sums = contribs.groupBy(col("vec_id"))
+        .agg(sum(col("contrib")).as("s"))
+      // eager localCheckpoint: materializes the round AND truncates the
+      // lineage to a LogicalRDD — without it the nested plan re-analyzed
+      // each round grows until planning itself dominates (or OOMs)
+      ranks = verts.join(sums, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(reset) + coalesce(col("s"), lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    ee.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     ranks
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Graph-analytics extension: PageRank over the blocked ε-similarity
-    // graph (same scale-safe candidate pairs as q52/q53). No DuckDB
-    // oracle (float fixpoint) — rows-only gate + ScalaTest invariants +
-    // the pinned sf0.001 golden in PageRankSpec.
+    // graph (same scale-safe candidate pairs as q52/q53), in exact
+    // scaled-integer arithmetic — partitioning-independent, so it is
+    // FULLY hash-gated against the DuckDB unrolled-recurrence oracle.
     "q54_pagerank" -> ((s, d) => {
       import s.implicits._
       val verts = Tables.embeddings(s, d).select($"vec_id")
       pageRank(s, verts, blockedEpsPairs(s, d), iters = 10)
-        .select($"vec_id", round($"rank", 4).as("rank"))
         .orderBy($"vec_id")
     }),
     // §2.8-C1: ε-graph connected components = DBSCAN(min_samples=2)
@@ -561,7 +589,30 @@ omap AS (SELECT t.term AS original, r.representative
          FROM oterms t JOIN ocomp c ON t.tid = c.tid
          JOIN oreps r ON c.component = r.component)"""
 
+  /** The exact PageRank recurrence unrolled: pr0 = S, pr_i = 0.15·S +
+    * Σ_in (rank·85) // (100·outdeg) — integer-for-integer the Spark loop
+    * (DuckDB `//` and Spark `DIV` agree on non-negative operands).
+    */
+  private def prChainSql(iters: Int): String =
+    """deg AS (SELECT u AS src, count(*) AS outdeg FROM ee GROUP BY u),
+pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
+""" + (1 to iters).map { i =>
+      s"""pr$i AS (
+  SELECT vt.vec_id,
+         CAST(150000000 AS BIGINT) + coalesce(c.s, CAST(0 AS BIGINT)) AS rank
+  FROM n vt LEFT JOIN (
+    SELECT e.v AS vec_id,
+           CAST(sum((p.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+    FROM ee e JOIN pr${i - 1} p ON e.u = p.vec_id
+              JOIN deg d ON e.u = d.src
+    GROUP BY e.v) c ON vt.vec_id = c.vec_id)"""
+    }.mkString(",\n")
+
   def oracles: Map[String, String] = Map(
+    "q54_pagerank" ->
+      s"""WITH RECURSIVE $blockedCcSql,
+         ${prChainSql(10)}
+         SELECT vec_id, rank FROM pr10 ORDER BY vec_id""",
     "q88_org_mapping" ->
       s"""WITH RECURSIVE ${termCcSql("Org_", 576, 625)}
          SELECT original, representative FROM omap ORDER BY original""",

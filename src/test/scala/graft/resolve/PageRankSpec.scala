@@ -3,52 +3,44 @@ package graft.resolve
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** PageRank invariants (no SQL oracle — float fixpoint): coverage of all
-  * vertices, positive ranks, isolated vertices at the reset probability,
-  * and higher rank for a hub than for a leaf.
+/** Exact scaled-integer PageRank: structural invariants hold EXACTLY
+  * (no float tolerance), and — the property that closed q54's oracle gap
+  * — results are identical under different partitionings, because every
+  * operation is integer arithmetic with a deterministic truncating
+  * division. The value-level gate is q54's DuckDB hash oracle.
   */
 class PageRankSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("ranks cover all vertices; hub outranks leaves; isolated = reset prob") {
+  test("hub outranks leaves; isolated vertex holds exactly the reset mass") {
     // star: 0 is the hub of 1,2,3; 9 is isolated.
     val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("vec_id")
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
     val ranks = EntityResolution.pageRank(spark, verts, pairs, iters = 20)
-      .as[(Long, Double)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     assert(ranks.keySet === Set(0L, 1L, 2L, 3L, 9L))
     assert(ranks.values.forall(_ > 0))
-    // hub > symmetric leaves > isolated (which holds only reset mass;
-    // GraphX normalizes final ranks, so no absolute value assertions)
     assert(ranks(0L) > ranks(1L))
     assert(ranks(1L) > ranks(9L))
+    // symmetric leaves agree EXACTLY — integer arithmetic, no ulp jitter
     assert(ranks(1L) === ranks(2L) && ranks(2L) === ranks(3L))
+    // isolated vertex receives no messages: rank = 0.15 * S exactly
+    assert(ranks(9L) === EntityResolution.PrScale * 15 / 100)
   }
 
-  test("q54 pinned golden on the sf0.001 fixture (closes the no_oracle gap)") {
-    // The registered q54 (blocked ε-graph, 10 iterations, round(rank, 4))
-    // against hand-pinned values from the fixture — the golden gate the
-    // float fixpoint denies the DuckDB oracle. Tolerance 1e-4 absorbs
-    // summation-order ulp jitter without weakening the 4-decimal pin.
-    // NOTE: the pins encode TestSpark's partitioning (local[4], 4 shuffle
-    // partitions) as well as the fixture — float message sums are
-    // partition-order sensitive (the very reason q54 has no SQL oracle).
-    // If this fails after a parallelism/Spark change with <=1e-3 drift,
-    // re-pin; a larger drift is a real regression.
-    val df = EntityResolution.queries("q54_pagerank")(spark, "/root/testdata/sf0.001")
-    val ranks = df.as[(Long, Double)].collect().toMap
-    assert(ranks.size === 500)
-    val expected = Map(
-      50L -> 5.9520, 265L -> 4.9096, 212L -> 4.0977, 248L -> 4.0977,
-      45L -> 3.8672, 0L -> 0.4237, 499L -> 0.4237)
-    expected.foreach { case (id, want) =>
-      assert(math.abs(ranks(id) - want) <= 1e-4, s"vec_id $id: ${ranks(id)} != $want")
-    }
-    // probability-mass invariant: normalized ranks sum to ~N
-    val total = ranks.values.sum
-    assert(math.abs(total - 500.0) < 0.1)
-    // the global top-1 is the densest cell's hub
-    assert(ranks.maxBy { case (id, r) => (r, -id) }._1 === 50L)
+  test("ranks are identical under different partitionings") {
+    val verts = Seq.range(0L, 40L).toDF("vec_id")
+    val pairs = Seq.tabulate(60)(i =>
+      ((i * 7 % 40).toLong, (i * 13 % 40).toLong))
+      .filter { case (u, v) => u != v }.toDF("u", "v")
+    def run(parts: Int): Map[Long, Long] =
+      EntityResolution.pageRank(spark, verts.repartition(parts),
+        pairs.repartition(parts), iters = 10)
+        .as[(Long, Long)].collect().toMap
+    val a = run(1)
+    val b = run(7)
+    assert(a === b)
+    assert(a.nonEmpty)
   }
 }
