@@ -471,17 +471,22 @@ object EntityResolution {
         .orderBy($"src")
     }),
 
-    // §2.8-C2 + J11/A9: cluster regroup, size gate (≥3), deterministic
-    // corrector stub (promote 2nd-smallest member to representative).
+    // §2.8-C2 + J11/A9: the full refinement pipeline through the
+    // pluggable MappingCorrector trait — regroup by representative, size
+    // gate (≥3), per-cluster corrector call (the deterministic
+    // promote-second stub), response parse with self-map fill-in, merge
+    // of untouched entries. Same result as the r3 inline formulation
+    // (second-smallest member promoted), now via the reference's actual
+    // text contract (`recorrect_mapping.py:33-67,197-204`).
     "q51_er_refined_mapping" -> ((s, d) => {
       import s.implicits._
-      val comp = resolve(s, d)
-      val stats = comp.groupBy($"component")
-        .agg(count(lit(1)).as("cnt"),
-          min(when($"vec_id" > $"component", $"vec_id")).as("second"))
-      comp.join(broadcast(stats), "component")
-        .select($"vec_id",
-          when($"cnt" >= 3, $"second").otherwise($"component").as("rep_id"))
+      val mapping = resolve(s, d)
+        .select($"vec_id".cast("string").as("original"),
+          $"component".cast("string").as("representative"))
+      MappingCorrector
+        .refineMapping(mapping, PromoteSecondCorrector, minClusterSize = 3)
+        .select(col("original").cast("long").as("vec_id"),
+          col("representative").cast("long").as("rep_id"))
         .orderBy($"vec_id")
     })
   )
