@@ -246,7 +246,8 @@ ttop AS (
     * exactly) → ε-join at θ=24/25 in HUGEINT arithmetic → min-label CC
     * walk → min-term representative.
     */
-  private[graft] val erSql = s"""${pipelineSqlFor(ErFixtureGlob)},
+  private[graft] def erSqlAt(numSq: Int, denSq: Int): String =
+    s"""${pipelineSqlFor(ErFixtureGlob)},
 ded AS (SELECT * FROM dedup WHERE rn = 1),
 kws AS (
   SELECT DISTINCT kw FROM (SELECT title, unnest(keywords) AS kw FROM ded) t
@@ -270,7 +271,7 @@ ted AS (SELECT u, v FROM (
             a.nrm AS na, b.nrm AS nb
           FROM tn a JOIN tn b ON a.tid < b.tid) p
         WHERE dot > 0
-          AND 625*CAST(dot AS HUGEINT)*dot >= 576*CAST(na AS HUGEINT)*nb),
+          AND $denSq*CAST(dot AS HUGEINT)*dot >= $numSq*CAST(na AS HUGEINT)*nb),
 tee AS (SELECT u, v FROM ted UNION SELECT v, u FROM ted),
 twalk(node, lab) AS (
   SELECT tid, tid FROM tn
@@ -284,6 +285,8 @@ tmap AS (SELECT t.term AS original, r.representative
          JOIN treps r ON c.component = r.component),
 thk2 AS (SELECT DISTINCT title, kw
          FROM (SELECT title, unnest(keywords) AS kw FROM ded) t)"""
+
+  private[graft] val erSql = erSqlAt(576, 625)
 
   def oracles: Map[String, String] = Map(
     "q104_tagged_er_mapping" ->

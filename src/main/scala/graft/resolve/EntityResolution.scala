@@ -242,22 +242,28 @@ object EntityResolution {
   }
 
   /** The FULL reference lifecycle §3.1 over real ingest — clean → merge:
-    * A2 distinct keyword values of an ingested frame
-    * (`keyword_merger.py:150-163`) → encoder stub → ε-join at the
-    * keyword threshold → CC → lexicographic-min-term mapping
+    * A2 distinct values of the given columns of an ingested frame
+    * (`keyword_merger.py:150-163`; the reference applies the same
+    * machinery to Keywords, Publisher+Place Published, and Author
+    * Address — `Hype.py:73-82`) → encoder stub → ε-join at the given
+    * threshold → CC → lexicographic-min-term mapping
     * (`keyword_merger.py:103-266`). Term ids are the first 60 bits of the
     * term's md5 — stable, distributed, oracle-reproducible (ids are a CC
     * carrier only; the representative is the min STRING).
     */
-  def ingestedKeywordMapping(ingested: DataFrame, num: Int,
-                             den: Int): DataFrame = {
-    val terms = distinctValues(ingested, Seq("keywords"))
+  def ingestedTermMapping(ingested: DataFrame, cols: Seq[String], num: Int,
+                          den: Int): DataFrame = {
+    val terms = distinctValues(ingested, cols)
       .select(col("value").as("term"),
         conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
           .as("vec_id"),
         termEmbedding(col("value")).as("embedding"))
     aliasMapping(terms, num, den)
   }
+
+  def ingestedKeywordMapping(ingested: DataFrame, num: Int,
+                             den: Int): DataFrame =
+    ingestedTermMapping(ingested, Seq("keywords"), num, den)
 
   /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
     * one or more columns — scalars and arrays alike — as one `value`

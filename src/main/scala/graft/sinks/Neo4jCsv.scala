@@ -44,17 +44,32 @@ object Neo4jCsv {
     * volume,issue,pages,doi,url,isbn_issn`. A property column absent from
     * the input frame is written empty — the reference's missing-key
     * behavior (`csv_extractor.py:127-140` dynamic header, blank fill).
+    *
+    * `dynamicExtra = true` appends the `extra` map's observed keys —
+    * sorted, one trailing column each — so unknown `{Field}:` tags that
+    * survive ingest reach the CSV, the dynamic-header semantics of
+    * `csv_extractor.py:127-140` extended to the long tail. Header
+    * derivation is a driver-side distinct over map keys (the reference
+    * reads its header off the collected dict the same way).
     */
   def writeDocumentNodes(docs: DataFrame, path: String,
-                         singleFile: Boolean = true): Unit = {
+                         singleFile: Boolean = true,
+                         dynamicExtra: Boolean = false): Unit = {
     val have = docs.columns.toSet
     def c(name: String) =
       (if (have(name)) col(name) else lit(null).cast("string")).as(name)
-    val out = docs.select(
+    val extraKeys: Seq[String] =
+      if (dynamicExtra && have("extra"))
+        docs.select(explode(map_keys(col("extra"))).as("k")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+      else Nil
+    val base = Seq(
       col("title").as(":ID"), col("label").as(":LABEL"),
       col("title").as("title"), c("year"), c("abstract"), c("journal"),
       c("volume"), c("issue"), c("pages"), c("doi"), c("url"),
-      c("isbn_issn")).dropDuplicates(":ID")
+      c("isbn_issn"))
+    val extras = extraKeys.map(k => col("extra").getItem(k).as(k))
+    val out = docs.select(base ++ extras: _*).dropDuplicates(":ID")
     write(out, path, singleFile)
   }
 

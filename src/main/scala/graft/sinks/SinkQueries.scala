@@ -74,6 +74,22 @@ object SinkQueries {
       val dir = tmp(s, "q98_map") + "/mapping"
       JsonSinks.writeMapping(graft.graph.BibGraph.keywordMapping(s, d), dir)
       JsonSinks.readMapping(s, dir).orderBy($"original")
+    }),
+
+    // Full-graph dump (`csv_extractor.py:299-313`) + read-back: ONE
+    // dumpGraph run over the ER-fixture ingest writes every node/rel/
+    // alias CSV; the gate reads the Keyword ALIAS_OF file back — its
+    // rows are the non-identity entries of the ingest-derived keyword
+    // mapping (gloss variant → canonical spelling).
+    "q99_dump_alias_readback" -> ((s, _) => {
+      import s.implicits._
+      val dir = tmp(s, "q99_dump")
+      GraphDump.dumpGraph(
+        TaggedText.ingest(s, TaggedQueries.ErFixtureGlob), dir)
+      s.read.option("header", "true").option("escape", "\"")
+        .csv(dir + "/keyword_alias_of_rels")
+        .toDF("src", "dst", "rel_type")
+        .orderBy($"src")
     })
   )
 
@@ -94,6 +110,14 @@ object SinkQueries {
          ORDER BY author, title""",
     "q98_mapping_json_roundtrip" ->
       s"""WITH ${graft.graph.BibGraph.sqlPrelude}
-         SELECT original, representative FROM kmap ORDER BY original"""
+         SELECT original, representative FROM kmap ORDER BY original""",
+    // the dump derives the keyword mapping at the reference threshold
+    // θ=0.95 = 19/20 → numSq=361, denSq=400
+    "q99_dump_alias_readback" ->
+      s"""WITH RECURSIVE ${TaggedQueries.erSqlAt(361, 400)}
+         SELECT original AS src, representative AS dst,
+                'ALIAS_OF' AS rel_type
+         FROM tmap WHERE original <> representative
+         ORDER BY src"""
   )
 }

@@ -80,6 +80,54 @@ class SinksSpec extends AnyFunSuite {
     assert(body.size === 5) // one row per deduped document
   }
 
+  test("dynamic header: unknown {Field}: tags survive ingest -> CSV as trailing columns") {
+    val dir = Files.createTempDirectory("docsextra").toString
+    val ingested = graft.ingest.TaggedText
+      .ingest(spark, graft.ingest.TaggedQueries.FixtureGlob)
+    Neo4jCsv.writeDocumentNodes(ingested, dir, dynamicExtra = true)
+    val lines = readCsvLines(dir)
+    // the fixture's unknown tags ({Custom Tag}, {Subject}, {Date} are
+    // known; only Custom Tag is outside the known-field list) appear as
+    // sorted trailing columns after the 12 reference columns
+    assert(lines.head ===
+      ":ID,:LABEL,title,year,abstract,journal,volume,issue,pages,doi,url," +
+        "isbn_issn,Custom Tag")
+    // the doc carrying {Custom Tag}: custom-value keeps it; others blank
+    assert(lines.tail.exists(l => l.endsWith(",custom-value")))
+    assert(lines.tail.count(_.endsWith(",custom-value")) === 1)
+  }
+
+  test("full-graph dump writes the complete manifest with reference naming") {
+    val dir = Files.createTempDirectory("dump").toString
+    // combined fixtures: keyword variants from the ER fixture, org/addr
+    // variants from er3, plus the main fixture's publisher/address docs
+    val ingested = graft.ingest.TaggedText.ingest(spark,
+      "/root/repo/src/test/resources/{tagged,tagged_er}/*/*/*.txt")
+    val manifest = GraphDump.dumpGraph(ingested, dir)
+    assert(manifest === Seq(
+      "documents",
+      "author_nodes", "author_address_nodes", "keyword_nodes",
+      "organization_nodes",
+      "authored_rels", "tertiary_authored_rels", "has_keyword_rels",
+      "published_by_rels", "author_address_rels",
+      "keyword_alias_of_rels", "organization_alias_of_rels",
+      "author_address_alias_of_rels"))
+    for (name <- manifest)
+      assert(Files.exists(Paths.get(s"$dir/$name")), s"missing $name")
+    // header spot-checks per file family
+    assert(readCsvLines(s"$dir/documents").head.startsWith(":ID,:LABEL,title"))
+    assert(readCsvLines(s"$dir/author_nodes").head === ":ID,:LABEL,name")
+    assert(readCsvLines(s"$dir/authored_rels").head ===
+      ":START_ID(Author),:END_ID(Document),:TYPE")
+    assert(readCsvLines(s"$dir/has_keyword_rels").head ===
+      ":START_ID(Document),:END_ID(Keyword),:TYPE")
+    // alias files carry exactly the non-identity entries
+    assert(readCsvLines(s"$dir/organization_alias_of_rels").tail ===
+      Seq("东北大学 (NEU),东北大学,ALIAS_OF"))
+    assert(readCsvLines(s"$dir/keyword_alias_of_rels").tail.toSet ===
+      Set("知识图谱 (KG),知识图谱,ALIAS_OF", "深度学习 (DL),深度学习,ALIAS_OF"))
+  }
+
   test("JSON mapping sink round-trips exactly") {
     val dir = Files.createTempDirectory("map").toString + "/m"
     val mapping = Seq(("先天免疫系统", "先天免疫"), ("区块链", "区块链"))
