@@ -28,7 +28,12 @@ object Bench {
     // comparable across rounds. A crashing query is recorded as NEGATIVE
     // elapsed time and listed under "failed" — it must not be mistakable
     // for a fast success.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); unset = full sweep,
+    // which is the only mode whose totals are comparable across rounds
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -394,7 +394,7 @@ object EntityResolution {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reset = PrScale * 15 / 100
     var ranks = verts.select(col("vec_id"), lit(PrScale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ee
         .join(ranks.withColumnRenamed("vec_id", "src"), "src")
         .join(deg, "src")
@@ -402,13 +402,16 @@ object EntityResolution {
           expr("(rank * 85) DIV (100 * outdeg)").as("contrib"))
       val sums = contribs.groupBy(col("vec_id"))
         .agg(sum(col("contrib")).as("s"))
-      // eager localCheckpoint: materializes the round AND truncates the
-      // lineage to a LogicalRDD — without it the nested plan re-analyzed
-      // each round grows until planning itself dominates (or OOMs)
       ranks = verts.join(sums, Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(reset) + coalesce(col("s"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      // eager localCheckpoint truncates the lineage to a LogicalRDD —
+      // without it the nested plan re-analyzed each round grows until
+      // planning itself dominates (or OOMs). Every THIRD round bounds
+      // plan depth at 3 while cutting job-launch overhead ~3x vs
+      // checkpointing each round (rounds are scheduling-bound at bench
+      // scale: three tiny shuffles each).
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ee.unpersist(blocking = false)
     deg.unpersist(blocking = false)

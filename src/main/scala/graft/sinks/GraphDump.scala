@@ -28,13 +28,16 @@ import graft.resolve.EntityResolution
   */
 object GraphDump {
 
-  def dumpGraph(ingested: DataFrame, outDir: String,
+  def dumpGraph(ingested0: DataFrame, outDir: String,
                 dynamicExtra: Boolean = false,
                 kwThreshold: (Int, Int) = (19, 20),
                 orgThreshold: (Int, Int) = (24, 25),
                 addrThreshold: (Int, Int) = (19, 20)): Seq[String] = {
     import org.apache.spark.storage.StorageLevel
     val manifest = Seq.newBuilder[String]
+    // the cleaned ingest feeds every writer and all three mappings —
+    // persist it once or each of the ~16 write jobs re-parses the export
+    val ingested = ingested0.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = BibGraph.taggedEdges(ingested)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -91,6 +94,7 @@ object GraphDump {
         manifest += name
       }
     }
+    ingested.unpersist(blocking = false)
     manifest.result()
   }
 }
