@@ -57,6 +57,12 @@ object TopicEnrichment {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+    // the pool must die with the TASK, not with iterator exhaustion — a
+    // partially-drained iterator (limit, show, downstream abort) never
+    // reaches the final hasNext, and executors reuse JVMs across tasks,
+    // so an un-shut-down non-daemon pool would accumulate forever
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     new Iterator[B] {
       private val inFlight = scala.collection.mutable.Queue.empty[Future[B]]
@@ -108,8 +114,12 @@ object TopicEnrichment {
     */
   def classified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    classifyBounded(BibGraph.docs(s, d), StubTopicClassifier,
-      maxConcurrent = 10)
+    // project BEFORE the mapPartitions barrier: the Row encoder would
+    // otherwise drag every docs column (abstract + three arrays) through
+    // per-row encode/decode that Catalyst cannot prune past
+    classifyBounded(
+      BibGraph.docs(s, d).select($"doc_id", $"title", $"ref_type", $"label"),
+      StubTopicClassifier, maxConcurrent = 10)
       .join(broadcast(Taxonomy.df(s).select($"id", $"topic_name")),
         $"id" === $"topic_id".cast("int"), "left")
       .select($"title", $"ref_type", $"label", $"topic_id",

@@ -323,7 +323,9 @@ object GraphQueries {
     // component, so the oracle's recursive min-label walk over author
     // strings agrees exactly), and portable: no dependence on the
     // 'Author_<n>' fixture naming, no ANSI cast that would throw on a
-    // non-conforming author string (same scheme as coauthorReach).
+    // non-conforming author string (same scheme as coauthorReach, same
+    // accepted risk: a 64-bit collision merges two authors' communities —
+    // ~n²/2⁶⁴, i.e. ~3e-7 at 10M distinct authors).
     "q47_coauthor_communities" -> ((s, d) => {
       import s.implicits._
       val au = authored(s, d)

@@ -319,7 +319,7 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT CAST(TRY_CAST(d.year_raw AS INTEGER) AS BIGINT) AS year,
                 count(*) AS n_docs
          FROM matched m JOIN ded d ON m.title = d.title
-         GROUP BY 1 ORDER BY year""",
+         GROUP BY 1 ORDER BY year NULLS FIRST""",
     "q102_tagged_coauthors" ->
       s"""WITH $graphSql
          SELECT DISTINCT b.author AS coauthor

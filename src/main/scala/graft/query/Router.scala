@@ -95,7 +95,9 @@ object Router {
     // consumer both read those blocks, so the expensive multi-hop plan is
     // neither leaked as a lingering cache nor executed twice. (Blocks are
     // executor-local, not fault-tolerant — fine for a driver-side
-    // control-flow probe whose result is consumed immediately.)
+    // control-flow probe whose result is consumed immediately. Lifetime:
+    // once the returned frame is unreferenced, ContextCleaner reclaims
+    // the checkpoint blocks at the next driver GC — bounded, not leaked.)
     val primary = route(g, family, params).localCheckpoint()
     if (!primary.isEmpty) primary
     else GraphQueries.fallbackSearch(g, searchTerms, 100)

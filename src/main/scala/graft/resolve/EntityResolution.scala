@@ -62,16 +62,20 @@ object EntityResolution {
         VectorOps.quantize(col("embedding")).as("e"))
       .as[(Long, Array[Long])]
     // self-enforcing contract: nothing STOPPED a future query from
-    // pointing the exact kernel at a corpus-scale frame — now the guard
-    // fails loudly before the driver-side collect, naming the scale path.
-    val n = typed.count()
-    require(n <= maxExactVectors,
+    // pointing the exact kernel at a corpus-scale frame — the guard fails
+    // loudly, naming the scale path. One limit-probed collect serves as
+    // both the guard and the broadcast build side (a separate count()
+    // would execute the upstream lineage — for the ingested-term callers,
+    // the whole tagged parse — a second time).
+    val cap = math.min(maxExactVectors, Int.MaxValue - 1L).toInt
+    val rows = typed.limit(cap + 1).collect()
+    require(rows.length <= cap,
       s"epsPairsOf is the EXACT all-pairs kernel (driver-broadcast build " +
-        s"side, O(n^2) compare loop): input has $n vectors > " +
+        s"side, O(n^2) compare loop): input exceeds " +
         s"maxExactVectors=$maxExactVectors. Use blockedEpsPairs (IVF-cell " +
         "equi join, fully distributed) for corpus-scale inputs.")
     // broadcast the quantized corpus (the build side of the pair loop)
-    val side = s.sparkContext.broadcast(typed.collect().sortBy(_._1))
+    val side = s.sparkContext.broadcast(rows.sortBy(_._1))
     val n2 = num.toLong * num
     val d2 = den.toLong * den
     typed.mapPartitions { it =>

@@ -36,6 +36,14 @@ object MappingCorrector {
     * key wins — dict overwrite); unparseable lines are skipped; every
     * original key the response missed is filled in as a SELF-mapping.
     * Returns entries in first-seen key order (deterministic).
+    *
+    * DELIBERATE reference-parity caveat: a term that itself contains ':'
+    * is truncated at its first colon on re-parse — the reference's parser
+    * has exactly this behavior, so a corrector echoing the rendered
+    * format maps `"AI: applications": "rep"` to key "AI" and the real
+    * term falls back to a self-mapping (pinned by `MappingCorrectorSpec`).
+    * Colon-free terms (the overwhelming case for keywords/orgs) are
+    * unaffected; fixing it would diverge from the modeled contract.
     */
   def parseResponse(text: String,
                     originalKeys: Seq[String]): Seq[(String, String)] = {

@@ -58,6 +58,14 @@ object Neo4jCsv {
     val have = docs.columns.toSet
     def c(name: String) =
       (if (have(name)) col(name) else lit(null).cast("string")).as(name)
+    // case-variant tags ({title}: vs {Title}:) pass the case-sensitive
+    // known-fields filter into `extra`; appending them verbatim would emit
+    // a DUPLICATE header (unreadable round-trip), so any extra key that
+    // collides with a fixed column name is written under an `extra_`
+    // prefix instead — every observed key still reaches the CSV exactly
+    // once, the dynamic-header contract
+    val fixedNames = Set(":ID", ":LABEL", "title", "year", "abstract",
+      "journal", "volume", "issue", "pages", "doi", "url", "isbn_issn")
     val extraKeys: Seq[String] =
       if (dynamicExtra && have("extra"))
         docs.select(explode(map_keys(col("extra"))).as("k")).distinct()
@@ -68,7 +76,10 @@ object Neo4jCsv {
       col("title").as("title"), c("year"), c("abstract"), c("journal"),
       c("volume"), c("issue"), c("pages"), c("doi"), c("url"),
       c("isbn_issn"))
-    val extras = extraKeys.map(k => col("extra").getItem(k).as(k))
+    val extras = extraKeys.map { k =>
+      val name = if (fixedNames(k)) s"extra_$k" else k
+      col("extra").getItem(k).as(name)
+    }
     val out = docs.select(base ++ extras: _*).dropDuplicates(":ID")
     write(out, path, singleFile)
   }

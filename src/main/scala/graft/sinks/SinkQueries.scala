@@ -21,20 +21,36 @@ import graft.ingest.{TaggedQueries, TaggedText}
   */
 object SinkQueries {
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (Files.isDirectory(f.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  // one JVM shutdown hook per application dir: per-run namespacing means
+  // nothing ELSE ever deletes this run's tree, so without the hook every
+  // Bench/Verify/test invocation would permanently leak a graft_<appId>
+  // dump under tmpdir until the disk fills
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def appRoot(s: SparkSession): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${s.sparkContext.applicationId}")
+    if (hooked.add(root.toString))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rmTree(root.toFile)))
+    root
+  }
+
   private def tmp(s: SparkSession, prefix: String): String = {
     // namespaced by the Spark application id: stable within a run (true
     // overwrite semantics across repeated queries), but concurrent
     // Bench/Verify/test processes — or other users on a shared tmpdir —
-    // can no longer clobber each other's round-trip data.
-    val p = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"),
-        s"graft_${s.sparkContext.applicationId}", s"scratch_$prefix")
-    def rm(f: java.io.File): Unit = {
-      if (Files.isDirectory(f.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    rm(p.toFile)
+    // can no longer clobber each other's round-trip data; the shutdown
+    // hook above removes the whole per-run tree on JVM exit.
+    val p = appRoot(s).resolve(s"scratch_$prefix")
+    rmTree(p.toFile)
     p.toString
   }
 

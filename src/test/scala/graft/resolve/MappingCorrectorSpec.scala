@@ -35,6 +35,17 @@ class MappingCorrectorSpec extends AnyFunSuite {
     assert(m("时") === "间\": \"t")
   }
 
+  test("reference-parity caveat: a ':' inside a term truncates on round-trip") {
+    // render → echo → re-parse of a colon-bearing term yields a phantom
+    // key at the first colon and the real term falls back to self-mapping
+    // — the reference parser's exact behavior (recorrect_mapping.py:33-67)
+    val term = "AI: applications"
+    val parsed = MappingCorrector.parseResponse(
+      MappingCorrector.renderCluster(Seq((term, "rep"))), Seq(term)).toMap
+    assert(parsed("AI") === "applications\": \"rep")
+    assert(parsed(term) === term)
+  }
+
   test("malformed lines are skipped and missing originals self-map") {
     val resp = "no colon here\n\"A\": \"B\""
     val m = MappingCorrector.parseResponse(resp, Seq("A", "C", "D")).toMap
