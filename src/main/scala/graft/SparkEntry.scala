@@ -8,6 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operator has a matching DuckDB oracle entry; non-SQL-expressible ones
   * (GraphX connected components, streaming) are registered queries with a
   * rows-only check and get ScalaTest coverage instead.
+  *
+  * Execution-time note for plan-only tooling: a handful of registry
+  * entries (LSH candidates, GraphX CC/BFS/PageRank consumers, the
+  * coauthor-reach family) EXECUTE work at construction time — they
+  * persist-then-`count()` an intermediate so cache ownership stays inside
+  * the query function (the noop-sink Bench measures this honestly).
+  * Calling `queries(name)(s, d)` is therefore "run", not "build a lazy
+  * plan"; use `.explain` on the RETURNED frame, but don't assume
+  * construction was free.
   */
 object SparkEntry {
 

@@ -142,8 +142,73 @@ object TaggedQueries {
       val g = graft.graph.DocGraph.ofIngested(ingested)
         .copy(kwMapping = mapping)
       graft.graph.GraphQueries.keywordDocs(g, "知识图谱 (KG)")
-    })
+    }),
+
+    // ----------------------------------------------------------------
+    // The REMAINING Q.txt families over the ingest path, dispatched
+    // through the L1 ROUTER itself (`Router.route`, not direct template
+    // calls) so the family-number → template binding is what's gated
+    // here — with q94/q95 (families 5/7 pre-router) and q100-q103
+    // above, every one of the 17 families is now green over BOTH the
+    // synthetic fixture (q60-q74) and the real tagged ingest.
+    // ----------------------------------------------------------------
+
+    // Family 1 (J3): Document -> Author.
+    "q106_tagged_doc_authors" -> ((s, _) => routed(s, 1,
+      Map("title" -> "面向领域知识图谱构建的关键技术研究"))),
+
+    // Family 2 (J3): Document -> Keyword.
+    "q107_tagged_doc_keywords" -> ((s, _) => routed(s, 2,
+      Map("title" -> "面向领域知识图谱构建的关键技术研究"))),
+
+    // Family 3 (J3): Document -> Organization via the Publisher branch
+    // of the PUBLISHED_BY coalesce key.
+    "q108_tagged_doc_org" -> ((s, _) => routed(s, 3,
+      Map("title" -> "面向领域知识图谱构建的关键技术研究"))),
+
+    // Family 4 (J3): Document -> Topic through the ingest-path stub
+    // classifier + taxonomy join.
+    "q109_tagged_doc_topic" -> ((s, _) => routed(s, 4,
+      Map("title" -> "面向领域知识图谱构建的关键技术研究"))),
+
+    // Families 8/9: property fetch off the ingest docs view (nullable
+    // journal/abstract both exercised: present on this doc, absent on
+    // others).
+    "q110_tagged_doc_properties" -> ((s, _) => routed(s, 8,
+      Map("title" -> "面向领域知识图谱构建的关键技术研究"))),
+
+    // Family 11 (J6): existence check across BOTH author rel types —
+    // 张三 is a TERTIARY author of the thesis doc and unrelated to the
+    // patent, so exactly the tertiary edge comes back.
+    "q111_tagged_authored_check" -> ((s, _) => routed(s, 11,
+      Map("author" -> "张三",
+        "title" -> "面向领域知识图谱构建的关键技术研究",
+        "title2" -> "一种量子通信装置"))),
+
+    // Family 14 (J8+A7): co-occurring keywords, count-ranked.
+    "q112_tagged_keyword_cooccur" -> ((s, _) => routed(s, 14,
+      Map("keyword" -> "知识图谱"))),
+
+    // Family 15 (J9): Organization -> Topic 2-hop; the seed org comes
+    // from the Place-Published fallback branch of the coalesce key.
+    "q113_tagged_org_topics" -> ((s, _) => routed(s, 15,
+      Map("org" -> "北京"))),
+
+    // Family 13 upgraded (J10): the optional `hops` parameter routes to
+    // Pregel BFS reachability — GraphX over the real-ingest co-author
+    // graph.
+    "q114_tagged_coauthor_reach" -> ((s, _) => routed(s, 13,
+      Map("author" -> "王芳", "hops" -> "2")))
   )
+
+  /** Route a Q.txt family over the ingest-derived graph (the L1 router
+    * against binding 2 of [[graft.graph.DocGraph]]).
+    */
+  private def routed(s: SparkSession, family: Int,
+                     params: Map[String, String]): DataFrame =
+    graft.query.Router.route(
+      graft.graph.DocGraph.ofIngested(TaggedText.ingest(s, FixtureGlob)),
+      family, params)
 
   /** The same pipeline in DuckDB: read_text → blank-line block split
     * (the same `\\n\\s*\\n` regex the parser uses) → per-field extraction
@@ -170,6 +235,7 @@ raw AS (
     list_extract(regexp_extract_all(block, '(?m)^\\{Reference Type\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS rt_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Year\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS year_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Author\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS author_r,
+    list_extract(regexp_extract_all(block, '(?m)^\\{Tertiary Author\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS tert_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Keywords\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS kw_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Publisher\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS pub_r,
     list_extract(regexp_extract_all(block, '(?m)^\\{Place Published\\}:[ \\t]*([^\\n]*)$$', 1), -1) AS place_r,
@@ -190,6 +256,8 @@ clean AS (
     trim(regexp_replace(regexp_replace(abs_r, ';\\s*$$', ''), '\\s+', ' ', 'g')) AS abstract,
     list_filter(list_transform(string_split(author_r, ';'),
       x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS author,
+    list_filter(list_transform(string_split(tert_r, ';'),
+      x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS tertiary_author,
     list_filter(list_transform(string_split(kw_r, ';'),
       x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x <> '') AS keywords,
     list_filter(list_transform(
@@ -237,7 +305,19 @@ ttop AS (
          trim(regexp_replace(t.topic_name, '\\s*\\(.*?\\)', '', 'g')) AS topic
   FROM ded d JOIN topics t
     ON t.id = CAST(CAST('0x' || substring(md5(d.title), 1, 6) AS BIGINT)
-                   % 22 + 1 AS INTEGER))"""
+                   % 22 + 1 AS INTEGER)),
+tauthall AS (
+  SELECT DISTINCT a AS author, title, 'AUTHORED' AS rel
+  FROM (SELECT title, unnest(author) AS a FROM ded) t
+  UNION
+  SELECT DISTINCT a AS author, title, 'TERTIARY_AUTHORED' AS rel
+  FROM (SELECT title, unnest(tertiary_author) AS a FROM ded) t),
+torg AS (
+  SELECT title,
+         coalesce(nullif(publisher, ''), nullif(place_published, '')) AS org
+  FROM ded
+  WHERE coalesce(nullif(publisher, ''), nullif(place_published, ''))
+        IS NOT NULL)"""
 
   /** Oracle mirror of the ER lifecycle over the ER fixture: the same
     * parse→format→dedup pipeline, then distinct keywords → the md5-based
@@ -383,6 +463,64 @@ thk2 AS (SELECT DISTINCT title, kw
          WHERE rn = 1
            AND coalesce(nullif(publisher, ''), nullif(place_published, ''))
                IS NOT NULL
-         ORDER BY title"""
+         ORDER BY title""",
+    "q106_tagged_doc_authors" ->
+      s"""WITH $graphSql
+         SELECT author FROM tauth
+         WHERE title = '面向领域知识图谱构建的关键技术研究'
+         ORDER BY author""",
+    "q107_tagged_doc_keywords" ->
+      s"""WITH $graphSql
+         SELECT kw FROM thk
+         WHERE title = '面向领域知识图谱构建的关键技术研究'
+         ORDER BY kw""",
+    "q108_tagged_doc_org" ->
+      s"""WITH $graphSql
+         SELECT title, org FROM torg
+         WHERE title = '面向领域知识图谱构建的关键技术研究'""",
+    "q109_tagged_doc_topic" ->
+      s"""WITH $graphSql
+         SELECT title, topic FROM ttop
+         WHERE title = '面向领域知识图谱构建的关键技术研究'""",
+    "q110_tagged_doc_properties" ->
+      s"""WITH $graphSql
+         SELECT title, label,
+           CAST(TRY_CAST(year_raw AS INTEGER) AS BIGINT) AS year,
+           journal, abstract
+         FROM ded WHERE title = '面向领域知识图谱构建的关键技术研究'""",
+    "q111_tagged_authored_check" ->
+      s"""WITH $graphSql
+         SELECT title, rel FROM tauthall
+         WHERE author = '张三'
+           AND title IN ('面向领域知识图谱构建的关键技术研究',
+                         '一种量子通信装置')
+         ORDER BY title, rel""",
+    "q112_tagged_keyword_cooccur" ->
+      s"""WITH $graphSql
+         SELECT b.kw AS kw, count(*) AS n
+         FROM thk a JOIN thk b
+           ON a.title = b.title AND b.kw <> a.kw
+         WHERE a.kw = '知识图谱'
+         GROUP BY b.kw ORDER BY n DESC, kw LIMIT 10""",
+    "q113_tagged_org_topics" ->
+      s"""WITH $graphSql
+         SELECT DISTINCT t.topic AS topic
+         FROM torg o JOIN ttop t ON o.title = t.title
+         WHERE o.org = '北京'
+         ORDER BY topic""",
+    "q114_tagged_coauthor_reach" ->
+      s"""WITH RECURSIVE $graphSql,
+         ce0 AS (
+           SELECT DISTINCT a.author AS u, b.author AS v
+           FROM tauth a JOIN tauth b
+             ON a.title = b.title AND a.author < b.author),
+         ce AS (SELECT u, v FROM ce0 UNION SELECT v, u FROM ce0),
+         bfs(node, hops) AS (
+           SELECT '王芳', 0
+           UNION
+           SELECT ce.v, bfs.hops + 1 FROM bfs JOIN ce ON bfs.node = ce.u
+           WHERE bfs.hops < 2)
+         SELECT node AS author, CAST(min(hops) AS BIGINT) AS hops
+         FROM bfs GROUP BY node ORDER BY author"""
   )
 }
