@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{LongDotProduct, TextHashes}
+
+/** SQL-surface registration of graft's custom Catalyst expressions, so a
+  * user of the library can call them from `spark.sql(...)` (or a JDBC /
+  * Thrift client) without touching the Scala Column API — the
+  * Spark-idiomatic integration path (`SparkSessionExtensions
+  * .injectFunction`).
+  *
+  * Two ways in, same builders either way:
+  *
+  *  1. Cluster config, applied at session build time:
+  *     `spark.sql.extensions=graft.GraftExtensions` (or
+  *     `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *  2. An already-running session (e.g. a notebook):
+  *     `GraftExtensions.register(spark)`.
+  *
+  * Registered functions:
+  *  - `graft_minhash(tokens array<string>[, numSeeds int literal = 8])`
+  *    → `array<string>` MinHash signature ([[TextHashes.MinHashSignature]])
+  *  - `graft_simhash16(tokens array<string>)` → 16-char bit string
+  *    ([[TextHashes.SimHash16]])
+  *  - `graft_long_dot_product(a array<bigint>, b array<bigint>)` →
+  *    bigint, whole-stage-codegen'd ([[LongDotProduct]])
+  *
+  * The `FirstSeenDedup` Aggregator is NOT here: typed Aggregators
+  * register per-session via `spark.udf.register`, not the extension
+  * injector (see `FirstSeenDedup.asUdaf`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def minhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(tokens) => TextHashes.MinHashSignature(tokens, 8)
+    case Seq(tokens, Literal(n: Int, IntegerType)) =>
+      TextHashes.MinHashSignature(tokens, n)
+    case Seq(_, other) => throw new IllegalArgumentException(
+      "graft_minhash: numSeeds must be an INT literal (the seed count " +
+        s"shapes the output schema, so it cannot be row-dependent); got $other")
+    case _ => throw new IllegalArgumentException(
+      s"graft_minhash expects (tokens[, numSeeds]), got ${args.length} args")
+  }
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(tokens) => TextHashes.SimHash16(tokens)
+    case _ => throw new IllegalArgumentException(
+      s"graft_simhash16 expects (tokens), got ${args.length} args")
+  }
+
+  private def longDotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => LongDotProduct(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"graft_long_dot_product expects (a, b), got ${args.length} args")
+  }
+
+  /** The injection list — shared by the extension class (config path)
+    * and [[register]] (running-session path), so the two ways in can
+    * never drift.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "_FUNC_(tokens[, numSeeds]) - MinHash signature over 3-token shingles"),
+      minhashBuilder),
+    (FunctionIdentifier("graft_simhash16"),
+      info("graft_simhash16",
+        "_FUNC_(tokens) - 16-bit SimHash as a '0'/'1' string"),
+      simhashBuilder),
+    (FunctionIdentifier("graft_long_dot_product"),
+      info("graft_long_dot_product",
+        "_FUNC_(a, b) - exact BIGINT dot product of two array<bigint>"),
+      longDotBuilder))
+
+  /** Register on an ALREADY-BUILT session (notebooks, tests). The
+    * config path can't help there: `withExtensions` on `getOrCreate`
+    * is a no-op against an existing active session.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fnInfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
+    }
+}
