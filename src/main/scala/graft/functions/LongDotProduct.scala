@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -18,18 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * span of the join it feeds.
   */
 case class LongDotProduct(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
-  }
+  // ImplicitCastInputTypes (not a bare type check) so the SQL surface
+  // behaves like builtin arithmetic: array<int> literals coerce to
+  // array<bigint> instead of failing analysis. ExpectsInputTypes derives
+  // the type check from this. (Return type inferred: `AbstractDataType`
+  // is private[sql], but Seq[ArrayType] conforms.)
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
 

@@ -149,8 +149,10 @@ object TaggedQueries {
     // through the L1 ROUTER itself (`Router.route`, not direct template
     // calls) so the family-number → template binding is what's gated
     // here — with q94/q95 (families 5/7 pre-router) and q100-q103
-    // above, every one of the 17 families is now green over BOTH the
-    // synthetic fixture (q60-q74) and the real tagged ingest.
+    // above, every one of the 17 families (incl. both literal bindings
+    // of the 8/9 properties fetch and the family-17 catalog) is
+    // oracle-gated over BOTH the synthetic fixture (q60-q74) and the
+    // real tagged ingest.
     // ----------------------------------------------------------------
 
     // Family 1 (J3): Document -> Author.
@@ -198,7 +200,23 @@ object TaggedQueries {
     // Pregel BFS reachability — GraphX over the real-ingest co-author
     // graph.
     "q114_tagged_coauthor_reach" -> ((s, _) => routed(s, 13,
-      Map("author" -> "王芳", "hops" -> "2")))
+      Map("author" -> "王芳", "hops" -> "2"))),
+
+    // Family 12 (J6): does the doc carry the keyword? The semi-join
+    // existence shape over ingest-derived HAS_KEYWORD edges.
+    "q115_tagged_doc_has_keyword" -> ((s, _) => routed(s, 12,
+      Map("title" -> "会议论文示例", "keyword" -> "深度学习"))),
+
+    // Family 9 (the second literal binding of the properties fetch):
+    // this doc has NO journal/abstract/publisher, so the nullable
+    // property columns are exercised on their absent side.
+    "q116_tagged_doc_properties_nulls" -> ((s, _) => routed(s, 9,
+      Map("title" -> "会议论文示例"))),
+
+    // Family 17: the capability catalog — binding-independent, but
+    // router-dispatched and oracle-pinned so the advertised surface
+    // cannot silently drift from the dispatch table.
+    "q117_family_catalog" -> ((s, _) => routed(s, 17, Map.empty))
   )
 
   /** Route a Q.txt family over the ingest-derived graph (the L1 router
@@ -307,9 +325,8 @@ ttop AS (
     ON t.id = CAST(CAST('0x' || substring(md5(d.title), 1, 6) AS BIGINT)
                    % 22 + 1 AS INTEGER)),
 tauthall AS (
-  SELECT DISTINCT a AS author, title, 'AUTHORED' AS rel
-  FROM (SELECT title, unnest(author) AS a FROM ded) t
-  UNION
+  SELECT author, title, 'AUTHORED' AS rel FROM tauth
+  UNION ALL
   SELECT DISTINCT a AS author, title, 'TERTIARY_AUTHORED' AS rel
   FROM (SELECT title, unnest(tertiary_author) AS a FROM ded) t),
 torg AS (
@@ -521,6 +538,39 @@ thk2 AS (SELECT DISTINCT title, kw
            SELECT ce.v, bfs.hops + 1 FROM bfs JOIN ce ON bfs.node = ce.u
            WHERE bfs.hops < 2)
          SELECT node AS author, CAST(min(hops) AS BIGINT) AS hops
-         FROM bfs GROUP BY node ORDER BY author"""
+         FROM bfs GROUP BY node ORDER BY author""",
+    "q115_tagged_doc_has_keyword" ->
+      s"""WITH $graphSql
+         SELECT count(*) > 0 AS has_kw FROM thk
+         WHERE title = '会议论文示例' AND kw = '深度学习'""",
+    "q116_tagged_doc_properties_nulls" ->
+      s"""WITH $graphSql
+         SELECT title, label,
+           CAST(TRY_CAST(year_raw AS INTEGER) AS BIGINT) AS year,
+           journal, abstract
+         FROM ded WHERE title = '会议论文示例'""",
+    "q117_family_catalog" ->
+      """SELECT * FROM (VALUES
+           (1, 'Document -> Author', 'title'),
+           (2, 'Document -> Keyword', 'title'),
+           (3, 'Document -> Organization', 'title'),
+           (4, 'Document -> Topic', 'title'),
+           (5, 'Author -> Document', 'author'),
+           (6, 'Keyword -> Document (alias-expanded)', 'keyword'),
+           (7, 'Organization -> Document', 'org'),
+           (8, 'Document -> properties', 'title'),
+           (9, 'Document -> type + summary properties', 'title'),
+           (10, 'Keyword -> per-year document counts', 'keyword'),
+           (11, 'Author x Documents -> relationship existence',
+                'author,title,title2'),
+           (12, 'Document x Keyword -> existence', 'title,keyword'),
+           (13, 'Author -> co-authors (2-hop)', 'author'),
+           (14, 'Keyword -> co-occurring keywords (2-hop)', 'keyword'),
+           (15, 'Organization -> topics (2-hop)', 'org'),
+           (16, 'Author -> collaborator topics + abstracts (3-hop)',
+                'author'),
+           (17, 'capability catalog', '')
+         ) AS t(family, description, params)
+         ORDER BY family"""
   )
 }

@@ -12,15 +12,4 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** `SparkSessionExtensions.registerFunctions` is `private[sql]`; this
-    * exposes Spark's own session-build application step so the
-    * `GraftExtensions` spec can prove the config-path wiring without a
-    * second SparkContext.
-    */
-  def applyInjectedFunctions(
-      ext: org.apache.spark.sql.SparkSessionExtensions,
-      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
-    : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
-    ext.registerFunctions(reg)
 }

@@ -40,7 +40,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_simhash16(split('a b c', ' ')) AS sh,
                 graft_long_dot_product(array(1L, 2L, 3L),
-                                       array(4L, 5L, 6L)) AS dot""").head()
+                                       array(4L, 5L, 6L)) AS dot,
+                graft_long_dot_product(array(1, 2, 3),
+                                       array(4, 5, 6)) AS dot_int""").head()
     import spark.implicits._
     val expectedSh = Seq("a b c").toDF("t")
       .select(TextHashes.simhash16(
@@ -48,6 +50,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(r.getString(0) === expectedSh)
     assert(r.getLong(1) === (4L + 10L + 18L))
+    // array<int> coerces like builtin arithmetic (ImplicitCastInputTypes)
+    assert(r.getLong(2) === 32L)
   }
 
   test("graft_minhash rejects a non-literal seed count") {
@@ -64,7 +68,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
     // registerFunctions is Spark's own application step at session build
-    val reg = org.apache.spark.sql.graftbridge.ColumnBridge
+    val reg = org.apache.spark.sql.graftbridge.TestBridge
       .applyInjectedFunctions(ext, new SimpleFunctionRegistry)
     val names = Seq("graft_minhash", "graft_simhash16",
       "graft_long_dot_product")
