@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{LongDotProduct, TextHashes}
+import graft.functions.{Int8Ops, LongDotProduct, TextHashes}
 
 /** SQL-surface registration of graft's custom Catalyst expressions, so a
   * user of the library can call them from `spark.sql(...)` (or a JDBC /
@@ -83,7 +83,23 @@ object GraftExtensions {
     (FunctionIdentifier("graft_long_dot_product"),
       info("graft_long_dot_product",
         "_FUNC_(a, b) - exact BIGINT dot product of two array<bigint>"),
-      longDotBuilder))
+      longDotBuilder),
+    (FunctionIdentifier("graft_pack_int8"),
+      info("graft_pack_int8",
+        "_FUNC_(a) - pack array<bigint> in [-127,127] into binary (SQ8)"),
+      args => args match {
+        case Seq(a) => Int8Ops.PackInt8(a)
+        case _ => throw new IllegalArgumentException(
+          s"graft_pack_int8 expects (a), got ${args.length} args")
+      }),
+    (FunctionIdentifier("graft_int8_dot_product"),
+      info("graft_int8_dot_product",
+        "_FUNC_(a, b) - exact BIGINT dot product of two packed-int8 binaries"),
+      args => args match {
+        case Seq(a, b) => Int8Ops.Int8DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"graft_int8_dot_product expects (a, b), got ${args.length} args")
+      }))
 
   /** Register on an ALREADY-BUILT session (notebooks, tests). The
     * config path can't help there: `withExtensions` on `getOrCreate`

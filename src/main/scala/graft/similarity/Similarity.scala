@@ -130,6 +130,41 @@ object Similarity {
         .select($"qid", $"rank", $"nid",
           floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
         .orderBy($"qid", $"rank")
+    }),
+
+    // SQ8 compressed-domain brute-force top-5: embeddings int8-quantized
+    // at the data-derived scale (127 / global max|x| — the SQ "training"
+    // step, one tiny aggregate broadcast back), packed to a `binary`
+    // column (64 B/vector vs 256+ B as array<float> — the 4× at-rest and
+    // in-shuffle cut), and scored DIRECTLY on the packed bytes via the
+    // codegen'd Int8DotProduct. Same query set as q40, so DedupSpec's
+    // recall check and PERF.md's table read q48-vs-q40 top-5 overlap.
+    "q48_sq8_topk" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Int8Ops._
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val scale = emb
+        .agg((lit(127.0) /
+          max(array_max(transform($"embedding",
+            x => abs(x.cast("double")))))).as("s"))
+      val sq = emb.crossJoin(broadcast(scale))
+        .select($"vec_id",
+          packInt8(transform($"embedding", x =>
+            greatest(lit(-127L), least(lit(127L),
+              round(x.cast("double") * $"s", 0).cast("long"))))).as("b"))
+        .withColumn("nrm", int8Dot($"b", $"b"))
+      val q = sq.filter($"vec_id" < 10).as("q")
+      val c = sq.as("c")
+      val w = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(c, $"q.vec_id" =!= $"c.vec_id")
+        .withColumn("dot", int8Dot($"q.b", $"c.b"))
+        .select($"q.vec_id".as("qid"), $"c.vec_id".as("nid"),
+          cos2Key($"dot", $"q.nrm", $"c.nrm").as("key"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
     })
   )
 
@@ -252,6 +287,40 @@ object Similarity {
                FROM k)
          SELECT qid, rank, nid,
            CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
-         FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+         FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    // SQ8 mirror: the same data-derived scale (127 / global max|x| in
+    // DOUBLE), the same clamp+round to BIGINT (both engines round ties
+    // away from zero), then the q40 machinery over the quantized ints —
+    // the binary packing is internal to the Spark side and arithmetic-
+    // neutral by construction.
+    "q48_sq8_topk" ->
+      """WITH sc AS (
+           SELECT 127.0 / max(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))))) AS s
+           FROM embeddings),
+         q8 AS (SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(greatest(-127, least(127,
+                      round(CAST(x AS DOUBLE) * sc.s)))
+                      AS BIGINT)) AS e
+                FROM embeddings CROSS JOIN sc),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q8),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e, (x,i) -> x * c.e[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 5 ORDER BY qid, rank"""
   )
 }

@@ -71,7 +71,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val reg = org.apache.spark.sql.graftbridge.TestBridge
       .applyInjectedFunctions(ext, new SimpleFunctionRegistry)
     val names = Seq("graft_minhash", "graft_simhash16",
-      "graft_long_dot_product")
+      "graft_long_dot_product", "graft_pack_int8", "graft_int8_dot_product")
     assert(names.forall(n =>
       reg.functionExists(FunctionIdentifier(n))))
     // and it is literally the same builder list the runtime path uses
