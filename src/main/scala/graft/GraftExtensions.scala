@@ -28,6 +28,10 @@ import graft.functions.{Int8Ops, LongDotProduct, TextHashes}
   *    ([[TextHashes.SimHash16]])
   *  - `graft_long_dot_product(a array<bigint>, b array<bigint>)` →
   *    bigint, whole-stage-codegen'd ([[LongDotProduct]])
+  *  - `graft_pack_int8(a array<bigint> in [-127,127])` → `binary`, one
+  *    signed byte per element ([[Int8Ops.PackInt8]])
+  *  - `graft_int8_dot_product(a binary, b binary)` → bigint over the
+  *    packed bytes, whole-stage-codegen'd ([[Int8Ops.Int8DotProduct]])
   *
   * The `FirstSeenDedup` Aggregator is NOT here: typed Aggregators
   * register per-session via `spark.udf.register`, not the extension
@@ -66,6 +70,18 @@ object GraftExtensions {
       s"graft_long_dot_product expects (a, b), got ${args.length} args")
   }
 
+  private def packInt8Builder(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => Int8Ops.PackInt8(a)
+    case _ => throw new IllegalArgumentException(
+      s"graft_pack_int8 expects (a), got ${args.length} args")
+  }
+
+  private def int8DotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => Int8Ops.Int8DotProduct(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"graft_int8_dot_product expects (a, b), got ${args.length} args")
+  }
+
   /** The injection list — shared by the extension class (config path)
     * and [[register]] (running-session path), so the two ways in can
     * never drift.
@@ -87,19 +103,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_pack_int8"),
       info("graft_pack_int8",
         "_FUNC_(a) - pack array<bigint> in [-127,127] into binary (SQ8)"),
-      args => args match {
-        case Seq(a) => Int8Ops.PackInt8(a)
-        case _ => throw new IllegalArgumentException(
-          s"graft_pack_int8 expects (a), got ${args.length} args")
-      }),
+      packInt8Builder),
     (FunctionIdentifier("graft_int8_dot_product"),
       info("graft_int8_dot_product",
         "_FUNC_(a, b) - exact BIGINT dot product of two packed-int8 binaries"),
-      args => args match {
-        case Seq(a, b) => Int8Ops.Int8DotProduct(a, b)
-        case _ => throw new IllegalArgumentException(
-          s"graft_int8_dot_product expects (a, b), got ${args.length} args")
-      }))
+      int8DotBuilder))
 
   /** Register on an ALREADY-BUILT session (notebooks, tests). The
     * config path can't help there: `withExtensions` on `getOrCreate`

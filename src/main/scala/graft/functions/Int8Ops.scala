@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 object Int8Ops {
 
   /** `array<bigint>` (each in [-127, 127]) → packed `binary`, one signed
-    * byte per element. Out-of-range input throws rather than silently
-    * truncating — the quantizer upstream owns the clamp.
+    * byte per element. Out-of-range and null elements throw rather than
+    * silently truncating / zero-filling — the quantizer upstream owns
+    * the clamp.
     * CodegenFallback: cost is inside eval (one O(dim) pass per row), the
     * same justification as `MinHashSignature`.
     */
@@ -40,8 +41,15 @@ object Int8Ops {
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
+        // ArrayData.getLong on a null slot yields 0 — reject explicitly,
+        // a missing component must not silently score as 0
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"pack_int8: null element at index $i")
         val v = arr.getLong(i)
-        if (v < -128L || v > 127L)
+        // symmetric clamp range: ±127 (NOT -128), matching the quantizer
+        // and the DuckDB mirror on both ends
+        if (v < -127L || v > 127L)
           throw new IllegalArgumentException(
             s"pack_int8: element $v at index $i outside int8 range")
         out(i) = v.toByte
@@ -70,10 +78,14 @@ object Int8Ops {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[Array[Byte]]
       val y = b.asInstanceOf[Array[Byte]]
-      val n = math.min(x.length, y.length)
+      // mismatched dims (e.g. vectors packed under different models) must
+      // fail loudly — a truncated partial dot is plausible-but-wrong
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"int8_dot_product: dimension mismatch ${x.length} vs ${y.length}")
       var s = 0L
       var i = 0
-      while (i < n) { s += x(i) * y(i); i += 1 }
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
       s
     }
 
@@ -81,12 +93,15 @@ object Int8Ops {
                                      ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (x, y) => {
         val i = ctx.freshName("i")
-        val n = ctx.freshName("n")
         val s = ctx.freshName("sum")
         s"""
+           |if ($x.length != $y.length) {
+           |  throw new IllegalArgumentException(
+           |    "int8_dot_product: dimension mismatch " + $x.length +
+           |      " vs " + $y.length);
+           |}
            |long $s = 0L;
-           |int $n = java.lang.Math.min($x.length, $y.length);
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; $i < $x.length; $i++) {
            |  $s += $x[$i] * $y[$i];
            |}
            |${ev.value} = $s;

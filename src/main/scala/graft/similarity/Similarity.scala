@@ -137,7 +137,7 @@ object Similarity {
     // step, one tiny aggregate broadcast back), packed to a `binary`
     // column (64 B/vector vs 256+ B as array<float> — the 4× at-rest and
     // in-shuffle cut), and scored DIRECTLY on the packed bytes via the
-    // codegen'd Int8DotProduct. Same query set as q40, so DedupSpec's
+    // codegen'd Int8DotProduct. Same query set as q40, so Int8OpsSpec's
     // recall check and PERF.md's table read q48-vs-q40 top-5 overlap.
     "q48_sq8_topk" -> ((s, d) => {
       import s.implicits._

@@ -28,14 +28,34 @@ class Int8OpsSpec extends AnyFunSuite {
     assert(got(0).getLong(0) === (-3L - 10L + 127L - 127L + 0L))
   }
 
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
   test("pack_int8 throws on out-of-range input instead of truncating") {
     import spark.implicits._
     val e = intercept[Exception] {
       Seq(Seq(128L)).toDF("a").select(packInt8($"a")).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("int8 range")))
+    // -128 fits a byte but NOT the symmetric ±127 quantizer contract
+    val e2 = intercept[Exception] {
+      Seq(Seq(-128L)).toDF("a").select(packInt8($"a")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("int8 range")))
+  }
+
+  test("pack_int8 rejects null elements; int8 dot rejects dim mismatch") {
+    import spark.implicits._
+    val eNull = intercept[Exception] {
+      Seq(Seq[java.lang.Long](null, 5L)).toDF("a")
+        .select(packInt8($"a")).collect()
+    }
+    assert(msgs(eNull).exists(_.contains("null element")))
+    val eDim = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+        .select(int8Dot(packInt8($"a"), packInt8($"b"))).collect()
+    }
+    assert(msgs(eDim).exists(_.contains("dimension mismatch")))
   }
 
   test("q48 SQ8 top-5: 64B binary vs 256B+ floats, recall>=0.8 vs exact q40") {
