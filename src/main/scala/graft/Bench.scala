@@ -30,7 +30,8 @@ object Bench {
     // for a fast success.
     // dev-only subset filter (comma-separated names); unset = full sweep,
     // which is the only mode whose totals are comparable across rounds
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -56,11 +56,20 @@ object TopicEnrichment {
                                              (f: A => B): Iterator[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+    // daemon threads: outside a Spark task (driver-side use, tests)
+    // there is no completion listener, and an abandoned iterator would
+    // otherwise strand non-daemon workers that block JVM exit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      maxConcurrent,
+      (r: Runnable) => {
+        val t = new Thread(r)
+        t.setDaemon(true)
+        t
+      })
     // the pool must die with the TASK, not with iterator exhaustion — a
     // partially-drained iterator (limit, show, downstream abort) never
     // reaches the final hasNext, and executors reuse JVMs across tasks,
-    // so an un-shut-down non-daemon pool would accumulate forever
+    // so an un-shut-down pool would accumulate forever
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

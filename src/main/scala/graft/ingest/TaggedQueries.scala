@@ -130,6 +130,12 @@ object TaggedQueries {
     // query for the VARIANT spelling finds the canonically-tagged docs.
     // ----------------------------------------------------------------
 
+    // Threshold note: q104/q105 run at θ=24/25 (0.96) against the ER
+    // fixture's stub-encoder geometry — deliberately NOT GraphDump's
+    // reference-faithful keyword default of 19/20 (0.95, `Hype.py:73-82`);
+    // the two artifacts gate different contracts (lifecycle semantics
+    // here, reference parity there), so a cosine landing in [0.95, 0.96)
+    // may merge in the q99 dump yet not in this mapping.
     "q104_tagged_er_mapping" -> ((s, _) =>
       graft.resolve.EntityResolution.ingestedKeywordMapping(
         TaggedText.ingest(s, ErFixtureGlob), 24, 25)

@@ -107,6 +107,10 @@ object MappingCorrector {
 object PromoteSecondCorrector extends MappingCorrector {
   def correct(clusterString: String): Option[String] = {
     val keys = MappingCorrector.parseResponse(clusterString, Nil).map(_._1)
+    // every key stripped to empty (e.g. quote-only originals) — treat as
+    // a failed call (None keeps the original mapping, the documented
+    // fallback) instead of crashing on sorted.head
+    if (keys.isEmpty) return None
     val sorted =
       if (keys.forall(k => k.nonEmpty && k.forall(_.isDigit)))
         keys.sortBy(_.toLong)

@@ -147,6 +147,15 @@ object Similarity {
         .agg((lit(127.0) /
           max(array_max(transform($"embedding",
             x => abs(x.cast("double")))))).as("s"))
+      // Deliberately NOT materialized: the q/c self-join re-derives this
+      // frame per side (scale aggregate + pack twice). Both alternatives
+      // were measured (isolated single-query runs, sf0.1): lineage 2.9s,
+      // localCheckpoint 2.9s (LogicalRDD also drops size stats for the
+      // planner), persist+count 3.3s (cache churn ≥ the duplicated
+      // scan+pack) — no win, so the simplest form with full planner
+      // stats stays. At 100 TB the answer is different: write `sq` once
+      // as a packed table (BucketedStore shape) and query THAT —
+      // re-deriving per query is the local-bench trade only.
       val sq = emb.crossJoin(broadcast(scale))
         .select($"vec_id",
           packInt8(transform($"embedding", x =>

@@ -109,4 +109,11 @@ class MappingCorrectorSpec extends AnyFunSuite {
     val m = MappingCorrector.parseResponse(resp, Nil).toMap
     assert(m.values.toSet === Set("2"))
   }
+
+  test("promote-second returns None (failed call) when every key parses empty") {
+    // quote-only originals strip to empty keys and are dropped by the
+    // parser; the corrector must signal a failed call, not crash
+    assert(PromoteSecondCorrector.correct("\"\"\"\": \"rep\"") === None)
+    assert(PromoteSecondCorrector.correct("") === None)
+  }
 }
