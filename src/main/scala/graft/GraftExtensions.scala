@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.{Int8Ops, LongDotProduct, TextHashes}
 
@@ -22,7 +22,7 @@ import graft.functions.{Int8Ops, LongDotProduct, TextHashes}
   *     `GraftExtensions.register(spark)`.
   *
   * Registered functions:
-  *  - `graft_minhash(tokens array<string>[, numSeeds int literal = 8])`
+  *  - `graft_minhash(tokens array<string>[, numSeeds constant int = 8])`
   *    → `array<string>` MinHash signature ([[TextHashes.MinHashSignature]])
   *  - `graft_simhash16(tokens array<string>)` → 16-char bit string
   *    ([[TextHashes.SimHash16]])
@@ -49,11 +49,27 @@ object GraftExtensions {
 
   private def minhashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(tokens) => TextHashes.MinHashSignature(tokens, 8)
-    case Seq(tokens, Literal(n: Int, IntegerType)) =>
-      TextHashes.MinHashSignature(tokens, n)
+    // Any FOLDABLE integer-typed expression works — `4`, `2+2`,
+    // `CAST(4 AS INT)`, `4L` — since all are constant by the time the
+    // signature schema is shaped. Only genuinely row-dependent seed
+    // counts are rejected (the seed count shapes the output schema).
+    case Seq(tokens, n) if n.foldable &&
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(n.dataType) =>
+      val v = n.eval() match {
+        case null => throw new IllegalArgumentException(
+          "graft_minhash: numSeeds must not be NULL")
+        case b: Byte  => b.toLong
+        case s: Short => s.toLong
+        case i: Int   => i.toLong
+        case l: Long  => l
+      }
+      if (v < 1L || v > 1024L) throw new IllegalArgumentException(
+        s"graft_minhash: numSeeds must be in [1, 1024]; got $v")
+      TextHashes.MinHashSignature(tokens, v.toInt)
     case Seq(_, other) => throw new IllegalArgumentException(
-      "graft_minhash: numSeeds must be an INT literal (the seed count " +
-        s"shapes the output schema, so it cannot be row-dependent); got $other")
+      "graft_minhash: numSeeds must be a constant (foldable) integer " +
+        "expression — the seed count shapes the output schema, so it " +
+        s"cannot be row-dependent; got $other")
     case _ => throw new IllegalArgumentException(
       s"graft_minhash expects (tokens[, numSeeds]), got ${args.length} args")
   }

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Compressed-domain vector ops for SQ8 (int8 scalar quantization) ANN —
   * the standard 4× memory cut for embedding search at scale: a 64-dim
@@ -21,19 +22,41 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   */
 object Int8Ops {
 
-  /** `array<bigint>` (each in [-127, 127]) → packed `binary`, one signed
-    * byte per element. Out-of-range and null elements throw rather than
-    * silently truncating / zero-filling — the quantizer upstream owns
-    * the clamp.
+  /** Integral array (each element in [-127, 127]) → packed `binary`, one
+    * signed byte per element. Out-of-range and null elements throw rather
+    * than silently truncating / zero-filling — the quantizer upstream owns
+    * the clamp. Fractional-element arrays are REJECTED at analysis time
+    * (no implicit numeric coercion): a silent double→bigint truncation
+    * would contradict the throw-don't-truncate contract above.
     * CodegenFallback: cost is inside eval (one O(dim) pass per row), the
     * same justification as `MinHashSignature`.
     */
   case class PackInt8(child: Expression)
-    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
 
-    override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = BinaryType
     override def prettyName: String = "pack_int8"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      // IntegralType itself is private[sql]; enumerate the four widths
+      case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array of an integral element type " +
+          s"(TINYINT/SMALLINT/INT/BIGINT); got ${other.catalogString}. " +
+          "Fractional values must be explicitly quantized first — " +
+          "implicit truncation toward zero is never applied.")
+    }
+
+    @transient private lazy val getElem: (ArrayData, Int) => Long =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case LongType    => (a, i) => a.getLong(i)
+        case IntegerType => (a, i) => a.getInt(i).toLong
+        case ShortType   => (a, i) => a.getShort(i).toLong
+        case ByteType    => (a, i) => a.getByte(i).toLong
+        case other => throw new IllegalStateException(
+          s"pack_int8: unexpected element type $other after type check")
+      }
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -41,12 +64,12 @@ object Int8Ops {
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
-        // ArrayData.getLong on a null slot yields 0 — reject explicitly,
+        // element accessors on a null slot yield 0 — reject explicitly,
         // a missing component must not silently score as 0
         if (arr.isNullAt(i))
           throw new IllegalArgumentException(
             s"pack_int8: null element at index $i")
-        val v = arr.getLong(i)
+        val v = getElem(arr, i)
         // symmetric clamp range: ±127 (NOT -128), matching the quantizer
         // and the DuckDB mirror on both ends
         if (v < -127L || v > 127L)

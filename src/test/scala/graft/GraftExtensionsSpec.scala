@@ -50,18 +50,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(r.getString(0) === expectedSh)
     assert(r.getLong(1) === (4L + 10L + 18L))
-    // array<int> coerces like builtin arithmetic (ImplicitCastInputTypes)
+    // array<int> is accepted natively (width-matched accessor, no cast)
     assert(r.getLong(2) === 32L)
   }
 
-  test("graft_minhash rejects a non-literal seed count") {
+  test("graft_minhash accepts foldable constant seeds: 2+2, CAST, bigint") {
     GraftExtensions.register(spark)
+    // ADVICE r4: any foldable integer-typed constant must work, not just
+    // a bare INT literal — all four spellings shape the same 4-seed schema
+    val r = spark.sql(
+      """SELECT graft_minhash(split('a b c d', ' '), 4)             AS a,
+                graft_minhash(split('a b c d', ' '), 2 + 2)         AS b,
+                graft_minhash(split('a b c d', ' '), CAST(4 AS INT)) AS c,
+                graft_minhash(split('a b c d', ' '), 4L)            AS d,
+                graft_minhash(split('a b c d', ' '), length('abcd')) AS e
+      """).head()
+    val base = r.getSeq[String](0)
+    assert(base.length === 4)
+    (1 to 4).foreach(i => assert(r.getSeq[String](i) === base))
+  }
+
+  test("graft_minhash rejects a row-dependent seed count") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a b c", 4)).toDF("text", "n").createOrReplaceTempView("ext_seed")
     val e = intercept[Exception] {
       spark.sql(
-        "SELECT graft_minhash(split('a b c', ' '), length('ab'))").collect()
+        "SELECT graft_minhash(split(text, ' '), n) FROM ext_seed").collect()
     }
-    assert(e.getMessage.toLowerCase.contains("literal") ||
-      Option(e.getCause).exists(_.getMessage.toLowerCase.contains("literal")))
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("").toLowerCase
+    assert(msg(e).contains("foldable") || msg(e).contains("constant") ||
+      Option(e.getCause).exists(c =>
+        msg(c).contains("foldable") || msg(c).contains("constant")))
   }
 
   test("config-path wiring: the extension class applies the same functions") {

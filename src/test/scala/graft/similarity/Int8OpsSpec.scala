@@ -58,6 +58,25 @@ class Int8OpsSpec extends AnyFunSuite {
     assert(msgs(eDim).exists(_.contains("dimension mismatch")))
   }
 
+  test("pack_int8 and long_dot_product reject fractional arrays at analysis") {
+    // ADVICE r4: implicit double→bigint truncation must fail LOUDLY, not
+    // coerce; integral widths narrower than bigint are accepted natively
+    import spark.implicits._
+    val frac = Seq(Seq(1.5, 2.5)).toDF("a")
+    val ePack = intercept[Exception] { frac.select(packInt8($"a")).collect() }
+    assert(msgs(ePack).exists(_.toLowerCase.contains("integral")))
+    val eDot = intercept[Exception] {
+      frac.select(graft.functions.VectorOps.dot($"a", $"a")).collect()
+    }
+    assert(msgs(eDot).exists(_.toLowerCase.contains("integral")))
+    // array<int> works without a cast on both (and cross-width dot)
+    val ints = Seq((Seq(1, 2, 3), Seq(4L, 5L, 6L))).toDF("i", "l")
+    val ok = ints.select(
+      length(packInt8($"i")).as("n"),
+      graft.functions.VectorOps.dot($"i", $"l").as("d")).head()
+    assert(ok.getInt(0) === 3 && ok.getLong(1) === 32L)
+  }
+
   test("q48 SQ8 top-5: 64B binary vs 256B+ floats, recall>=0.8 vs exact q40") {
     val q40 = Similarity.queries("q40_ann_bruteforce_topk")(spark, TestSpark.TinySf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
