@@ -26,10 +26,13 @@ import graft.functions.{Int8Ops, LongDotProduct, TextHashes}
   *    → `array<string>` MinHash signature ([[TextHashes.MinHashSignature]])
   *  - `graft_simhash16(tokens array<string>)` → 16-char bit string
   *    ([[TextHashes.SimHash16]])
-  *  - `graft_long_dot_product(a array<bigint>, b array<bigint>)` →
-  *    bigint, whole-stage-codegen'd ([[LongDotProduct]])
-  *  - `graft_pack_int8(a array<bigint> in [-127,127])` → `binary`, one
-  *    signed byte per element ([[Int8Ops.PackInt8]])
+  *  - `graft_long_dot_product(a, b)` over any
+  *    `array<tinyint|smallint|int|bigint>` (element widths may differ
+  *    per side; fractional arrays rejected at analysis) → bigint,
+  *    whole-stage-codegen'd ([[LongDotProduct]])
+  *  - `graft_pack_int8(a array<tinyint|smallint|int|bigint> in
+  *    [-127,127])` → `binary`, one signed byte per element
+  *    ([[Int8Ops.PackInt8]])
   *  - `graft_int8_dot_product(a binary, b binary)` → bigint over the
   *    packed bytes, whole-stage-codegen'd ([[Int8Ops.Int8DotProduct]])
   *
@@ -114,11 +117,13 @@ object GraftExtensions {
       simhashBuilder),
     (FunctionIdentifier("graft_long_dot_product"),
       info("graft_long_dot_product",
-        "_FUNC_(a, b) - exact BIGINT dot product of two array<bigint>"),
+        "_FUNC_(a, b) - exact BIGINT dot product of two integral arrays " +
+          "(array<tinyint|smallint|int|bigint>)"),
       longDotBuilder),
     (FunctionIdentifier("graft_pack_int8"),
       info("graft_pack_int8",
-        "_FUNC_(a) - pack array<bigint> in [-127,127] into binary (SQ8)"),
+        "_FUNC_(a) - pack an integral array (tinyint|smallint|int|bigint " +
+          "elements in [-127,127]) into binary (SQ8)"),
       packInt8Builder),
     (FunctionIdentifier("graft_int8_dot_product"),
       info("graft_int8_dot_product",

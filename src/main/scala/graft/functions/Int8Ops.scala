@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, IntegerType, LongType, NullType, ShortType}
 
 /** Compressed-domain vector ops for SQ8 (int8 scalar quantization) ANN —
   * the standard 4× memory cut for embedding search at scale: a 64-dim
@@ -41,6 +41,9 @@ object Int8Ops {
       // IntegralType itself is private[sql]; enumerate the four widths
       case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
         TypeCheckResult.TypeCheckSuccess
+      // a bare NULL argument (NullType) is statically NULL, like builtins
+      // — it must not trip the misleading "requires integral" error
+      case NullType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires an array of an integral element type " +
           s"(TINYINT/SMALLINT/INT/BIGINT); got ${other.catalogString}. " +

@@ -58,6 +58,34 @@ class Int8OpsSpec extends AnyFunSuite {
     assert(msgs(eDim).exists(_.contains("dimension mismatch")))
   }
 
+  test("long_dot_product throws on dim mismatch and null elements") {
+    // ADVICE r5: mirror Int8DotProduct's contract — a truncated partial
+    // dot over mixed-model embeddings is plausible-but-wrong similarity
+    import spark.implicits._
+    val eDim = intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+        .select(graft.functions.VectorOps.dot($"a", $"b")).collect()
+    }
+    assert(msgs(eDim).exists(_.contains("dimension mismatch")))
+    val eNull = intercept[Exception] {
+      Seq((Seq[java.lang.Long](null, 5L), Seq[java.lang.Long](1L, 2L)))
+        .toDF("a", "b")
+        .select(graft.functions.VectorOps.dot($"a", $"b")).collect()
+    }
+    assert(msgs(eNull).exists(_.contains("null element")))
+  }
+
+  test("NULL arguments yield NULL (not an analysis error)") {
+    // ADVICE r5: a typed NULL literal is NullType — builtin behavior is
+    // to return NULL, not to fail analysis with "requires integral"
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_long_dot_product(array(1L, 2L), NULL) AS d1,
+                graft_long_dot_product(NULL, NULL) AS d2,
+                graft_pack_int8(NULL) AS p""").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("pack_int8 and long_dot_product reject fractional arrays at analysis") {
     // ADVICE r4: implicit double→bigint truncation must fail LOUDLY, not
     // coerce; integral widths narrower than bigint are accepted natively
