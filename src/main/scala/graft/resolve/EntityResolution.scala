@@ -374,53 +374,87 @@ object EntityResolution {
     * (the same integer recurrence unrolled as CTEs) instead of a
     * rows-only gate + pinned golden.
     *
-    * Shape: a driver-side loop of `iters` join+aggregate rounds — each
-    * round is one shuffle on the edge key and one on the vertex key, the
-    * same dataflow GraphX Pregel runs per superstep, minus its
-    * vertex-program machinery. The edge/degree frames are persisted once
-    * across all rounds; each round's rank frame is materialized and the
-    * previous round released, so lineage stays shallow and storage is
-    * bounded by two rank frames. Overflow: total mass ≤ n·S, so Longs
-    * hold to ~10⁹ vertices; Spark 4 ANSI mode would fail loudly, not
-    * wrap, beyond that.
+    * Shape: a hash-co-partitioned RDD iteration — GraphX's own layout,
+    * minus its vertex-program machinery. The adjacency (with its
+    * loop-invariant out-degree) is built ONCE with a single shuffle and
+    * persisted co-partitioned with the rank frame, so each round's
+    * adjacency⋈ranks and verts⟕sums joins are NARROW; the only per-round
+    * shuffle is the contribution `reduceByKey`. Because the loop is pure
+    * RDD lineage (no Catalyst re-analysis per round), no mid-loop
+    * materialization is needed: all `iters` rounds are scheduled inside
+    * ONE job when the result is first materialized — the previous
+    * DataFrame formulation paid a localCheckpoint job every third round
+    * plus three tiny shuffles per round and was reproducibly
+    * scheduling-bound (~2-3× drift across boots at bench scale).
+    *
+    * Fault tolerance: intermediate rounds are recomputable from the
+    * persisted adjacency via shuffle files — standard lineage recovery,
+    * unlike the removed `localCheckpoint` (executor-local blocks; an
+    * executor loss mid-loop killed the job on a real cluster). For very
+    * deep iteration counts, pass `checkpointEvery` > 0 and set
+    * `sc.setCheckpointDir` to cut lineage with a RELIABLE checkpoint
+    * every k rounds.
+    *
+    * Overflow: total mass ≤ n·S, so Longs hold to ~10⁸ vertices at the
+    * ×85 step; `multiplyExact`/`addExact` fail loudly (ArithmeticException)
+    * rather than wrap beyond that — the same loud-fail contract ANSI mode
+    * gave the SQL formulation. Skew: a hot vertex holds its adjacency
+    * array in one partition (the classic Spark PageRank layout); at
+    * extreme degree skew switch the adjacency to (dst, outdeg) pairs and
+    * a pair-join, trading memory for one more shuffle.
     */
   def pageRank(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
-               iters: Int): DataFrame = {
+               iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
-    val ee = pairs
-      .select(col("u").cast("long").as("src"), col("v").cast("long").as("dst"))
-      .unionAll(pairs
-        .select(col("v").cast("long").as("src"), col("u").cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = ee.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices.select(col("vec_id").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // size the partitioner to the DATA, capped by the session's shuffle
+    // parallelism (which a real cluster sets to thousands): a 60k-vertex
+    // candidate graph iterates in single-task stages instead of paying
+    // conf-many near-empty task launches × 10 rounds; a 10⁹-vertex graph
+    // still fans out to the configured width
+    val nV = vertices.count()
+    val rowsPerPart = 2L * 1000 * 1000
+    val part = new HashPartitioner(math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (nV + rowsPerPart - 1) / rowsPerPart)).toInt)
     val reset = PrScale * 15 / 100
-    var ranks = verts.select(col("vec_id"), lit(PrScale).as("rank"))
+    val adj: RDD[(Long, (Array[Long], Long))] = pairs
+      .select(col("u").cast("long"), col("v").cast("long")).rdd
+      .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
+                             (r.getLong(1), r.getLong(0))))
+      .groupByKey(part)
+      .mapValues { ds => val a = ds.toArray; (a, a.length.toLong) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts: RDD[(Long, Unit)] = vertices
+      .select(col("vec_id").cast("long")).rdd
+      .map(r => (r.getLong(0), ()))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks: RDD[(Long, Long)] = verts.mapValues(_ => PrScale)
     for (i <- 1 to iters) {
-      val contribs = ee
-        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("vec_id"),
-          expr("(rank * 85) DIV (100 * outdeg)").as("contrib"))
-      val sums = contribs.groupBy(col("vec_id"))
-        .agg(sum(col("contrib")).as("s"))
-      ranks = verts.join(sums, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(reset) + coalesce(col("s"), lit(0L))).as("rank"))
-      // eager localCheckpoint truncates the lineage to a LogicalRDD —
-      // without it the nested plan re-analyzed each round grows until
-      // planning itself dominates (or OOMs). Every THIRD round bounds
-      // plan depth at 3 while cutting job-launch overhead ~3x vs
-      // checkpointing each round (rounds are scheduling-bound at bench
-      // scale: three tiny shuffles each).
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      val contribs = adj.join(ranks, part)
+        .flatMap { case (_, ((dsts, outdeg), rank)) =>
+          // truncating division on non-negative operands — identical to
+          // the oracle's `(rank * 85) DIV (100 * outdeg)`
+          val c = Math.multiplyExact(rank, 85L) / (100L * outdeg)
+          dsts.iterator.map(d => (d, c))
+        }
+      val sums = contribs.reduceByKey(part, (a: Long, b: Long) => Math.addExact(a, b))
+      ranks = verts.leftOuterJoin(sums, part)
+        .mapValues { case (_, m) => Math.addExact(reset, m.getOrElse(0L)) }
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i != iters) {
+        ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        if (s.sparkContext.getCheckpointDir.isDefined) ranks.checkpoint()
+      }
     }
-    ee.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    val out = ranks.toDF("vec_id", "rank")
+    out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // ONE job runs all rounds; then release the builders
+    adj.unpersist(blocking = false)
     verts.unpersist(blocking = false)
-    ranks
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

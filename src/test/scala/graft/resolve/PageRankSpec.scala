@@ -43,4 +43,52 @@ class PageRankSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("reliable-checkpoint variant returns identical ranks") {
+    // fault-tolerance path: lineage cut with a RELIABLE checkpoint (HDFS
+    // in production, temp dir here) instead of the removed executor-local
+    // localCheckpoint — values must be bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val verts = Seq.range(0L, 30L).toDF("vec_id")
+    val pairs = Seq.tabulate(45)(i =>
+      ((i * 11 % 30).toLong, (i * 17 % 30).toLong))
+      .filter { case (u, v) => u != v }.toDF("u", "v")
+    val base = EntityResolution.pageRank(spark, verts, pairs, iters = 9)
+      .as[(Long, Long)].collect().toMap
+    val ckpt = EntityResolution.pageRank(spark, verts, pairs, iters = 9,
+      checkpointEvery = 3).as[(Long, Long)].collect().toMap
+    assert(base === ckpt)
+  }
+
+  test("the full iteration materializes in a handful of jobs, not per-round") {
+    // scheduling-regression pin: the r5-weak DataFrame formulation paid a
+    // localCheckpoint job every 3rd round; the RDD loop schedules all
+    // rounds inside the single materializing count (plus at most AQE's
+    // stage jobs for the count agg itself)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val verts = Seq.range(0L, 40L).toDF("vec_id")
+      val pairs = Seq.tabulate(60)(i =>
+        ((i * 7 % 40).toLong, (i * 13 % 40).toLong))
+        .filter { case (u, v) => u != v }.toDF("u", "v")
+      EntityResolution.pageRank(spark, verts, pairs, iters = 10)
+      // listener bus is async; give it a moment to drain
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      // budget: vertex-count sizing job + the materializing count (AQE
+      // may stage the count agg as its own job) — vs ~14 jobs for the
+      // r5-weak per-round-checkpointing formulation
+      assert(jobs.get() > 0 && jobs.get() <= 5,
+        s"expected <=5 jobs for a 10-round pageRank, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
