@@ -390,6 +390,18 @@ object GraphQueries {
     "q78_fallback_search" -> ((s, d) =>
       fallbackSearch(s, d, Seq("merge", "window"), 100)),
 
+    // L2 lazy-fallback CONTROL FLOW end-to-end (`neo4j_query_executor
+    // .py:340-344`): family 6 is routed for a keyword with no node, the
+    // isEmpty probe finds the primary empty, and the row's lineage runs
+    // through Router.withFallback onto the full-text fallback — unlike
+    // q78, which gates fallbackSearch directly. The oracle mirrors the
+    // branch with a NOT EXISTS guard on the primary, so fixture drift
+    // that made the primary non-empty would fail the gate loudly.
+    "q118_router_fallback" -> ((s, d) =>
+      graft.query.Router.withFallback(s, d, 6,
+        Map("keyword" -> "no_such_keyword_zz9"),
+        Seq("merge", "window"))),
+
     // Parameterized-hop traversal on the co-authorship graph (Pregel).
     "q84_coauthor_reach" -> ((s, d) => coauthorReach(s, d, "Author_29", 2)),
 
@@ -622,6 +634,26 @@ object GraphQueries {
          WHERE (contains(lower(abstract), 'merge') AND contains(lower(abstract), 'window'))
             OR regexp_matches(topics_csv, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)')
             OR regexp_matches(addr, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)')
+         ORDER BY title LIMIT 100""",
+    "q118_router_fallback" ->
+      s"""WITH $P,
+         expansion AS (
+           SELECT representative AS kw FROM kmap
+           WHERE original = 'no_such_keyword_zz9'
+           UNION SELECT 'no_such_keyword_zz9'),
+         prim AS (
+           SELECT DISTINCT h.title FROM has_keyword h
+           JOIN expansion e ON h.kw = e.kw),
+         wt AS (
+           SELECT d.title, d.abstract, d.addr,
+                  array_to_string(list_sort(list(t.topic)), ';') AS topics_csv
+           FROM docs d LEFT JOIN has_topic t ON d.title = t.title
+           GROUP BY d.title, d.abstract, d.addr)
+         SELECT title, topics_csv FROM wt
+         WHERE ((contains(lower(abstract), 'merge') AND contains(lower(abstract), 'window'))
+            OR regexp_matches(topics_csv, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)')
+            OR regexp_matches(addr, '(?i).*(\\Qmerge\\E|\\Qwindow\\E)'))
+           AND NOT EXISTS (SELECT 1 FROM prim)
          ORDER BY title LIMIT 100"""
   )
 }

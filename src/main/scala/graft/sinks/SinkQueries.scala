@@ -97,6 +97,22 @@ object SinkQueries {
     // alias CSV; the gate reads the Keyword ALIAS_OF file back — its
     // rows are the non-identity entries of the ingest-derived keyword
     // mapping (gloss variant → canonical spelling).
+    // S5 dynamic-header passthrough (round-5 verdict task 5): an unknown
+    // `{Custom Tag}:` survives ingest → dumpDocumentNodes(dynamicExtra)
+    // → CSV → read-back as a trailing column — the long-tail
+    // dynamic-header semantics of `csv_extractor.py:127-140`, previously
+    // SinksSpec-only, now under the hash gate.
+    "q119_dynamic_extra_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = tmp(s, "q119_extra")
+      Neo4jCsv.writeDocumentNodes(
+        TaggedText.ingest(s, TaggedQueries.FixtureGlob), dir,
+        dynamicExtra = true)
+      s.read.option("header", "true").option("escape", "\"").csv(dir)
+        .select(col(":ID").as("id"), col("Custom Tag").as("custom_tag"))
+        .orderBy($"id")
+    }),
+
     "q99_dump_alias_readback" -> ((s, _) => {
       import s.implicits._
       val dir = tmp(s, "q99_dump")
@@ -127,6 +143,16 @@ object SinkQueries {
     "q98_mapping_json_roundtrip" ->
       s"""WITH ${graft.graph.BibGraph.sqlPrelude}
          SELECT original, representative FROM kmap ORDER BY original""",
+    // the raw-tag extraction mirrors the ingest's last-occurrence-wins +
+    // trim on the unknown field; docs without the tag read back NULL
+    "q119_dynamic_extra_roundtrip" ->
+      s"""WITH $P
+         SELECT d.title AS id,
+           trim(list_extract(regexp_extract_all(r.block,
+             '(?m)^\\{Custom Tag\\}:[ \\t]*([^\\n]*)$$', 1), -1)) AS custom_tag
+         FROM dedup d JOIN rec0 r
+           ON d.filename = r.filename AND d.block_idx = r.block_idx
+         WHERE d.rn = 1 ORDER BY id""",
     // the dump derives the keyword mapping at the reference threshold
     // θ=0.95 = 19/20 → numSq=361, denSq=400
     "q99_dump_alias_readback" ->
