@@ -59,6 +59,61 @@ object Similarity {
       .select($"vec_id", $"e", $"nrm", $"cid", $"rn".as("probe_rank"))
   }
 
+  /** Trained IVF centroids: Lloyd's k-means over the quantized embedding
+    * lattice, seeded with the deterministic fixture quantizer (every 50th
+    * vector) and run for `iters` assignment→update rounds. The update is
+    * an element-wise FLOOR of the per-cell mean (`floor(sum/count)` with
+    * the sums exact BIGINTs), so every round — and therefore the final
+    * index — is bit-reproducible and expressible in the DuckDB oracle;
+    * a float mean would reintroduce the summation-order sensitivity the
+    * quantized lattice exists to kill. Cells that attract no vectors
+    * drop out (standard Lloyd's; k may shrink).
+    *
+    * Scale shape: each round is one O(n·k) broadcast assignment (no
+    * shuffle) plus one (cid, dim)-keyed partial-aggregated shuffle of
+    * n·dim skinny rows — the classic map-reduce centroid update. k ≈
+    * n/50 keeps the broadcast bounded; at 100 TB you train on a sample
+    * and only the final assignment sees the full corpus.
+    */
+  def kmeansCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("nrm", norm2($"e"))
+    var cents = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
+    for (_ <- 1 to iters) {
+      val sums = assignToCells(emb, cents)
+        .select($"cid", posexplode($"e").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        // Spark `/` on BIGINTs is DOUBLE division, identical to the
+        // oracle's floor(1.0*sum/count): both divide exactly-representable
+        // integers (|sum| ≪ 2^53) in IEEE double, so the floor agrees
+        .select($"cid", $"pos", floor($"sx" / $"n").cast("long").as("v"))
+      cents = sums.groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"v"))),
+          c => c("v")).as("ce"))
+        .withColumn("cnrm", norm2($"ce"))
+        .select($"cid", $"ce", $"cnrm")
+    }
+    cents
+  }
+
+  /** Nearest-cell assignment of a quantized frame `(vec_id, e, nrm)` to
+    * `(cid, ce, cnrm)` centroids: broadcast O(n·k) scan, rank-1 cell per
+    * vector, ties on cid — the same rule as [[ivfAssignedN]].
+    */
+  private def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("akey").desc, col("cid"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("adot", dot(col("e"), col("ce")))
+      .withColumn("akey", cos2Key(col("adot"), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
     "q40_ann_bruteforce_topk" -> ((s, d) => {
@@ -174,6 +229,78 @@ object Similarity {
         .select($"qid", $"rank", $"nid",
           floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
         .orderBy($"qid", $"rank")
+    }),
+
+    // IVF × SQ8 — the standard billion-scale ANN layout: the coarse
+    // quantizer (q41's cells) shards the corpus, and the in-cell scan
+    // reads the int8-PACKED bytes (4× fewer than float, q48's codegen'd
+    // Int8DotProduct loop). Composition of the two gated paths; recall
+    // vs exact q40 in PERF.md.
+    "q120_ivf_sq8_topk" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.Int8Ops._
+      val assigned = ivfAssigned(s, d).select($"vec_id", $"cid")
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val scale = emb
+        .agg((lit(127.0) /
+          max(array_max(transform($"embedding",
+            x => abs(x.cast("double")))))).as("s"))
+      val sq = emb.crossJoin(broadcast(scale))
+        .select($"vec_id",
+          packInt8(transform($"embedding", x =>
+            greatest(lit(-127L), least(lit(127L),
+              round(x.cast("double") * $"s", 0).cast("long"))))).as("b"))
+        .withColumn("nrm", int8Dot($"b", $"b"))
+      val cell = sq.join(assigned, "vec_id")
+      val q = cell.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"b".as("qb"), $"nrm".as("qnrm"), $"cid")
+      val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(cell.as("c"), Seq("cid"))
+        .filter($"qid" =!= $"c.vec_id")
+        .withColumn("dot", int8Dot($"qb", $"c.b"))
+        .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
+        .select($"qid", $"c.vec_id".as("nid"), $"key")
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Trained-IVF index build: 2 Lloyd's rounds from the fixture seeds,
+    // then the full-corpus assignment to the TRAINED cells — q41's
+    // fixture-assigned quantizer upgraded to a real k-means index.
+    "q121_kmeans_assign" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .withColumn("nrm", norm2($"e"))
+      assignToCells(emb, kmeansCentroids(s, d, 2))
+        .select($"vec_id", $"cid".as("centroid_id"))
+        .orderBy($"vec_id")
+    }),
+
+    // IVF top-3 over the TRAINED cells (q42's probe against the q121
+    // index): better-centered cells → better recall at the same nprobe.
+    "q122_ivf_trained_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding").as("e"))
+        .withColumn("nrm", norm2($"e"))
+      val cell = assignToCells(emb, kmeansCentroids(s, d, 2))
+      val q = cell.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
+      val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
+      q.join(cell.as("c"), Seq("cid"))
+        .filter($"qid" =!= $"c.vec_id")
+        .withColumn("dot", dot($"qe", $"c.e"))
+        .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
+        .select($"qid", $"c.vec_id".as("nid"), $"key")
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"qid", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"qid", $"rank")
     })
   )
 
@@ -182,6 +309,47 @@ object Similarity {
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
        FROM embeddings"""
+
+  /** CTE chain mirroring [[kmeansCentroids]]: seeds `c0` (every 50th
+    * vector), then per round an assignment (`a$i`, rank-1 cell, cid
+    * tiebreak) and the FLOOR-mean update (`m$i` → `c$i`). Ends at
+    * `c$iters`, the trained centroid set. The floor of `1.0*sum/count`
+    * divides exactly-representable integers in IEEE double — identical
+    * to the Spark side's BIGINT `floor(sx / n)`.
+    */
+  private def kmeansSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                FROM n WHERE vec_id % 50 = 0)""")
+    for (i <- 1 to iters) {
+      sb ++= s""",
+         ap$i AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c${i - 1} c),
+         a$i AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM ap$i) t WHERE rn = 1),
+         m$i AS (SELECT cid, pos,
+                 CAST(floor(1.0 * sum(x) / count(*)) AS BIGINT) AS v
+               FROM (SELECT a.cid, generate_subscripts(n.e, 1) AS pos,
+                            unnest(n.e) AS x
+                     FROM a$i a JOIN n ON a.vec_id = n.vec_id) t
+               GROUP BY cid, pos),
+         c$i AS (SELECT cid, list(v ORDER BY pos) AS ce,
+                 CAST(list_sum(list_transform(list(v ORDER BY pos),
+                   x -> x*x)) AS BIGINT) AS cnrm
+               FROM m$i GROUP BY cid)"""
+    }
+    sb.toString
+  }
 
   def oracles: Map[String, String] = Map(
     "q40_ann_bruteforce_topk" ->
@@ -330,6 +498,100 @@ object Similarity {
                FROM k)
          SELECT qid, rank, nid,
            CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
-         FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+    // IVF × SQ8: q42's coarse assignment (quantize-lattice cells) +
+    // q48's int8 lattice for the in-cell scoring.
+    "q120_ivf_sq8_topk" ->
+      s"""WITH q0 AS ($quantSql),
+         n AS (SELECT vec_id, e,
+                 CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+               FROM q0),
+         cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+                  FROM n WHERE vec_id % 50 = 0),
+         ap AS (SELECT n.vec_id, cent.cid,
+                 CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+                 n.nrm, cent.cnrm
+               FROM n CROSS JOIN cent),
+         assigned AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+             FROM ap) t WHERE rn = 1),
+         sc AS (
+           SELECT 127.0 / max(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))))) AS s
+           FROM embeddings),
+         q8 AS (SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CAST(greatest(-127, least(127,
+                      round(CAST(x AS DOUBLE) * sc.s)))
+                      AS BIGINT)) AS e8
+                FROM embeddings CROSS JOIN sc),
+         n8 AS (SELECT vec_id, e8,
+                 CAST(list_sum(list_transform(e8, x -> x*x)) AS BIGINT) AS nrm
+               FROM q8),
+         full0 AS (SELECT a.vec_id, a.cid, n8.e8, n8.nrm
+                   FROM assigned a JOIN n8 ON a.vec_id = n8.vec_id),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e8, (x,i) -> x * c.e8[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM full0 q JOIN full0 c
+                 ON q.cid = c.cid AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    "q121_kmeans_assign" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c)
+         SELECT vec_id, cid AS centroid_id FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                 * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+           FROM apf) t WHERE rn = 1
+         ORDER BY vec_id""",
+    "q122_ivf_trained_topk" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c),
+         af AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM apf) t WHERE rn = 1),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM af a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 CAST(list_sum(list_transform(q.e, (x,i) -> x * c.e[i])) AS BIGINT) AS dot,
+                 q.nrm AS qn, c.nrm AS cn
+               FROM full0 q JOIN full0 c
+                 ON q.cid = c.cid AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         k AS (SELECT qid, nid,
+                 CAST(dot*dot AS DOUBLE) / CAST(qn*cn AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key
+               FROM p),
+         r AS (SELECT qid, nid, key,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY key DESC, nid) AS BIGINT) AS rank
+               FROM k)
+         SELECT qid, rank, nid,
+           CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
+         FROM r WHERE rank <= 3 ORDER BY qid, rank"""
   )
 }
