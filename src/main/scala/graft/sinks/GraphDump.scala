@@ -18,11 +18,17 @@ import graft.resolve.EntityResolution
   * `<rel_type>_rels`, `<label>_alias_of_rels` (each a Spark CSV
   * directory). Alias files with no non-identity entries are skipped, as
   * the reference skips empty files. Returns the manifest of written
-  * entries for callers/tests.
+  * entries for callers/tests — in the fixed reference order, regardless
+  * of write completion order.
   *
-  * Scale notes: the edge frame is built once and persisted across its
-  * (config-size) reuses; every writer is a narrow projection +
-  * per-key dedup — one shuffle each. PUBLISHED_BY uses the documented
+  * Scale notes: the cleaned ingest and the edge frame are persisted and
+  * FORCED once, then every writer — each a narrow projection + per-key
+  * dedup, one shuffle — and the three independent alias-mapping
+  * lifecycles are submitted CONCURRENTLY from a bounded driver pool.
+  * Spark's scheduler multiplexes the jobs across executors; the dump's
+  * wall time is the longest single lifecycle instead of the sum of ~16
+  * sequential mostly-single-task jobs (which left a 32-slot cluster
+  * ~97% idle between tiny stages). PUBLISHED_BY uses the documented
   * first-non-empty Publisher/Place-Published key (`Hype.py:38-44`),
   * consistent with the engine's taggedEdges everywhere else.
   */
@@ -34,67 +40,97 @@ object GraphDump {
                 orgThreshold: (Int, Int) = (24, 25),
                 addrThreshold: (Int, Int) = (19, 20)): Seq[String] = {
     import org.apache.spark.storage.StorageLevel
-    val manifest = Seq.newBuilder[String]
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     // the cleaned ingest feeds every writer and all three mappings —
-    // persist it once or each of the ~16 write jobs re-parses the export
+    // persist + force BOTH once, before any concurrent reader: blocked
+    // per-block cache locks make concurrent first-computation safe but
+    // serialized; a single up-front materialization is strictly cheaper
     val ingested = ingested0.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = BibGraph.taggedEdges(ingested)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // forces ingested transitively
 
-    // 1. document nodes (csv_extractor.py:33-60,101-125)
-    Neo4jCsv.writeDocumentNodes(ingested, s"$outDir/documents",
-      dynamicExtra = dynamicExtra)
-    manifest += "documents"
-
-    // 2. linked-entity nodes, one CSV per label; a label fed by several
-    //    rel types (Author via AUTHORED + TERTIARY_AUTHORED) unions them
-    //    (csv_extractor.py:64-97,128-148)
-    val byLabel = BibGraph.TaggedEdgeConfig.groupBy(_.nodeLabel).toSeq
-      .sortBy(_._1)
-    for ((label, specs) <- byLabel) {
-      val ids = specs.map { spec =>
-        val side = if (spec.fromNew) "src" else "dst"
-        edges.filter(col("rel_type") === spec.relType)
-          .select(col(side).as("id"))
-      }.reduce(_ unionAll _)
-      val name = s"${label.toLowerCase}_nodes"
-      Neo4jCsv.writeEntityNodes(ids, label, s"$outDir/$name")
-      manifest += name
-    }
-
-    // 3. document-linked relationship CSVs, one per rel type
-    //    (csv_extractor.py:153-241)
-    for (spec <- BibGraph.TaggedEdgeConfig) {
-      val (startLabel, endLabel) =
-        if (spec.fromNew) (spec.nodeLabel, "Document")
-        else ("Document", spec.nodeLabel)
-      val name = s"${spec.relType.toLowerCase}_rels"
-      Neo4jCsv.writeRels(edges, spec.relType, startLabel, endLabel,
-        s"$outDir/$name")
-      manifest += name
-    }
-    edges.unpersist(blocking = false)
-
-    // 4. the three ALIAS_OF files (csv_extractor.py:246-313) from the
-    //    ingest-derived mappings at the reference thresholds; empty
-    //    mappings are skipped like the reference's empty files
-    val aliases = Seq(
-      ("Keyword", Seq("keywords"), kwThreshold),
-      ("Organization", Seq("publisher", "place_published"), orgThreshold),
-      ("Author_Address", Seq("author_address"), addrThreshold))
-    for ((label, cols, (num, den)) <- aliases) {
-      val rels = EntityResolution.ingestedTermMapping(ingested, cols, num, den)
-        .filter(col("original") =!= col("representative"))
-        .select(col("original").as("src"), col("representative").as("dst"),
-          lit("ALIAS_OF").as("rel_type"))
-        .localCheckpoint() // probe + write read the same materialization
-      if (!rels.isEmpty) {
-        val name = s"${label.toLowerCase}_alias_of_rels"
-        Neo4jCsv.writeRels(rels, "ALIAS_OF", label, label, s"$outDir/$name")
-        manifest += name
+    // bounded pool: enough to overlap every independent writer, small
+    // enough not to swamp the driver's job scheduler
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 1. document nodes (csv_extractor.py:33-60,101-125)
+      val docsF = Future {
+        Neo4jCsv.writeDocumentNodes(ingested, s"$outDir/documents",
+          dynamicExtra = dynamicExtra)
+        Some("documents")
       }
+
+      // 2. linked-entity nodes, one CSV per label; a label fed by several
+      //    rel types (Author via AUTHORED + TERTIARY_AUTHORED) unions them
+      //    (csv_extractor.py:64-97,128-148)
+      val byLabel = BibGraph.TaggedEdgeConfig.groupBy(_.nodeLabel).toSeq
+        .sortBy(_._1)
+      val labelFs = byLabel.map { case (label, specs) =>
+        Future {
+          val ids = specs.map { spec =>
+            val side = if (spec.fromNew) "src" else "dst"
+            edges.filter(col("rel_type") === spec.relType)
+              .select(col(side).as("id"))
+          }.reduce(_ unionAll _)
+          val name = s"${label.toLowerCase}_nodes"
+          Neo4jCsv.writeEntityNodes(ids, label, s"$outDir/$name")
+          Some(name)
+        }
+      }
+
+      // 3. document-linked relationship CSVs, one per rel type
+      //    (csv_extractor.py:153-241)
+      val relFs = BibGraph.TaggedEdgeConfig.map { spec =>
+        Future {
+          val (startLabel, endLabel) =
+            if (spec.fromNew) (spec.nodeLabel, "Document")
+            else ("Document", spec.nodeLabel)
+          val name = s"${spec.relType.toLowerCase}_rels"
+          Neo4jCsv.writeRels(edges, spec.relType, startLabel, endLabel,
+            s"$outDir/$name")
+          Some(name)
+        }
+      }
+
+      // 4. the three ALIAS_OF files (csv_extractor.py:246-313) from the
+      //    ingest-derived mappings at the reference thresholds; empty
+      //    mappings are skipped like the reference's empty files. Each
+      //    lifecycle (ε-join → CC → min-rep) is independent — they
+      //    overlap each other's many small GraphX stages.
+      val aliases = Seq(
+        ("Keyword", Seq("keywords"), kwThreshold),
+        ("Organization", Seq("publisher", "place_published"), orgThreshold),
+        ("Author_Address", Seq("author_address"), addrThreshold))
+      val aliasFs = aliases.map { case (label, cols, (num, den)) =>
+        Future {
+          val rels = EntityResolution
+            .ingestedTermMapping(ingested, cols, num, den)
+            .filter(col("original") =!= col("representative"))
+            .select(col("original").as("src"),
+              col("representative").as("dst"),
+              lit("ALIAS_OF").as("rel_type"))
+            .localCheckpoint() // probe + write read the same materialization
+          if (!rels.isEmpty) {
+            val name = s"${label.toLowerCase}_alias_of_rels"
+            Neo4jCsv.writeRels(rels, "ALIAS_OF", label, label,
+              s"$outDir/$name")
+            Some(name)
+          } else None
+        }
+      }
+
+      // manifest order is the fixed reference order (futures are listed,
+      // not completion-raced)
+      Await.result(
+        Future.sequence(Seq(docsF) ++ labelFs ++ relFs ++ aliasFs),
+        Duration.Inf).flatten
+    } finally {
+      pool.shutdown()
+      edges.unpersist(blocking = false)
+      ingested.unpersist(blocking = false)
     }
-    ingested.unpersist(blocking = false)
-    manifest.result()
   }
 }
