@@ -222,7 +222,21 @@ object TaggedQueries {
     // Family 17: the capability catalog — binding-independent, but
     // router-dispatched and oracle-pinned so the advertised surface
     // cannot silently drift from the dispatch table.
-    "q117_family_catalog" -> ((s, _) => routed(s, 17, Map.empty))
+    "q117_family_catalog" -> ((s, _) => routed(s, 17, Map.empty)),
+
+    // Streaming tagged ingest, batch-equivalence leg (round-5 verdict
+    // task 8): the SAME flatMapGroupsWithState dedup operator that runs
+    // on the file-source stream (TaggedStreamSpec replays files
+    // incrementally) executed in batch mode, where it must equal the
+    // window-based dedup unconditionally — hash-gated here.
+    "q123_tagged_stream_dedup" -> ((s, _) => {
+      import s.implicits._
+      TaggedText.dedupByTitleStream(
+        TaggedText.formatRecords(TaggedText.parse(s, FixtureGlob)))
+        .toDF()
+        .select($"title", $"label", $"year_raw", $"journal")
+        .orderBy($"title")
+    })
   )
 
   /** Route a Q.txt family over the ingest-derived graph (the L1 router
@@ -392,6 +406,10 @@ thk2 AS (SELECT DISTINCT title, kw
   private[graft] val erSql = erSqlAt(576, 625)
 
   def oracles: Map[String, String] = Map(
+    "q123_tagged_stream_dedup" ->
+      s"""WITH $pipelineSql
+         SELECT title, label, year_raw, journal
+         FROM dedup WHERE rn = 1 ORDER BY title""",
     "q104_tagged_er_mapping" ->
       s"""WITH RECURSIVE $erSql
          SELECT original, representative FROM tmap ORDER BY original""",

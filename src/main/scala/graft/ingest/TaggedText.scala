@@ -46,10 +46,21 @@ object TaggedText {
     * (`cleaner.py:198-217` — grandparent directory of the file).
     * Output: src_file, area, block_idx, fields: map<string,string>.
     */
-  def parse(spark: SparkSession, dir: String): DataFrame = {
+  def parse(spark: SparkSession, dir: String): DataFrame =
+    parsedFrom(spark, spark.read.option("wholetext", "true").text(dir))
+
+  /** Streaming twin of [[parse]]: a file-source stream over the same
+    * layout — each newly arriving export file becomes one micro-batch of
+    * parsed blocks. The incremental-ingestion analog of the reference's
+    * ijson pass (`TopicClassfication.py:232-245`): records stream out of
+    * a growing corpus without re-reading old files.
+    */
+  def parseStream(spark: SparkSession, dir: String): DataFrame =
+    parsedFrom(spark, spark.readStream.option("wholetext", "true").text(dir))
+
+  private def parsedFrom(spark: SparkSession, raw: DataFrame): DataFrame = {
     import spark.implicits._
-    val files: Dataset[(String, String)] = spark.read
-      .option("wholetext", "true").text(dir)
+    val files: Dataset[(String, String)] = raw
       .select(input_file_name().as("src_file"), $"value")
       .as[(String, String)]
     files
@@ -169,4 +180,51 @@ object TaggedText {
   /** Full ingest pipeline: S2/S3 scan → P1-P3 format → A1 dedup. */
   def ingest(spark: SparkSession, dir: String): DataFrame =
     dedupByTitle(formatRecords(parse(spark, dir)))
+
+  /** The gated projection emitted by [[dedupByTitleStream]] — scalar
+    * identity + bibliographic fields plus the provenance key. */
+  case class TaggedDocRow(title: String, label: String, year_raw: String,
+      journal: String, abstract_ : String, src_file: String, block_idx: Long)
+
+  /** Streaming twin of [[dedupByTitle]], via `flatMapGroupsWithState`
+    * custom state (window functions are not available on streams): per
+    * title, the state is a seen-marker; the FIRST micro-batch containing
+    * a title emits that batch's (src_file, block_idx)-minimal row and
+    * later arrivals are swallowed. Deterministic in BOTH modes: within a
+    * batch the min-by picks the same winner as [[dedupByTitle]]'s window,
+    * and across batches state is first-writer-wins — so when files
+    * arrive in ingest order the streamed output equals the batch ingest
+    * exactly (asserted in `TaggedStreamSpec`), and in batch execution
+    * (empty state, one group pass) it equals it unconditionally — which
+    * is what the q123 hash gate checks. State is one Boolean per distinct
+    * title: bounded by the corpus's title cardinality, the same working
+    * set the reference's in-memory seen-set holds
+    * (`cleaner.py:77-94`); add a watermark upstream to bound it by time
+    * instead if titles are unbounded.
+    */
+  def dedupByTitleStream(records: DataFrame): Dataset[TaggedDocRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = records.sparkSession
+    import s.implicits._
+    records
+      .filter(col("title").isNotNull && col("title") =!= "")
+      .select(col("title"), col("label"), col("year_raw"), col("journal"),
+        col("abstract").as("abstract_"), col("src_file"), col("block_idx"))
+      .as[TaggedDocRow]
+      .groupByKey(_.title)
+      .flatMapGroupsWithState[Boolean, TaggedDocRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[TaggedDocRow], state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.src_file, r.block_idx)))
+          }
+      }
+  }
+
+  /** Streaming ingest of a growing tagged-export directory: stream-parse
+    * → P1-P3 format → stateful first-occurrence dedup. */
+  def ingestStream(spark: SparkSession, dir: String): Dataset[TaggedDocRow] =
+    dedupByTitleStream(formatRecords(parseStream(spark, dir)))
 }
