@@ -34,11 +34,20 @@ import graft.resolve.EntityResolution
   */
 object GraphDump {
 
+  /** `literalFiles = true` reproduces the reference's exact on-disk
+    * layout: each entry is a LITERAL `<name>.csv` file (`documents.csv`,
+    * `keyword_nodes.csv`, ... as `csv_extractor.py:102,134,230,284` open
+    * them), promoted from the single-part Spark write by one driver-side
+    * rename — so `neo4j-admin database import` runs against the manifest
+    * verbatim, no globbing. Default keeps Spark part-file directories
+    * (the 100 TB layout).
+    */
   def dumpGraph(ingested0: DataFrame, outDir: String,
                 dynamicExtra: Boolean = false,
                 kwThreshold: (Int, Int) = (19, 20),
                 orgThreshold: (Int, Int) = (24, 25),
-                addrThreshold: (Int, Int) = (19, 20)): Seq[String] = {
+                addrThreshold: (Int, Int) = (19, 20),
+                literalFiles: Boolean = false): Seq[String] = {
     import org.apache.spark.storage.StorageLevel
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -56,11 +65,15 @@ object GraphDump {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
+      def entry(base: String): String =
+        if (literalFiles) base + ".csv" else base
+
       // 1. document nodes (csv_extractor.py:33-60,101-125)
       val docsF = Future {
-        Neo4jCsv.writeDocumentNodes(ingested, s"$outDir/documents",
-          dynamicExtra = dynamicExtra)
-        Some("documents")
+        val name = entry("documents")
+        Neo4jCsv.writeDocumentNodes(ingested, s"$outDir/$name",
+          dynamicExtra = dynamicExtra, asFile = literalFiles)
+        Some(name)
       }
 
       // 2. linked-entity nodes, one CSV per label; a label fed by several
@@ -75,8 +88,9 @@ object GraphDump {
             edges.filter(col("rel_type") === spec.relType)
               .select(col(side).as("id"))
           }.reduce(_ unionAll _)
-          val name = s"${label.toLowerCase}_nodes"
-          Neo4jCsv.writeEntityNodes(ids, label, s"$outDir/$name")
+          val name = entry(s"${label.toLowerCase}_nodes")
+          Neo4jCsv.writeEntityNodes(ids, label, s"$outDir/$name",
+            asFile = literalFiles)
           Some(name)
         }
       }
@@ -88,9 +102,9 @@ object GraphDump {
           val (startLabel, endLabel) =
             if (spec.fromNew) (spec.nodeLabel, "Document")
             else ("Document", spec.nodeLabel)
-          val name = s"${spec.relType.toLowerCase}_rels"
+          val name = entry(s"${spec.relType.toLowerCase}_rels")
           Neo4jCsv.writeRels(edges, spec.relType, startLabel, endLabel,
-            s"$outDir/$name")
+            s"$outDir/$name", asFile = literalFiles)
           Some(name)
         }
       }
@@ -114,9 +128,9 @@ object GraphDump {
               lit("ALIAS_OF").as("rel_type"))
             .localCheckpoint() // probe + write read the same materialization
           if (!rels.isEmpty) {
-            val name = s"${label.toLowerCase}_alias_of_rels"
+            val name = entry(s"${label.toLowerCase}_alias_of_rels")
             Neo4jCsv.writeRels(rels, "ALIAS_OF", label, label,
-              s"$outDir/$name")
+              s"$outDir/$name", asFile = literalFiles)
             Some(name)
           } else None
         }

@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,27 +17,58 @@ import org.apache.spark.sql.functions._
   *
   * `coalesce(1)` mirrors the reference's one-file-per-label layout for
   * import parity; at 100 TB you drop it and let neo4j-admin take the
-  * part-files — the header/escaping contract is unchanged.
+  * part-files — the header/escaping contract is unchanged. `asFile = true`
+  * goes one step further and leaves a LITERAL `<path>` file (not a Spark
+  * directory) via [[promoteSingleFile]] — full filename parity with
+  * `csv_extractor.py`'s `open(...csv)` outputs.
   */
 object Neo4jCsv {
 
-  private def write(df: DataFrame, path: String, singleFile: Boolean): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
+  private def write(df: DataFrame, path: String, singleFile: Boolean,
+                    asFile: Boolean = false): Unit = {
+    val out = if (singleFile || asFile) df.coalesce(1) else df
+    val target = if (asFile) path + ".__spark_tmp" else path
     out.write.mode("overwrite")
       .option("header", "true")
       .option("escape", "\"")
       .option("emptyValue", "")
-      .csv(path)
+      .csv(target)
+    if (asFile) promoteSingleFile(df.sparkSession, target, path)
+  }
+
+  /** Promote a single-part Spark CSV directory to a LITERAL file at
+    * `filePath` — the reference's exact on-disk layout (`csv_extractor.py:
+    * 101-148` opens `documents.csv` / `<label>_nodes.csv` directly), so
+    * `neo4j-admin database import --nodes=documents.csv` works without
+    * globbing. The promotion is one driver-side metadata `rename` plus a
+    * directory delete on the target FileSystem (no data movement on local
+    * or HDFS). Import-parity mode only: it implies `coalesce(1)`; at
+    * 100 TB keep the part-file directory and glob.
+    */
+  private def promoteSingleFile(spark: SparkSession, tmpDir: String,
+                                filePath: String): Unit = {
+    val dir = new Path(tmpDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"expected exactly one part file in $tmpDir, found ${parts.length}")
+    val dst = new Path(filePath)
+    fs.delete(dst, false)
+    if (!fs.rename(parts(0), dst))
+      throw new java.io.IOException(s"rename ${parts(0)} -> $dst failed")
+    fs.delete(dir, true)
   }
 
   /** Entity node CSV: unique ids under one label (A4 first-writer-wins ≡
     * dropDuplicates on the id).
     */
   def writeEntityNodes(nodes: DataFrame, label: String, path: String,
-                       singleFile: Boolean = true): Unit = {
+                       singleFile: Boolean = true,
+                       asFile: Boolean = false): Unit = {
     val out = nodes.select(col("id").as(":ID"), lit(label).as(":LABEL"),
       col("id").as("name")).dropDuplicates(":ID")
-    write(out, path, singleFile)
+    write(out, path, singleFile, asFile)
   }
 
   /** Document node CSV with the reference's FULL 12-column property set
@@ -54,7 +86,8 @@ object Neo4jCsv {
     */
   def writeDocumentNodes(docs: DataFrame, path: String,
                          singleFile: Boolean = true,
-                         dynamicExtra: Boolean = false): Unit = {
+                         dynamicExtra: Boolean = false,
+                         asFile: Boolean = false): Unit = {
     val have = docs.columns.toSet
     def c(name: String) =
       (if (have(name)) col(name) else lit(null).cast("string")).as(name)
@@ -81,19 +114,20 @@ object Neo4jCsv {
       col("extra").getItem(k).as(name)
     }
     val out = docs.select(base ++ extras: _*).dropDuplicates(":ID")
-    write(out, path, singleFile)
+    write(out, path, singleFile, asFile)
   }
 
   /** Relationship CSV: `(src, dst, rel_type)` rows under one type. */
   def writeRels(edges: DataFrame, relType: String, startLabel: String,
                 endLabel: String, path: String,
-                singleFile: Boolean = true): Unit = {
+                singleFile: Boolean = true,
+                asFile: Boolean = false): Unit = {
     val out = edges.filter(col("rel_type") === relType)
       .select(col("src").as(s":START_ID($startLabel)"),
         col("dst").as(s":END_ID($endLabel)"),
         col("rel_type").as(":TYPE"))
       .distinct()
-    write(out, path, singleFile)
+    write(out, path, singleFile, asFile)
   }
 }
 

@@ -128,6 +128,32 @@ class SinksSpec extends AnyFunSuite {
       Set("知识图谱 (KG),知识图谱,ALIAS_OF", "深度学习 (DL),深度学习,ALIAS_OF"))
   }
 
+  test("literalFiles dump leaves real <name>.csv files, not Spark directories") {
+    val dir = Files.createTempDirectory("dumpfile").toString
+    val ingested = graft.ingest.TaggedText.ingest(spark,
+      "/root/repo/src/test/resources/{tagged,tagged_er}/*/*/*.txt")
+    val manifest = GraphDump.dumpGraph(ingested, dir, literalFiles = true)
+    // every manifest entry carries the reference's literal filename...
+    assert(manifest.head === "documents.csv")
+    assert(manifest.contains("keyword_nodes.csv"))
+    assert(manifest.contains("authored_rels.csv"))
+    assert(manifest.contains("keyword_alias_of_rels.csv"))
+    for (name <- manifest) {
+      val p = Paths.get(s"$dir/$name")
+      assert(Files.isRegularFile(p), s"$name is not a regular file")
+    }
+    // ...no Spark tmp/part directories left behind
+    val leftovers = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => !Files.isRegularFile(p)).toSeq
+    assert(leftovers.isEmpty, s"unexpected directories: $leftovers")
+    // content identical contract: same header + rows as the directory mode
+    val lines = Files.readAllLines(
+      Paths.get(s"$dir/keyword_alias_of_rels.csv")).asScala
+    assert(lines.head === ":START_ID(Keyword),:END_ID(Keyword),:TYPE")
+    assert(lines.tail.toSet ===
+      Set("知识图谱 (KG),知识图谱,ALIAS_OF", "深度学习 (DL),深度学习,ALIAS_OF"))
+  }
+
   test("JSON mapping sink round-trips exactly") {
     val dir = Files.createTempDirectory("map").toString + "/m"
     val mapping = Seq(("先天免疫系统", "先天免疫"), ("区块链", "区块链"))
