@@ -384,7 +384,7 @@ cand AS (
   /** Oracle CTE chain for the IVF-blocked cosine pairs (shared by q36 and
     * q39) — ends in `cpairs(v1, v2, dot)`.
     */
-  private val cosinePairsSql = """q0 AS (
+  private val cosinePairsSql = s"""q0 AS (
   SELECT vec_id,
     list_transform(embedding,
       x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
@@ -393,7 +393,7 @@ n AS (SELECT vec_id, e,
         CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
       FROM q0),
 cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-         FROM n WHERE vec_id % 50 = 0),
+         FROM n WHERE vec_id % ${graft.similarity.Similarity.modulusSql} = 0),
 ap AS (SELECT n.vec_id, cent.cid,
         CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
         n.nrm, cent.cnrm

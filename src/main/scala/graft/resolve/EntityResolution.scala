@@ -567,7 +567,7 @@ comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)""
   /** Oracle mirror of the IVF-blocked ε-graph (q36's assignment chain +
     * the ε predicate within cells) + the same CC walk.
     */
-  private val blockedCcSql = """q0 AS (
+  private val blockedCcSql = s"""q0 AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
   FROM embeddings),
@@ -575,7 +575,7 @@ n AS (SELECT vec_id, e,
         CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
       FROM q0),
 cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-         FROM n WHERE vec_id % 50 = 0),
+         FROM n WHERE vec_id % ${graft.similarity.Similarity.modulusSql} = 0),
 ap AS (SELECT n.vec_id, cent.cid,
         CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
         n.nrm, cent.cnrm

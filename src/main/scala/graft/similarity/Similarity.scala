@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -15,8 +15,9 @@ import graft.functions.VectorOps._
   *    products; at 100 TB this is only viable for small |Q| with the
   *    corpus side broadcast-partitioned, hence:
   *  - q41/q42: IVF (inverted-file) — a deterministic coarse quantizer
-  *    (every 50th vector is a centroid) assigns each vector to its
-  *    nearest centroid; queries then search ONLY their centroid's bucket.
+  *    (every m-th vector is a centroid, m = max(50, floor(sqrt(n))))
+  *    assigns each vector to its nearest centroid; queries then search
+  *    ONLY their centroid's bucket.
   *    The shuffle becomes O(n) assignment + a per-bucket join, and the
   *    bucket id is the partitioning key at scale. Recall < 1 by design —
   *    the usual IVF trade; nprobe>1 is the standard extension.
@@ -27,11 +28,72 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
-  /** IVF coarse assignment shared by q41/q42 and the blocked cosine
-    * near-dup (q36): every vector with its quantized embedding, norm and
-    * nearest-centroid bucket id. Centroids (every 50th vector — the
-    * deterministic fixture quantizer) are broadcast; the assignment is one
-    * O(n·k) map, no shuffle.
+  /** Centroid spacing: every `m`-th vector is a centroid, with
+    * m = max(50, floor(sqrt(n))). At the oracle SFs (n ≤ 2500) this is
+    * exactly the fixed 50 of rounds 1–5, so gated results are unchanged;
+    * past that it switches to the standard sqrt(n) IVF sizing, so the
+    * broadcast centroid set AND the expected per-cell population both grow
+    * as sqrt(n). The former fixed spacing made k = n/50, turning the
+    * O(n·k) assignment quadratic in n — measured as q41 19×/q43 67× at a
+    * 10× scale-up (bench/r06_sf1_run1.json) before this rule.
+    */
+  private[graft] def centroidModulus(n: Long): Long =
+    math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** DuckDB mirror of [[centroidModulus]] — interpolate where the oracle
+    * selects its centroid rows.
+    */
+  private[graft] val modulusSql =
+    "(SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+  /** A collected centroid row: (cid, quantized vector, squared norm).
+    * k ≈ sqrt(n) of these; at any scale this is the small side that IVF
+    * exists to keep broadcastable.
+    */
+  private type Cent = (Long, Seq[Long], Long)
+
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("e"))
+      .withColumn("nrm", norm2($"e"))
+  }
+
+  private def seedCentroids(s: SparkSession, d: String): Seq[Cent] = {
+    import s.implicits._
+    val m = centroidModulus(Tables.embeddings(s, d).count())
+    quantized(s, d).filter($"vec_id" % m === 0)
+      .select($"vec_id", $"e", $"nrm").as[(Long, Seq[Long], Long)]
+      .collect().toSeq
+  }
+
+  /** The `nprobe` nearest centroid cells for one row, as a sorted
+    * array<struct<akey,cid>> column. The centroids ride along as ONE
+    * literal (k ≈ sqrt(n) structs — a few hundred KB at most), and the
+    * scan is a per-row reduction: score every centroid with the native
+    * [[graft.functions.LongDotProduct]], sort the k-element array, slice.
+    * Zero shuffle and nothing wider than the input row ever materializes —
+    * unlike the previous crossJoin+window form, which built an n·k-row
+    * frame and shuffled it through a row_number just to keep 1–2 rows per
+    * vector (the dominant cost of every IVF query at 10× scale).
+    * Ordering ties out with the old window (`akey` DESC, `cid` ASC); keys
+    * are never NaN since the fixture has no zero vectors.
+    */
+  private def topCells(cents: Seq[Cent], e: Column, nrm: Column,
+      nprobe: Int): Column = {
+    val scored = transform(typedlit(cents), c => struct(
+      cos2Key(dot(e, c("_2")), nrm, c("_3")).as("akey"),
+      c("_1").as("cid")))
+    val byKeyDescCidAsc = (l: Column, r: Column) =>
+      when(l("akey") > r("akey"), -1).when(l("akey") < r("akey"), 1)
+        .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+        .otherwise(0)
+    slice(array_sort(scored, byKeyDescCidAsc), 1, nprobe)
+  }
+
+  /** IVF coarse assignment shared by q41/q42, the blocked cosine near-dup
+    * (q36) and the blocked ε-join (q52): every vector with its quantized
+    * embedding, norm and nearest-centroid bucket id.
     */
   def ivfAssigned(s: SparkSession, d: String): DataFrame =
     ivfAssignedN(s, d, 1).drop("probe_rank")
@@ -45,23 +107,17 @@ object Similarity {
     */
   def ivfAssignedN(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", quantize($"embedding").as("e"))
-      .withColumn("nrm", norm2($"e"))
-    val centroids = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
-    val w = Window.partitionBy($"vec_id").orderBy($"akey".desc, $"cid")
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("adot", dot($"e", $"ce"))
-      .withColumn("akey", cos2Key($"adot", $"nrm", $"cnrm"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= nprobe)
-      .select($"vec_id", $"e", $"nrm", $"cid", $"rn".as("probe_rank"))
+    val cents = seedCentroids(s, d)
+    quantized(s, d)
+      .select($"vec_id", $"e", $"nrm",
+        posexplode(topCells(cents, $"e", $"nrm", nprobe)))
+      .select($"vec_id", $"e", $"nrm", $"col.cid".as("cid"),
+        ($"pos" + 1).cast("int").as("probe_rank"))
   }
 
   /** Trained IVF centroids: Lloyd's k-means over the quantized embedding
-    * lattice, seeded with the deterministic fixture quantizer (every 50th
-    * vector) and run for `iters` assignment→update rounds. The update is
+    * lattice, seeded with the deterministic fixture quantizer
+    * ([[seedCentroids]]) and run for `iters` assignment→update rounds. The update is
     * an element-wise FLOOR of the per-cell mean (`floor(sum/count)` with
     * the sums exact BIGINTs), so every round — and therefore the final
     * index — is bit-reproducible and expressible in the DuckDB oracle;
@@ -69,21 +125,20 @@ object Similarity {
     * quantized lattice exists to kill. Cells that attract no vectors
     * drop out (standard Lloyd's; k may shrink).
     *
-    * Scale shape: each round is one O(n·k) broadcast assignment (no
-    * shuffle) plus one (cid, dim)-keyed partial-aggregated shuffle of
-    * n·dim skinny rows — the classic map-reduce centroid update. k ≈
-    * n/50 keeps the broadcast bounded; at 100 TB you train on a sample
-    * and only the final assignment sees the full corpus.
+    * Scale shape — the MLlib KMeans loop: per round, one O(n·k)
+    * shuffle-free assignment scan against driver-held centroids
+    * ([[topCells]]) plus one (cid, dim)-keyed partial-aggregated shuffle
+    * of n·dim skinny rows, whose k·dim result rows are collected back to
+    * the driver for the next round (k ≈ sqrt(n) keeps that tiny). At
+    * 100 TB you train on a sample and only the final assignment sees the
+    * full corpus.
     */
-  def kmeansCentroids(s: SparkSession, d: String, iters: Int): DataFrame = {
+  def kmeansCentroids(s: SparkSession, d: String, iters: Int): Seq[Cent] = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", quantize($"embedding").as("e"))
-      .withColumn("nrm", norm2($"e"))
-    var cents = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("cid"), $"e".as("ce"), $"nrm".as("cnrm"))
+    val emb = quantized(s, d)
+    var cents = seedCentroids(s, d)
     for (_ <- 1 to iters) {
-      val sums = assignToCells(emb, cents)
+      val updated = assignToCells(emb, cents)
         .select($"cid", posexplode($"e").as(Seq("pos", "x")))
         .groupBy($"cid", $"pos")
         .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
@@ -91,28 +146,22 @@ object Similarity {
         // oracle's floor(1.0*sum/count): both divide exactly-representable
         // integers (|sum| ≪ 2^53) in IEEE double, so the floor agrees
         .select($"cid", $"pos", floor($"sx" / $"n").cast("long").as("v"))
-      cents = sums.groupBy($"cid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"v"))),
-          c => c("v")).as("ce"))
-        .withColumn("cnrm", norm2($"ce"))
-        .select($"cid", $"ce", $"cnrm")
+        .as[(Long, Int, Long)].collect()
+      cents = updated.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        val ce = rows.sortBy(_._2).map(_._3).toSeq
+        (cid, ce, ce.iterator.map(v => v * v).sum)
+      }.sortBy(_._1)
     }
     cents
   }
 
   /** Nearest-cell assignment of a quantized frame `(vec_id, e, nrm)` to
-    * `(cid, ce, cnrm)` centroids: broadcast O(n·k) scan, rank-1 cell per
-    * vector, ties on cid — the same rule as [[ivfAssignedN]].
+    * driver-held centroids: [[topCells]] rank-1 cell per vector, ties on
+    * cid — the same rule as [[ivfAssignedN]].
     */
-  private def assignToCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("akey").desc, col("cid"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("adot", dot(col("e"), col("ce")))
-      .withColumn("akey", cos2Key(col("adot"), col("nrm"), col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
-  }
+  private def assignToCells(emb: DataFrame, cents: Seq[Cent]): DataFrame =
+    emb.withColumn("cid",
+      element_at(topCells(cents, col("e"), col("nrm"), 1), 1)("cid"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
@@ -150,7 +199,9 @@ object Similarity {
       val q = assigned.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
-      q.join(assigned.as("c"), Seq("cid"))
+      // |Q| = 10 rows: broadcast the query side so the corpus never
+      // shuffles — each corpus partition streams past a tiny hash table.
+      q.hint("broadcast").join(assigned.as("c"), Seq("cid"))
         .filter($"qid" =!= $"c.vec_id")
         .withColumn("dot", dot($"qe", $"c.e"))
         .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
@@ -175,7 +226,7 @@ object Similarity {
       val q = both.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
-      q.join(corpus.as("c"), Seq("cid"))
+      q.hint("broadcast").join(corpus.as("c"), Seq("cid"))
         .filter($"qid" =!= $"c.vec_id")
         .withColumn("dot", dot($"qe", $"c.e"))
         .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
@@ -255,7 +306,7 @@ object Similarity {
       val q = cell.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"b".as("qb"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
-      q.join(cell.as("c"), Seq("cid"))
+      q.hint("broadcast").join(cell.as("c"), Seq("cid"))
         .filter($"qid" =!= $"c.vec_id")
         .withColumn("dot", int8Dot($"qb", $"c.b"))
         .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
@@ -272,10 +323,7 @@ object Similarity {
     // fixture-assigned quantizer upgraded to a real k-means index.
     "q121_kmeans_assign" -> ((s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id", quantize($"embedding").as("e"))
-        .withColumn("nrm", norm2($"e"))
-      assignToCells(emb, kmeansCentroids(s, d, 2))
+      assignToCells(quantized(s, d), kmeansCentroids(s, d, 2))
         .select($"vec_id", $"cid".as("centroid_id"))
         .orderBy($"vec_id")
     }),
@@ -284,14 +332,11 @@ object Similarity {
     // index): better-centered cells → better recall at the same nprobe.
     "q122_ivf_trained_topk" -> ((s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-        .select($"vec_id", quantize($"embedding").as("e"))
-        .withColumn("nrm", norm2($"e"))
-      val cell = assignToCells(emb, kmeansCentroids(s, d, 2))
+      val cell = assignToCells(quantized(s, d), kmeansCentroids(s, d, 2))
       val q = cell.filter($"vec_id" < 10)
         .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qnrm"), $"cid")
       val wTop = Window.partitionBy($"qid").orderBy($"key".desc, $"nid")
-      q.join(cell.as("c"), Seq("cid"))
+      q.hint("broadcast").join(cell.as("c"), Seq("cid"))
         .filter($"qid" =!= $"c.vec_id")
         .withColumn("dot", dot($"qe", $"c.e"))
         .withColumn("key", cos2Key($"dot", $"qnrm", $"c.nrm"))
@@ -310,8 +355,8 @@ object Similarity {
            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
        FROM embeddings"""
 
-  /** CTE chain mirroring [[kmeansCentroids]]: seeds `c0` (every 50th
-    * vector), then per round an assignment (`a$i`, rank-1 cell, cid
+  /** CTE chain mirroring [[kmeansCentroids]]: seeds `c0` (every
+    * [[modulusSql]]-th vector), then per round an assignment (`a$i`, rank-1 cell, cid
     * tiebreak) and the FLOOR-mean update (`m$i` → `c$i`). Ends at
     * `c$iters`, the trained centroid set. The floor of `1.0*sum/count`
     * divides exactly-representable integers in IEEE double — identical
@@ -324,7 +369,7 @@ object Similarity {
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
                FROM q0),
          c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                FROM n WHERE vec_id % 50 = 0)""")
+                FROM n WHERE vec_id % $modulusSql = 0)""")
     for (i <- 1 to iters) {
       sb ++= s""",
          ap$i AS (SELECT n.vec_id, c.cid,
@@ -378,7 +423,7 @@ object Similarity {
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
                FROM q0),
          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                  FROM n WHERE vec_id % 50 = 0),
+                  FROM n WHERE vec_id % $modulusSql = 0),
          p AS (SELECT n.vec_id, cent.cid,
                  CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
                  n.nrm, cent.cnrm
@@ -396,7 +441,7 @@ object Similarity {
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
                FROM q0),
          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                  FROM n WHERE vec_id % 50 = 0),
+                  FROM n WHERE vec_id % $modulusSql = 0),
          ap AS (SELECT n.vec_id, cent.cid,
                  CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
                  n.nrm, cent.cnrm
@@ -432,7 +477,7 @@ object Similarity {
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
                FROM q0),
          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                  FROM n WHERE vec_id % 50 = 0),
+                  FROM n WHERE vec_id % $modulusSql = 0),
          ap AS (SELECT n.vec_id, cent.cid,
                  CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
                  n.nrm, cent.cnrm
@@ -507,7 +552,7 @@ object Similarity {
                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
                FROM q0),
          cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
-                  FROM n WHERE vec_id % 50 = 0),
+                  FROM n WHERE vec_id % $modulusSql = 0),
          ap AS (SELECT n.vec_id, cent.cid,
                  CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
                  n.nrm, cent.cnrm

@@ -9,12 +9,16 @@ import graft.TestSpark
   * dedup keeps the first (user, type) arrival; tumbling and session
   * windows aggregate per the batch-analog semantics (q55-q57).
   */
+// Top-level, not nested in the suite: an inner case class captures the
+// suite as its `$outer`, and the encoder's generated code then can't call
+// `event_id()` without that instance — every stream in here would silently
+// run on the interpreted fallback path (ERROR CodeGenerator in the logs).
+private[streaming] case class Evt(event_id: Long, ts: Timestamp,
+                                  user_id: Long, event_type: String)
+
 class EventsStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-
-  private case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
-                         event_type: String)
 
   private def t(min: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
