@@ -67,28 +67,28 @@ object Similarity {
       .collect().toSeq
   }
 
-  /** The `nprobe` nearest centroid cells for one row, as a sorted
-    * array<struct<akey,cid>> column. The centroids ride along as ONE
-    * literal (k ≈ sqrt(n) structs — a few hundred KB at most), and the
-    * scan is a per-row reduction: score every centroid with the native
-    * [[graft.functions.LongDotProduct]], sort the k-element array, slice.
-    * Zero shuffle and nothing wider than the input row ever materializes —
-    * unlike the previous crossJoin+window form, which built an n·k-row
+  /** The `nprobe` nearest centroid cells for one row, as an
+    * `array<bigint>` of cell ids in rank order — the native codegen'd
+    * [[graft.functions.NearestCells]] reduction. The centroids ride
+    * inside the expression (k ≈ sqrt(n) rows — a few hundred KB at most)
+    * and the scan is one compiled k×dim multiply-add loop per row: zero
+    * shuffle, and nothing wider than the input row ever materializes —
+    * unlike the original crossJoin+window form, which built an n·k-row
     * frame and shuffled it through a row_number just to keep 1–2 rows per
-    * vector (the dominant cost of every IVF query at 10× scale).
-    * Ordering ties out with the old window (`akey` DESC, `cid` ASC); keys
-    * are never NaN since the fixture has no zero vectors.
+    * vector (the dominant cost of every IVF query at 10× scale). An
+    * intermediate `transform`+`array_sort` lambda form had this dataflow
+    * but ran interpreted (HOFs are not codegen'd) and lost the win.
+    * Ordering ties out with the oracle window (`akey` DESC, `cid` ASC);
+    * keys are never NaN since the fixture has no zero vectors.
     */
   private def topCells(cents: Seq[Cent], e: Column, nrm: Column,
       nprobe: Int): Column = {
-    val scored = transform(typedlit(cents), c => struct(
-      cos2Key(dot(e, c("_2")), nrm, c("_3")).as("akey"),
-      c("_1").as("cid")))
-    val byKeyDescCidAsc = (l: Column, r: Column) =>
-      when(l("akey") > r("akey"), -1).when(l("akey") < r("akey"), 1)
-        .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
-        .otherwise(0)
-    slice(array_sort(scored, byKeyDescCidAsc), 1, nprobe)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCells(
+      ColumnBridge.expression(e), ColumnBridge.expression(nrm),
+      cents.map { case (cid, ce, cn) => (cid, ce.toIndexedSeq, cn) }
+        .toIndexedSeq,
+      nprobe))
   }
 
   /** IVF coarse assignment shared by q41/q42, the blocked cosine near-dup
@@ -111,7 +111,7 @@ object Similarity {
     quantized(s, d)
       .select($"vec_id", $"e", $"nrm",
         posexplode(topCells(cents, $"e", $"nrm", nprobe)))
-      .select($"vec_id", $"e", $"nrm", $"col.cid".as("cid"),
+      .select($"vec_id", $"e", $"nrm", $"col".as("cid"),
         ($"pos" + 1).cast("int").as("probe_rank"))
   }
 
@@ -161,7 +161,7 @@ object Similarity {
     */
   private def assignToCells(emb: DataFrame, cents: Seq[Cent]): DataFrame =
     emb.withColumn("cid",
-      element_at(topCells(cents, col("e"), col("nrm"), 1), 1)("cid"))
+      element_at(topCells(cents, col("e"), col("nrm"), 1), 1))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
