@@ -535,6 +535,26 @@ object EntityResolution {
         .select(col("original").cast("long").as("vec_id"),
           col("representative").cast("long").as("rep_id"))
         .orderBy($"vec_id")
+    }),
+
+    // q51's scale path: the SAME refinement pipeline over the
+    // IVF-blocked ε-graph's clusters (q52's linear-shuffle kernel)
+    // instead of the exact all-pairs anchor — together q51/q124 mirror
+    // the q50/q52 exact-anchor/blocked-path pairing for the full
+    // §2.8-C1→C2 lifecycle. At sf1 the exact kernel is ~26× its sf0.1
+    // cost (quadratic by design); this composition scales with the
+    // blocked pair volume instead.
+    "q124_refined_blocked" -> ((s, d) => {
+      import s.implicits._
+      val verts = Tables.embeddings(s, d).select($"vec_id")
+      val mapping = connectedComponents(s, verts, blockedEpsPairs(s, d))
+        .select($"vec_id".cast("string").as("original"),
+          $"component".cast("string").as("representative"))
+      MappingCorrector
+        .refineMapping(mapping, PromoteSecondCorrector, minClusterSize = 3)
+        .select(col("original").cast("long").as("vec_id"),
+          col("representative").cast("long").as("rep_id"))
+        .orderBy($"vec_id")
     })
   )
 
@@ -690,6 +710,16 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
          FROM bfs GROUP BY node ORDER BY vec_id""",
     "q51_er_refined_mapping" ->
       s"""WITH RECURSIVE $ccSql,
+         stats AS (
+           SELECT component, count(*) AS cnt,
+                  min(CASE WHEN vec_id > component THEN vec_id END) AS second
+           FROM comp GROUP BY component)
+         SELECT c.vec_id AS vec_id,
+                CASE WHEN st.cnt >= 3 THEN st.second ELSE c.component END AS rep_id
+         FROM comp c JOIN stats st ON c.component = st.component
+         ORDER BY vec_id""",
+    "q124_refined_blocked" ->
+      s"""WITH RECURSIVE $blockedCcSql,
          stats AS (
            SELECT component, count(*) AS cnt,
                   min(CASE WHEN vec_id > component THEN vec_id END) AS second
