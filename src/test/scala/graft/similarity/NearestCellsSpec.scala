@@ -68,6 +68,48 @@ class NearestCellsSpec extends AnyFunSuite {
     assert(compiled.sortBy(_._1) === fromEval.sortBy(_._1))
   }
 
+  test("property: matches the sort-everything oracle on random lattices") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dim = 4
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-1000L, 1000L))
+      .suchThat(_.exists(_ != 0L)) // no zero vectors, per the contract
+    val caseGen = for {
+      k <- Gen.chooseNum(1, 12)
+      cents <- Gen.listOfN(k, vecGen)
+      v <- vecGen
+      nprobe <- Gen.chooseNum(1, 4)
+    } yield (cents, v, nprobe)
+    val cases = (0 until 200).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.size >= 150) // suchThat retries may drop a few seeds
+    cases.foreach { case (centVecs, v, nprobe) =>
+      val cents = centVecs.zipWithIndex.map { case (ce, i) =>
+        cent((i + 1).toLong * 7, ce: _*)
+      }.toIndexedSeq
+      // oracle: score ALL cells with the exact cos2Key arithmetic, full
+      // sort by (key desc, cid asc), take nprobe
+      val nrm = v.iterator.map(x => x * x).sum
+      val expected = cents.map { case (cid, ce, cnrm) =>
+        val dot = v.iterator.zip(ce.iterator).map { case (a, b) => a * b }.sum
+        val key = (dot * dot).toDouble / (nrm * cnrm).toDouble *
+          (if (dot < 0) -1.0 else 1.0)
+        (key, cid)
+      }.sortBy { case (key, cid) => (-key, cid) }
+        .take(nprobe).map(_._2)
+      val ne = NearestCells(
+        ColumnBridge.expression(org.apache.spark.sql.functions.col("e")),
+        ColumnBridge.expression(org.apache.spark.sql.functions.col("nrm")),
+        cents, nprobe)
+      val got = ne.nullSafeEval(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+        nrm)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(got === expected, s"cents=$cents v=$v nprobe=$nprobe")
+    }
+  }
+
   test("nprobe beyond k returns all cells; dimension mismatch throws") {
     import spark.implicits._
     val cents = IndexedSeq(cent(1L, 1L, 0L), cent(2L, 0L, 1L))
