@@ -26,6 +26,9 @@ object ProfileQuery {
       val n = q(spark, d).count()
       println(s"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
     }
+    args.find(_.startsWith("--save=")).map(_.stripPrefix("--save=")).foreach {
+      out => q(spark, d).coalesce(1).write.mode("overwrite").parquet(out)
+    }
     spark.stop()
   }
 }
