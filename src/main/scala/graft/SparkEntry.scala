@@ -23,6 +23,7 @@ object SparkEntry {
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (relational.TpchQueries.queries, relational.TpchQueries.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (text.Curation.queries, text.Curation.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),
     (graph.GraphQueries.queries, graph.GraphQueries.oracles),

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-corpus curation operators beyond filtering/dedup — the two
+  * standard steps between "clean corpus" and "training batches" that the
+  * north-star mandate's pipeline needs and no reference stage covers:
+  *
+  *  - q125 benchmark DECONTAMINATION: drop (flag) training documents that
+  *    share any 3-word shingle with a held-out evaluation set — the
+  *    n-gram-collision rule used for public-benchmark decontamination.
+  *    The eval set here is the deterministic `doc_id % 100 = 0` slice
+  *    (a fixture stand-in for "the benchmark corpus"; the operator only
+  *    assumes SOME distinguished subset).
+  *  - q126 sequence PACKING: assign documents to fixed-token-budget
+  *    training sequences by cumulative token count, deterministically,
+  *    within hash shards — the pack-per-shard layout that parallelizes
+  *    (a GLOBAL greedy pack is a single-partition window by definition;
+  *    sharding is how real pipelines make packing embarrassingly
+  *    parallel at the cost of at most one under-filled tail sequence
+  *    per shard).
+  *
+  * Scale shapes: q125's shingle frame is the same linear token fan-out
+  * as the LSH/simhash family; the eval-side shingle set is ~1% of the
+  * corpus and explicitly `broadcast()` (an anti-join against a broadcast
+  * set — no shuffle of the training side). q126 shuffles once on the
+  * shard key; each shard's window is an independent linear scan, and the
+  * shard count is the parallelism knob (32 here ≡ local core count; at
+  * 100 TB pick shards ≈ cores so each packs ~corpus/shards tokens).
+  */
+object Curation {
+
+  private val EvalMod = 100L   // doc_id % EvalMod == 0 → held-out eval doc
+  private val Budget = 512L    // tokens per packed training sequence
+  private val Shards = 32L     // pack-parallelism (≡ local core count)
+
+  /** Distinct 3-word shingles per document, exploded. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", explode(array_distinct(
+        when(size($"t") >= 3, expr(
+          """transform(sequence(1, size(t) - 2),
+             j -> concat(element_at(t, j), ' ',
+                         element_at(t, j + 1), ' ',
+                         element_at(t, j + 2)))"""))
+          .otherwise(array()))).as("shingle"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One row per TRAINING doc: how many of its distinct 3-gram shingles
+    // collide with the eval slice, and the keep/drop decision.
+    "q125_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val sh = shingles(s, d)
+      val evalShingles = sh.filter($"doc_id" % EvalMod === 0)
+        .select($"shingle").distinct()
+      val hits = sh.filter($"doc_id" % EvalMod =!= 0)
+        .join(broadcast(evalShingles), "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      Tables.documents(s, d).filter($"doc_id" % EvalMod =!= 0)
+        .select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          when($"n_hits".isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic first-fit-in-id-order packing: a doc belongs to the
+    // sequence its START offset falls in (long docs span onward; the
+    // assignment stays well-defined and order-independent of execution).
+    "q126_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id", ($"doc_id" % Shards).as("shard"),
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"shard", $"n_tokens",
+          expr(s"CAST((cum - n_tokens) DIV $Budget AS BIGINT)").as("seq_id"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  private val shingleSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(1, len(tk) - 1),
+                    j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
+                ELSE [] END)) AS shingle
+              FROM t)"""
+
+  def oracles: Map[String, String] = Map(
+    "q125_decontaminate" ->
+      s"""WITH $shingleSql,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $EvalMod = 0),
+         hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM sh s JOIN bench b USING (shingle)
+                  WHERE s.doc_id % $EvalMod <> 0 GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % $EvalMod <> 0 ORDER BY doc_id""",
+    "q126_pack_sequences" ->
+      s"""WITH x AS (
+           SELECT doc_id, doc_id % $Shards AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM x)
+         SELECT doc_id, shard, n_tokens,
+                CAST((cum - n_tokens) // $Budget AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id"""
+  )
+}
