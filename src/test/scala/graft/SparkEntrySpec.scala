@@ -20,6 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("module registries do not shadow each other's query names") {
     val perModule = Seq(
       relational.TpchQueries.queries, text.TextAnalysis.queries,
+      text.Curation.queries,
       dedup.Dedup.queries, similarity.Similarity.queries,
       graph.GraphQueries.queries, resolve.EntityResolution.queries,
       streaming.Events.queries, enrich.TopicEnrichment.queries,
