@@ -96,13 +96,17 @@ object Bench {
       case (name, v) if v > 0 && ControlSnapshot.contains(name) =>
         (name, v / ControlSnapshot(name))
     } else Seq.empty
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would emit "1,234" and corrupt the JSON
+    def num(v: Double, fmt: String): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     val controlsJson = controlRatios
-      .map { case (k, r) => s"\"" + k + "\":" + f"$r%.3f" }
+      .map { case (k, r) => s"\"" + k + "\":" + num(r, "%.3f") }
       .mkString("{", ",", "}")
     val (ratioJson, normTotalJson) =
       if (controlRatios.nonEmpty) {
         val cr = median(controlRatios.map(_._2))
-        (f"$cr%.3f", f"${total / cr}%.2f")
+        (num(cr, "%.3f"), num(total / cr, "%.2f"))
       } else ("null", "null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"sf":"$sfDir"}""")
     spark.stop()

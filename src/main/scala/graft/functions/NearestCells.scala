@@ -124,8 +124,13 @@ case class NearestCells(
       val ceRef = ctx.addReferenceObj("nearestCellsCe", ceFlat, "long[]")
       val cnrmRef = ctx.addReferenceObj("nearestCellsCnrm", cnrmArr, "long[]")
       val n = ctx.freshName("n")
-      val bk = ctx.freshName("bestKey")
-      val bc = ctx.freshName("bestCid")
+      // top-nprobe scratch hoisted to instance state: `filled` restarts
+      // at 0 each row, so no per-row allocation in the hot scan
+      val takeN = math.min(nprobe, cidArr.length)
+      val bk = ctx.addMutableState("double[]", "nearestCellsBk",
+        v => s"$v = new double[$takeN];")
+      val bc = ctx.addMutableState("long[]", "nearestCellsBc",
+        v => s"$v = new long[$takeN];")
       val filled = ctx.freshName("filled")
       val c = ctx.freshName("c")
       val dot = ctx.freshName("dot")
@@ -135,7 +140,7 @@ case class NearestCells(
       val cid = ctx.freshName("cid")
       val pos = ctx.freshName("pos")
       val m = ctx.freshName("m")
-      val take = s"${math.min(nprobe, cidArr.length)}"
+      val take = takeN.toString
       s"""
          |int $n = $x.numElements();
          |if ($n != $dim) {
@@ -143,8 +148,6 @@ case class NearestCells(
          |    "$prettyName: vector dimension " + $n +
          |      " != centroid dimension $dim");
          |}
-         |double[] $bk = new double[$take];
-         |long[] $bc = new long[$take];
          |int $filled = 0;
          |for (int $c = 0; $c < ${cidArr.length}; $c++) {
          |  long $dot = 0L;

@@ -393,7 +393,10 @@ object EntityResolution {
     * executor loss mid-loop killed the job on a real cluster). For very
     * deep iteration counts, pass `checkpointEvery` > 0 and set
     * `sc.setCheckpointDir` to cut lineage with a RELIABLE checkpoint
-    * every k rounds.
+    * every k rounds — each cut materializes eagerly (one job per k
+    * rounds, the standard iterate-vs-lineage trade), since a mark-only
+    * `checkpoint()` would neither truncate the first job's lineage nor
+    * write any but the last marked round.
     *
     * Overflow: total mass ≤ n·S, so Longs hold to ~10⁸ vertices at the
     * ×85 step; `multiplyExact`/`addExact` fail loudly (ArithmeticException)
@@ -433,6 +436,8 @@ object EntityResolution {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks: RDD[(Long, Long)] = verts.mapValues(_ => PrScale)
+    // the latest materialized cut, unpersisted once superseded
+    var lastCut: Option[RDD[(Long, Long)]] = None
     for (i <- 1 to iters) {
       val contribs = adj.join(ranks, part)
         .flatMap { case (_, ((dsts, outdeg), rank)) =>
@@ -447,13 +452,24 @@ object EntityResolution {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i != iters) {
         ranks.persist(StorageLevel.MEMORY_AND_DISK)
         if (s.sparkContext.getCheckpointDir.isDefined) ranks.checkpoint()
+        // checkpoint() only MARKS — the write happens at the end of the
+        // next job, and only for the topmost marked RDD. Materializing
+        // here makes the cut real: one extra job per k rounds buys the
+        // bounded lineage this parameter promises (without it, the
+        // single final job would still carry every round AND skip all
+        // but the last marked checkpoint). Without a checkpoint dir the
+        // count still bounds recomputation (cache), not lineage depth.
+        ranks.count()
+        lastCut.foreach(_.unpersist(blocking = false))
+        lastCut = Some(ranks)
       }
     }
     val out = ranks.toDF("vec_id", "rank")
     out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // ONE job runs all rounds; then release the builders
+    out.count() // ONE job runs all (remaining) rounds; release the builders
     adj.unpersist(blocking = false)
     verts.unpersist(blocking = false)
+    lastCut.foreach(_.unpersist(blocking = false))
     out
   }
 

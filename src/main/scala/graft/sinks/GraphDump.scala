@@ -137,10 +137,18 @@ object GraphDump {
       }
 
       // manifest order is the fixed reference order (futures are listed,
-      // not completion-raced)
-      Await.result(
-        Future.sequence(Seq(docsF) ++ labelFs ++ relFs ++ aliasFs),
-        Duration.Inf).flatten
+      // not completion-raced). Future.sequence is fail-fast: on the first
+      // writer failure it would rethrow while surviving writers keep
+      // submitting jobs against frames the finally block is about to
+      // unpersist (each then re-deriving the full ingest uncached).
+      // Await every writer to completion first, then surface the first
+      // failure once nothing is in flight.
+      val settled = Await.result(
+        Future.sequence((Seq(docsF) ++ labelFs ++ relFs ++ aliasFs)
+          .map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+      settled.flatMap(_.get)
     } finally {
       pool.shutdown()
       edges.unpersist(blocking = false)

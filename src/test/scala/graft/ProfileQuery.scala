@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: ProfileQuery <query> [sfDir] [reps] [--explain]"))
-    val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val explain = args.contains("--explain")
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val name = positional.headOption.getOrElse(
+      sys.error("usage: ProfileQuery <query> [sfDir] [reps] [--explain] [--save=dir]"))
+    val d = positional.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = positional.lift(2).map(_.toInt).getOrElse(2)
+    val explain = flags.contains("--explain")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
