@@ -38,12 +38,20 @@ object Bench {
     // only exists to shrink dev runs) — a silent local[4] fallback would
     // underreport throughput ~4x on the recorded bench.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // bench-only IVF sizing knob (constant cell population + two-level
+    // assignment past the hier threshold). NEVER set under the
+    // correctness gate: it changes IVF blocking (the standard recall
+    // trade), and the DuckDB oracle mirrors the sqrt-spacing rule only.
+    sys.env.get("SPARK_GRAFT_IVF_SPACING")
+      .foreach(v => builder.config(
+        graft.similarity.Similarity.SpacingConf, v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop-sink materialization: unlike .count(), it cannot be optimized
     // into a metadata-only plan — every projection (hashes, scores, sorts)

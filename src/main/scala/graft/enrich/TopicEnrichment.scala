@@ -126,9 +126,12 @@ object TopicEnrichment {
     // project BEFORE the mapPartitions barrier: the Row encoder would
     // otherwise drag every docs column (abstract + three arrays) through
     // per-row encode/decode that Catalyst cannot prune past
+    // the stub never throws, but routing it through the policy keeps the
+    // retry wiring on the oracle-gated path — a real client drops in with
+    // the reference's 5-attempt/4-60s schedule already applied
     classifyBounded(
       BibGraph.docs(s, d).select($"doc_id", $"title", $"ref_type", $"label"),
-      StubTopicClassifier, maxConcurrent = 10)
+      RetryingClassifier(StubTopicClassifier, RetryPolicy()), maxConcurrent = 10)
       .join(broadcast(Taxonomy.df(s).select($"id", $"topic_name")),
         $"id" === $"topic_id".cast("int"), "left")
       .select($"title", $"ref_type", $"label", $"topic_id",

@@ -28,6 +28,27 @@ import graft.functions.VectorOps._
   */
 object Similarity {
 
+  /** BENCH-ONLY sizing knob: overrides the sqrt(n) centroid spacing with a
+    * fixed per-cell target population. The sqrt(n) default is the optimum
+    * for a SINGLE-level quantizer (assignment O(n·k) vs within-cell pair
+    * work O(n²/k) meet at k = sqrt(n), leaving both n^1.5); a constant
+    * spacing m makes the pair work LINEAR (n·m) and hands the now-linear
+    * k = n/m centroid table to the two-level assignment
+    * ([[graft.functions.NearestCellsHier]], O(n·sqrt(k)) total). Setting
+    * it changes IVF blocking (the standard recall trade), so it must
+    * never be set under the correctness gate — the DuckDB mirror
+    * ([[modulusSql]]) interpolates the sqrt rule only.
+    */
+  private[graft] val SpacingConf = "spark.graft.ivf.spacing"
+
+  /** Centroid-count threshold past which coarse assignment switches from
+    * the flat scan to the two-level expression. At every oracle-gated SF
+    * k ≤ 50 — far under any sane threshold — so gated assignments stay
+    * byte-identical to the flat expression.
+    */
+  private[graft] val HierThresholdConf = "spark.graft.ivf.hierThreshold"
+  private val HierThresholdDefault = 256
+
   /** Centroid spacing: every `m`-th vector is a centroid, with
     * m = max(50, floor(sqrt(n))). At the oracle SFs (n ≤ 2500) this is
     * exactly the fixed 50 of rounds 1–5, so gated results are unchanged;
@@ -36,9 +57,11 @@ object Similarity {
     * as sqrt(n). The former fixed spacing made k = n/50, turning the
     * O(n·k) assignment quadratic in n — measured as q41 19×/q43 67× at a
     * 10× scale-up (bench/r06_sf1_run1.json) before this rule.
+    * [[SpacingConf]] (bench-only) pins m instead, keeping the 50 floor.
     */
-  private[graft] def centroidModulus(n: Long): Long =
-    math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong)
+  private[graft] def centroidModulus(s: SparkSession, n: Long): Long =
+    s.conf.getOption(SpacingConf).map(v => math.max(50L, v.toLong))
+      .getOrElse(math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong))
 
   /** DuckDB mirror of [[centroidModulus]] — interpolate where the oracle
     * selects its centroid rows.
@@ -61,10 +84,55 @@ object Similarity {
 
   private def seedCentroids(s: SparkSession, d: String): Seq[Cent] = {
     import s.implicits._
-    val m = centroidModulus(Tables.embeddings(s, d).count())
+    val m = centroidModulus(s, Tables.embeddings(s, d).count())
     quantized(s, d).filter($"vec_id" % m === 0)
       .select($"vec_id", $"e", $"nrm").as[(Long, Seq[Long], Long)]
       .collect().toSeq
+  }
+
+  /** Driver-side two-level partition of a centroid table: every
+    * ceil(sqrt(k))-th centroid (in cid order) is a super-centroid, and
+    * each centroid joins the group of its NEAREST super-centroid (same
+    * signed-cos² key as the row assignment; ties to the lower group
+    * index), so a group is the Voronoi cell of its super-centroid over
+    * the centroid set — a real coarse-over-coarse quantizer, not an
+    * arbitrary chunking. O(k^1.5) driver work on ≤ a-few-thousand rows.
+    * Groups that attract no centroid are dropped (their super-centroid
+    * also lives in some other group as an ordinary centroid, so nothing
+    * is lost from level 2).
+    */
+  private type HierCent = (Long, IndexedSeq[Long], Long)
+
+  private[graft] def hierGroups(cents: Seq[HierCent]):
+      IndexedSeq[(IndexedSeq[Long], Long, IndexedSeq[HierCent])] = {
+    val k = cents.length
+    val stride = math.ceil(math.sqrt(k.toDouble)).toInt
+    val supers = cents.zipWithIndex
+      .collect { case (c, i) if i % stride == 0 => c }.toIndexedSeq
+    def keyTo(c: HierCent, sup: HierCent): Double = {
+      val dot = c._2.iterator.zip(sup._2.iterator)
+        .map { case (a, b) => a * b }.sum
+      (dot * dot).toDouble / (c._3 * sup._3).toDouble *
+        (if (dot < 0) -1.0 else 1.0)
+    }
+    val assigned = cents.map { c =>
+      var best = 0
+      var bestKey = Double.NegativeInfinity
+      var i = 0
+      while (i < supers.length) {
+        val akey = keyTo(c, supers(i))
+        if (akey > bestKey) { bestKey = akey; best = i }
+        i += 1
+      }
+      (best, c)
+    }
+    val byGroup = assigned.groupBy(_._1)
+    supers.indices.flatMap { i =>
+      byGroup.get(i).map { members =>
+        (supers(i)._2, supers(i)._3,
+          members.map(_._2).sortBy(_._1).toIndexedSeq)
+      }
+    }
   }
 
   /** The `nprobe` nearest centroid cells for one row, as an
@@ -81,14 +149,21 @@ object Similarity {
     * Ordering ties out with the oracle window (`akey` DESC, `cid` ASC);
     * keys are never NaN since the fixture has no zero vectors.
     */
-  private def topCells(cents: Seq[Cent], e: Column, nrm: Column,
-      nprobe: Int): Column = {
+  private def topCells(s: SparkSession, cents: Seq[Cent], e: Column,
+      nrm: Column, nprobe: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(graft.functions.NearestCells(
-      ColumnBridge.expression(e), ColumnBridge.expression(nrm),
-      cents.map { case (cid, ce, cn) => (cid, ce.toIndexedSeq, cn) }
-        .toIndexedSeq,
-      nprobe))
+    val thr = s.conf.getOption(HierThresholdConf).map(_.toInt)
+      .getOrElse(HierThresholdDefault)
+    val norm = cents
+      .map { case (cid, ce, cn) => (cid, ce.toIndexedSeq, cn) }.toIndexedSeq
+    if (norm.length >= thr)
+      ColumnBridge.column(graft.functions.NearestCellsHier(
+        ColumnBridge.expression(e), ColumnBridge.expression(nrm),
+        hierGroups(norm), nprobe))
+    else
+      ColumnBridge.column(graft.functions.NearestCells(
+        ColumnBridge.expression(e), ColumnBridge.expression(nrm),
+        norm, nprobe))
   }
 
   /** IVF coarse assignment shared by q41/q42, the blocked cosine near-dup
@@ -117,7 +192,7 @@ object Similarity {
     val cents = seedCentroids(s, d)
     quantized(s, d)
       .select($"vec_id", $"e", $"nrm",
-        posexplode(topCells(cents, $"e", $"nrm", nprobe)))
+        posexplode(topCells(s, cents, $"e", $"nrm", nprobe)))
       .select($"vec_id", $"e", $"nrm", $"col".as("cid"),
         ($"pos" + 1).cast("int").as("probe_rank"))
   }
@@ -176,7 +251,7 @@ object Similarity {
     */
   private def assignToCells(emb: DataFrame, cents: Seq[Cent]): DataFrame =
     emb.withColumn("cid",
-      element_at(topCells(cents, col("e"), col("nrm"), 1), 1))
+      element_at(topCells(emb.sparkSession, cents, col("e"), col("nrm"), 1), 1))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.

@@ -34,16 +34,27 @@ object Events {
 
   private val SessionGapUs = 1800000000L // 30 min
 
-  /** The `events` parquet stores TIMESTAMP(NANOS), which Spark only reads
+  /** The `events` parquet has shipped `ts` in two physical forms across
+    * driver fixture generations: TIMESTAMP(NANOS), which Spark only reads
     * as BIGINT nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * Verify/Bench/tests). Normalize to exact micros + a proper timestamp
-    * column — integer `DIV`, never double division (nanos exceed a
-    * double's 53-bit mantissa).
+    * Verify/Bench/tests), and TIMESTAMP(MICROS) without UTC adjustment,
+    * which reads as TIMESTAMP_NTZ. Normalize EITHER to exact micros + a
+    * proper timestamp column, branching on the dtype actually read —
+    * integer `DIV` on the nanos path, never double division (nanos exceed
+    * a double's 53-bit mantissa). The NTZ cast interprets wall-clock in
+    * the session timezone, which Verify/Bench/tests pin to UTC — the same
+    * reading DuckDB's `epoch_us(ts)` gives the oracle.
     */
-  private def load(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("ts_us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+  private[graft] def load(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000 AS BIGINT)")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type: count + integer-cents sum.

@@ -174,10 +174,8 @@ class EventsStreamSpec extends AnyFunSuite {
 
   test("batch-mode asOfStream equals the q44 oracle-gated join") {
     val dir = "/root/testdata/sf0.001"
-    val ev = graft.Tables.events(spark, dir)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    // the shared schema-adaptive normalizer: ts as timestamp_micros
+    val ev = Events.load(spark, dir)
     val got = Events.asOfStream(ev)
       .collect()
       .map(o => (o.purchase_id, o.user_id, o.purchase_ts_us, o.click_id,
@@ -193,11 +191,10 @@ class EventsStreamSpec extends AnyFunSuite {
     // the Spark window deterministically picks max event_id while DuckDB
     // ASOF's pick among ties is unspecified — a regenerated fixture that
     // violates the property must fail HERE, loudly, not as a flaky hash.
-    import org.apache.spark.sql.functions.expr
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val dups = graft.Tables.events(spark, d)
+      val dups = Events.load(spark, d)
         .filter($"event_type" === "click")
-        .groupBy($"user_id", expr("CAST(ts DIV 1000 AS BIGINT)"))
+        .groupBy($"user_id", $"ts_us")
         .count().filter($"count" > 1).count()
       assert(dups === 0L,
         s"$d has duplicate (user_id, epoch_us) click keys — q44's ASOF " +
@@ -211,10 +208,8 @@ class EventsStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // collect Rows and construct Evt on the driver: Evt is spec-inner, so
     // Catalyst cannot synthesize a deserializer for `.as[Evt]` here.
-    graft.Tables.events(spark, dir)
-      .select($"event_id",
-        timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("ts"),
-        $"user_id", $"event_type")
+    Events.load(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
       .collect().toSeq
       .map(r => Evt(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getString(3)))
