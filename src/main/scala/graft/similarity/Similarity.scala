@@ -85,7 +85,19 @@ object Similarity {
   private def seedCentroids(s: SparkSession, d: String): Seq[Cent] = {
     import s.implicits._
     val m = centroidModulus(s, Tables.embeddings(s, d).count())
-    quantized(s, d).filter($"vec_id" % m === 0)
+    // default path: every m-th vec_id — the rule the DuckDB oracle
+    // mirrors. Under the bench-only spacing knob the sample key is
+    // murmur3(vec_id) instead: a corpus whose id layout is ARITHMETICALLY
+    // aligned with the spacing (measured: the replica bench tables, whose
+    // 10M id stride is divisible by spacing 50, collapsed the sample to
+    // ~40 distinct directions x 10 near-identical copies → 17x cell skew
+    // and 2.7x the pair work) gets a structure-free pseudo-random sample
+    // — the standard IVF training-sample rule — at identical cost.
+    val pick =
+      if (s.conf.getOption(SpacingConf).isDefined)
+        pmod(hash($"vec_id"), lit(m)) === 0
+      else $"vec_id" % m === 0
+    quantized(s, d).filter(pick)
       .select($"vec_id", $"e", $"nrm").as[(Long, Seq[Long], Long)]
       .collect().toSeq
   }
@@ -108,14 +120,14 @@ object Similarity {
     val k = cents.length
     val stride = math.ceil(math.sqrt(k.toDouble)).toInt
     val supers = cents.zipWithIndex
-      .collect { case (c, i) if i % stride == 0 => c }.toIndexedSeq
-    def keyTo(c: HierCent, sup: HierCent): Double = {
-      val dot = c._2.iterator.zip(sup._2.iterator)
+      .collect { case (c, i) if i % stride == 0 => (c._2, c._3) }.toIndexedSeq
+    def keyTo(c: HierCent, sup: (IndexedSeq[Long], Long)): Double = {
+      val dot = c._2.iterator.zip(sup._1.iterator)
         .map { case (a, b) => a * b }.sum
-      (dot * dot).toDouble / (c._3 * sup._3).toDouble *
+      (dot * dot).toDouble / (c._3 * sup._2).toDouble *
         (if (dot < 0) -1.0 else 1.0)
     }
-    val assigned = cents.map { c =>
+    def assign(): Seq[(Int, HierCent)] = cents.map { c =>
       var best = 0
       var bestKey = Double.NegativeInfinity
       var i = 0
@@ -126,10 +138,19 @@ object Similarity {
       }
       (best, c)
     }
+    // NOTE on training: Lloyd-refining the super-centroids (floor-mean
+    // rounds over the centroid table) was tried and MEASURED WORSE on the
+    // clustered fixture — cos²-space means of spread groups drift toward
+    // "average" directions that then win even more assignments (max cell
+    // 1446 vs 847 untrained). The balance problem it aimed at was a
+    // sampling artifact (id-aligned centroid sample; fixed in
+    // [[seedCentroids]] by hash sampling under the knob), so the level-1
+    // quantizer stays the plain every-stride-th seeding.
+    val assigned = assign()
     val byGroup = assigned.groupBy(_._1)
     supers.indices.flatMap { i =>
       byGroup.get(i).map { members =>
-        (supers(i)._2, supers(i)._3,
+        (supers(i)._1, supers(i)._2,
           members.map(_._2).sortBy(_._1).toIndexedSeq)
       }
     }
