@@ -30,6 +30,7 @@ object SparkEntry {
     (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
     (streaming.Events.queries, streaming.Events.oracles),
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
+    (enrich.TermEncoding.queries, enrich.TermEncoding.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),
     (query.QueryText.queries, query.QueryText.oracles),
     (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),

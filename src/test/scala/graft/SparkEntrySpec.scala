@@ -24,6 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
       dedup.Dedup.queries, similarity.Similarity.queries,
       graph.GraphQueries.queries, resolve.EntityResolution.queries,
       streaming.Events.queries, enrich.TopicEnrichment.queries,
+      enrich.TermEncoding.queries,
       ingest.TaggedQueries.queries, query.QueryText.queries,
       sinks.SinkQueries.queries, multimodal.Multimodal.queries)
     val names = perModule.flatMap(_.keys)

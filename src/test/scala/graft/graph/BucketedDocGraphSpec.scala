@@ -1,0 +1,108 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Binding 3: the bucketed DocGraph. Proves the PERF.md claim end-to-end
+  * on the REAL template code (not a synthetic two-table join): the q71/q72
+  * 2-hop self-join plans over bucketed edges contain zero shuffle exchange
+  * under the join, and the results are identical to the in-memory binding.
+  */
+class BucketedDocGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val base = DocGraph.synthetic(spark, TestSpark.TinySf)
+  private lazy val bucketedG = DocGraph.bucketed(base, "bdg_spec", 4)
+
+  /** Every equi-join subtree in the executed plan, with AQE disabled so
+    * the tree is the statically planned one (the assertion is about what
+    * EnsureRequirements inserts, not about runtime re-optimization).
+    */
+  private def shuffleFreeJoins(df: DataFrame): (Int, Int) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the fixture is tiny enough to auto-broadcast, which would dodge the
+    // question — at the scale bucketing exists for, neither side
+    // broadcasts, so plan the shuffled join shape explicitly
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+      }
+      val dirty = joins.count(j =>
+        j.collectFirst { case e: ShuffleExchangeExec => e }.nonEmpty)
+      (joins.size, dirty)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q71 co-author 2-hop self-join plans with zero exchange under " +
+      "the join on bucketed edges") {
+    val q = GraphQueries.coauthors(bucketedG, "Author_29")
+    val (joins, dirty) = shuffleFreeJoins(q)
+    assert(joins >= 1, "expected a shuffled equi-join in the 2-hop plan")
+    assert(dirty === 0,
+      "bucketed self-join should read co-located buckets, not shuffle")
+    // and the SAME query over the in-memory binding DOES shuffle — the
+    // control that proves the assertion is measuring bucketing, not a
+    // broadcast fallback
+    val (cJoins, cDirty) =
+      shuffleFreeJoins(GraphQueries.coauthors(base, "Author_29"))
+    assert(cJoins >= 1 && cDirty >= 1)
+  }
+
+  test("q72 keyword co-occurrence: join shuffle-free; only the count agg " +
+      "exchanges") {
+    val q = GraphQueries.keywordCooccur(bucketedG, "small", 10)
+    val (joins, dirty) = shuffleFreeJoins(q)
+    assert(joins >= 1)
+    assert(dirty === 0)
+  }
+
+  test("bucketed binding returns the same rows as the in-memory binding") {
+    val pairs = Seq(
+      GraphQueries.coauthors(base, "Author_29") ->
+        GraphQueries.coauthors(bucketedG, "Author_29"),
+      GraphQueries.keywordCooccur(base, "small", 10) ->
+        GraphQueries.keywordCooccur(bucketedG, "small", 10),
+      GraphQueries.orgTopics(base, "Org_3") ->
+        GraphQueries.orgTopics(bucketedG, "Org_3"))
+    pairs.foreach { case (want, got) =>
+      assert(got.collect().toSeq === want.collect().toSeq)
+      assert(want.collect().nonEmpty)
+    }
+  }
+
+  test("per-relation pruning leaves a single scan per view; the 2-hop " +
+      "join reads bucketed") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the authored view must not scan the other five relation tables.
+      // NB a bare scan legitimately reads non-bucketed (autoBucketedScan
+      // skips bucket layout when nothing downstream uses it) — bucketed
+      // reading is asserted on the JOIN plan below, where it matters.
+      val scans = bucketedG.authored.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size === 1, s"expected 1 pruned scan, got ${scans.size}")
+      val joinScans = GraphQueries.coauthors(bucketedG, "Author_29")
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      assert(joinScans.nonEmpty && joinScans.forall(_.bucketedScan),
+        "the self-join's scans should read the bucket layout")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
