@@ -78,7 +78,13 @@ object EntityResolution {
     val side = s.sparkContext.broadcast(rows.sortBy(_._1))
     val n2 = num.toLong * num
     val d2 = den.toLong * den
-    typed.mapPartitions { it =>
+    // spread the probe side: a small term/embedding frame reads as 1-2
+    // parquet splits, which would serialize the whole O(n²) compare loop
+    // onto as many cores (measured: q89's 40k-term universe at the 100×
+    // bench scale spent 150 s single-threaded; 32-way it is ~5 s). The
+    // shuffle this adds is n skinny rows — noise next to the loop.
+    val spread = typed.repartition(s.sparkContext.defaultParallelism)
+    spread.mapPartitions { it =>
       val all = side.value
       val norms = all.map { case (_, w) =>
         var s0 = 0L; var i = 0
