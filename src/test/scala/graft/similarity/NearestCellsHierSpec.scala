@@ -215,6 +215,26 @@ class NearestCellsHierSpec extends AnyFunSuite {
     } finally spark.conf.unset(Similarity.SpacingConf)
   }
 
+  test("spacing knob switches to the hash-based centroid sample and " +
+      "still indexes every vector") {
+    import spark.implicits._
+    spark.conf.set(Similarity.SpacingConf, "50")
+    try {
+      val n = graft.Tables.embeddings(spark, TestSpark.TinySf).count()
+      val m = Similarity.centroidModulus(spark, n)
+      val assigned = Similarity.ivfAssigned(spark, TestSpark.TinySf)
+        .select($"vec_id", $"cid").as[(Long, Long)].collect()
+      assert(assigned.length.toLong === n)
+      // the knob's sample rule is murmur3(vec_id) % m == 0 — verify the
+      // emitted cells are exactly a subset of that sample
+      val sampled = graft.Tables.embeddings(spark, TestSpark.TinySf)
+        .filter(pmod(hash($"vec_id"), lit(m)) === 0)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(sampled.nonEmpty)
+      assert(assigned.map(_._2).toSet.subsetOf(sampled))
+    } finally spark.conf.unset(Similarity.SpacingConf)
+  }
+
   test("ivfAssignedN under a forced hier threshold still assigns every " +
       "vector to a real centroid cell") {
     import spark.implicits._
