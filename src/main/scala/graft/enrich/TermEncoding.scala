@@ -55,6 +55,21 @@ object TermEncoding {
     }
   }
 
+  /** [[StubTermEncoder]] behind the reference's P10 paren-gloss strip
+    * (`TopicTocsv.py:60`): trivial formatting variants of one term — a
+    * parenthetical gloss — encode IDENTICALLY, the property a real
+    * sentence encoder provides approximately, made exact. Arithmetic is
+    * bit-identical to [[graft.resolve.EntityResolution.termEmbedding]]'s
+    * Column form, which is what lets the encoded ER lifecycle (q128)
+    * share q104's oracle mirror.
+    */
+  object GlossStripEncoder extends TermEncoder {
+    val dim: Int = StubTermEncoder.dim
+    def encode(batch: Seq[String]): Seq[Array[Float]] =
+      StubTermEncoder.encode(
+        batch.map(t => t.replaceAll("\\s*\\(.*?\\)", "").trim))
+  }
+
   /** Append an `embedding` array<float> column by running the encoder
     * over `termCol` in batches of at most `batchSize` per call (the
     * reference's batch_size=64). All other columns pass through. Loud

@@ -141,6 +141,15 @@ object TaggedQueries {
         TaggedText.ingest(s, ErFixtureGlob), 24, 25)
         .orderBy(col("original"))),
 
+    // The SAME lifecycle with the encode step in operator shape — the
+    // batched pluggable encoder (q127's mapPartitions seam, batch=64)
+    // instead of the inline Column stub; identical embeddings by
+    // construction, so q104's oracle gates this path too.
+    "q128_tagged_er_encoded" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedKeywordMappingEncoded(
+        TaggedText.ingest(s, ErFixtureGlob), 24, 25)
+        .orderBy(col("original"))),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -411,6 +420,9 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT title, label, year_raw, journal
          FROM dedup WHERE rn = 1 ORDER BY title""",
     "q104_tagged_er_mapping" ->
+      s"""WITH RECURSIVE $erSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q128_tagged_er_encoded" ->
       s"""WITH RECURSIVE $erSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->

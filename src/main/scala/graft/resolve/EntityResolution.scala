@@ -275,6 +275,30 @@ object EntityResolution {
                              den: Int): DataFrame =
     ingestedTermMapping(ingested, Seq("keywords"), num, den)
 
+  /** [[ingestedKeywordMapping]] with the embedding computed by the
+    * BATCHED ENCODER OPERATOR ([[graft.enrich.TermEncoding.encodeTerms]],
+    * the reference's `model.encode(..., batch_size=64)` slot) instead of
+    * the inline Column expression — the full `keyword_merger.py` §3.1
+    * lifecycle with the encode step in its operator shape: distinct
+    * values (A2) → batched encode → ε-join → CC → min-term rep. The
+    * gloss-strip encoder reproduces [[termEmbedding]]'s arithmetic
+    * exactly, so this is oracle-gated by the SAME mirror as q104 (q128)
+    * and spec-pinned equal to the Column path. A real model drops into
+    * the `TermEncoder` seam; everything downstream — including the
+    * oracle discipline — stays.
+    */
+  def ingestedKeywordMappingEncoded(ingested: DataFrame, num: Int,
+                                    den: Int): DataFrame = {
+    val encoded = graft.enrich.TermEncoding.encodeTerms(
+      distinctValues(ingested, Seq("keywords")), "value",
+      graft.enrich.TermEncoding.GlossStripEncoder)
+    val terms = encoded.select(col("value").as("term"),
+      conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+        .as("vec_id"),
+      col("embedding"))
+    aliasMapping(terms, num, den)
+  }
+
   /** A2 (`keyword_merger.py:150-163`): the distinct non-empty values of
     * one or more columns — scalars and arrays alike — as one `value`
     * column; the term universe the resolution clusters over.

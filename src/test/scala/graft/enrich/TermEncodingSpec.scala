@@ -3,7 +3,7 @@ package graft.enrich
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.enrich.TermEncoding.{StubTermEncoder, TermEncoder, encodeTerms}
+import graft.enrich.TermEncoding.{GlossStripEncoder, StubTermEncoder, TermEncoder, encodeTerms}
 
 /** The batched encoder operator: batch shape (≤64 per call, partial last
   * batch), batch-boundary invariance (a term's vector is independent of
@@ -84,6 +84,27 @@ class TermEncodingSpec extends AnyFunSuite {
       assert(x >= -1.0f && x < 1.0f)
       assert((x * 32768.0f) === math.round(x * 32768.0f).toFloat) // dyadic
     }
+  }
+
+  test("the encoded ER lifecycle equals the Column-stub path (q128 ≡ q104)") {
+    import graft.resolve.EntityResolution
+    val ingested = graft.ingest.TaggedText.ingest(spark,
+      graft.ingest.TaggedQueries.ErFixtureGlob)
+    val viaColumn = EntityResolution
+      .ingestedKeywordMapping(ingested, 24, 25)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaEncoder = EntityResolution
+      .ingestedKeywordMappingEncoded(ingested, 24, 25)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaEncoder === viaColumn)
+    assert(viaColumn.exists { case (o, r) => o != r }) // real merges exist
+  }
+
+  test("gloss-strip encoder: variants of one term encode identically") {
+    val Seq(a, b, c) = GlossStripEncoder
+      .encode(Seq("知识图谱 (KG)", "知识图谱", "知识图谱学")).map(_.toSeq)
+    assert(a === b)
+    assert(a !== c)
   }
 
   private implicit class Map2Helper[A, B, C](rows: Array[(A, B, C)]) {
