@@ -82,8 +82,13 @@ object EntityResolution {
     // parquet splits, which would serialize the whole O(n²) compare loop
     // onto as many cores (measured: q89's 40k-term universe at the 100×
     // bench scale spent 150 s single-threaded; 32-way it is ~5 s). The
-    // shuffle this adds is n skinny rows — noise next to the loop.
-    val spread = typed.repartition(s.sparkContext.defaultParallelism)
+    // shuffle this adds is n skinny rows — noise next to the loop once n
+    // is large, but a measurable tax when it isn't (q50/q51 +22–34% at
+    // sf0.1), so small universes keep their natural splits: below the
+    // threshold the whole loop is ≤ ~32M compares — subsecond either way.
+    val spread =
+      if (rows.length >= 8192) typed.repartition(s.sparkContext.defaultParallelism)
+      else typed
     spread.mapPartitions { it =>
       val all = side.value
       val norms = all.map { case (_, w) =>
