@@ -34,6 +34,11 @@ object CellStats {
       .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
     println(s"cells=${stats.get(0)} min=${stats.get(1)} max=${stats.get(2)} " +
       f"mean=${stats.getDouble(3)}%.1f pairs=${stats.get(4)} top10=[$top]")
+    // the ε-graph the blocked analytics queries (q52/q53/q54) traverse:
+    // its edge count is what replica-style scale-up inflates quadratically
+    if (sys.env.contains("SPARK_GRAFT_EDGE_COUNT"))
+      println(s"blocked_eps_edges=" +
+        graft.resolve.EntityResolution.blockedEpsPairs(spark, sfDir).count())
     spark.stop()
   }
 }
