@@ -43,6 +43,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // scan parallelism sized to the bench corpus (the brief's
+      // maxPartitionBytes lever): each fixture table is ONE parquet file,
+      // so the default 128 MB split width hands a 58 MB documents table —
+      // and every per-row-heavy text/hash scan over it — to a single core
+      // of the 32. 8 MB splits the 100× tables into ~7-130 tasks; at
+      // sf0.1 (≤10 MB files) it changes nothing. A real cluster reads
+      // many files and tunes this against executor memory instead.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          (8L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
     // bench-only IVF sizing knob (constant cell population + two-level
     // assignment past the hier threshold). NEVER set under the

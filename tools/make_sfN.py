@@ -83,10 +83,19 @@ def main():
                 END AS embedding,
                 label""",
     }
+    # documents/embeddings feed per-row-HEAVY scans (shingle minhash, text
+    # quality, IVF assignment); DuckDB's default ~123k-row row groups give
+    # a 500k-row table only ~5 groups, capping Spark's scan parallelism at
+    # 5 tasks no matter how small spark.sql.files.maxPartitionBytes is (a
+    # split without a row-group start reads nothing). 20k-row groups let
+    # the bench fan those scans out. Fact tables keep the default: their
+    # byte volume already yields dozens of groups.
+    row_group = {"documents": 20000, "embeddings": 20000}
     for t, sel in shifts.items():
+        rg = (f", ROW_GROUP_SIZE {row_group[t]}" if t in row_group else "")
         con.execute(
             f"COPY ({sel} FROM '{SRC}/{t}.parquet' CROSS JOIN reps) "
-            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET{rg})")
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
