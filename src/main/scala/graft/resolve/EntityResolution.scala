@@ -448,18 +448,29 @@ object EntityResolution {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     // size the partitioner to the DATA, capped by the session's shuffle
-    // parallelism (which a real cluster sets to thousands): a 60k-vertex
-    // candidate graph iterates in single-task stages instead of paying
-    // conf-many near-empty task launches × 10 rounds; a 10⁹-vertex graph
-    // still fans out to the configured width
+    // parallelism (which a real cluster sets to thousands) — and to the
+    // right data: the per-round cost is MESSAGE volume (2 endpoints per
+    // edge), not vertex count. The original vertex-only rule planned ONE
+    // partition for the 100× bench graph (200k vertices but 12.5M
+    // replica-dense edges) and every round ran single-task — q54 130 s
+    // (measured, `bench/r07_sf10_run4.json`). A small graph still
+    // iterates in few-task stages instead of paying conf-many
+    // near-empty task launches × rounds; the pairs frame is persisted so
+    // its (expensive) candidate-generation lineage runs once for the
+    // sizing count and is reread for the adjacency build.
     val nV = vertices.count()
-    val rowsPerPart = 2L * 1000 * 1000
+    val edges = pairs
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = edges.count()
+    val vertsPerPart = 2L * 1000 * 1000
+    val endpointsPerPart = 262144L
     val part = new HashPartitioner(math.max(1L, math.min(
       s.sessionState.conf.numShufflePartitions.toLong,
-      (nV + rowsPerPart - 1) / rowsPerPart)).toInt)
+      math.max((nV + vertsPerPart - 1) / vertsPerPart,
+        (2 * nE + endpointsPerPart - 1) / endpointsPerPart))).toInt)
     val reset = PrScale * 15 / 100
-    val adj: RDD[(Long, (Array[Long], Long))] = pairs
-      .select(col("u").cast("long"), col("v").cast("long")).rdd
+    val adj: RDD[(Long, (Array[Long], Long))] = edges.rdd
       .flatMap(r => Iterator((r.getLong(0), r.getLong(1)),
                              (r.getLong(1), r.getLong(0))))
       .groupByKey(part)
@@ -504,6 +515,7 @@ object EntityResolution {
     out.count() // ONE job runs all (remaining) rounds; release the builders
     adj.unpersist(blocking = false)
     verts.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     lastCut.foreach(_.unpersist(blocking = false))
     out
   }
