@@ -31,7 +31,16 @@ object Verify {
       Option(outRoot.listFiles()).toSeq.flatten.foreach(rm)
     }
     outRoot.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_VERIFY_ONLY=q127_encode_terms,q32_... limits
+    // the dump to named queries for fast single-gate iteration. The
+    // driver's 2-arg invocation never sets it → full dump as before.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
