@@ -15,13 +15,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedStore {
 
-  /** Write `df` bucketed+sorted by `key` into the session catalog. */
+  /** Write `df` bucketed+sorted by `key` into the session catalog.
+    *
+    * Overwrite replaces a CATALOGED table's location, but the in-memory
+    * session catalog forgets tables across JVMs while their managed
+    * warehouse directories persist on disk — the next process's write
+    * then fails LOCATION_ALREADY_EXISTS. Drop any stale catalog entry and
+    * clear the orphaned managed location first, so the write is
+    * idempotent across runs (a metastore-backed cluster never orphans;
+    * this is the local-catalog equivalent).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 16): Unit =
+                    buckets: Int = 16): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def table(s: SparkSession, name: String): DataFrame = s.table(name)
 

@@ -147,6 +147,16 @@ object DocGraph {
   def bucketed(g: DocGraph, prefix: String = "graft_g",
                buckets: Int = 16): DocGraph = {
     val s = g.docs.sparkSession
+    // every edge must land in some bucketed table: an edge type missing
+    // from RelJoinKeys would silently vanish from the bucketed binding,
+    // so fail loudly instead (same contract as epsPairsOf's size guard).
+    val known = RelJoinKeys.map(_._1).toSet
+    val unknown = g.edges.select("rel_type").distinct()
+      .collect().map(_.getString(0)).filterNot(known)
+    require(unknown.isEmpty,
+      s"DocGraph.bucketed: edge rel_type(s) ${unknown.mkString(", ")} have " +
+        s"no bucket key in RelJoinKeys — add them or they would be " +
+        s"dropped from the bucketed binding")
     RelJoinKeys.foreach { case (rel, key) =>
       BucketedStore.writeBucketed(
         g.edges.filter(col("rel_type") === rel).select("src", "dst"),

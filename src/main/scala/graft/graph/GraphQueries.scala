@@ -402,6 +402,22 @@ object GraphQueries {
         Map("keyword" -> "no_such_keyword_zz9"),
         Seq("merge", "window"))),
 
+    // The /answer serving path over Binding 3 END-TO-END: the same
+    // family-13 template the AnswerService routes (q71's 2-hop co-author
+    // self-join) is planned against the WRITE-TIME BUCKETED DocGraph —
+    // ingest writes the six relation tables bucketed on their join keys
+    // and the routed 2-hop self-join then reads co-located buckets with
+    // zero shuffle exchange under the join (plan asserted in
+    // `AnswerServiceSpec`/`BucketedDocGraphSpec`; result equality to the
+    // in-memory binding gated HERE against q71's oracle). At 100 TB this
+    // is the serving configuration: every /answer request rides the
+    // ingest-time shuffle instead of paying its own.
+    "q129_answer_bucketed" -> ((s, d) => {
+      val g = graft.graph.DocGraph.bucketed(
+        graft.graph.DocGraph.synthetic(s, d), "graft_q129", 16)
+      graft.query.Router.route(g, 13, Map("author" -> "Author_29"))
+    }),
+
     // Parameterized-hop traversal on the co-authorship graph (Pregel).
     "q84_coauthor_reach" -> ((s, d) => coauthorReach(s, d, "Author_29", 2)),
 
@@ -492,6 +508,14 @@ object GraphQueries {
          SELECT count(*) > 0 AS has_kw FROM has_keyword
          WHERE title = 'D7' AND kw = 'table'""",
     "q71_coauthors" ->
+      s"""WITH $P
+         SELECT DISTINCT b.author AS coauthor
+         FROM authored a JOIN authored b
+           ON a.title = b.title AND b.author <> a.author
+         WHERE a.author = 'Author_29' ORDER BY coauthor""",
+    // identical semantics to q71 by construction: the bucketed binding
+    // must be a pure LAYOUT change, so it shares q71's oracle SQL
+    "q129_answer_bucketed" ->
       s"""WITH $P
          SELECT DISTINCT b.author AS coauthor
          FROM authored a JOIN authored b

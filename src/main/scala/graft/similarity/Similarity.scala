@@ -115,8 +115,13 @@ object Similarity {
     */
   private type HierCent = (Long, IndexedSeq[Long], Long)
 
-  private[graft] def hierGroups(cents: Seq[HierCent]):
+  private[graft] def hierGroups(centsIn: Seq[HierCent]):
       IndexedSeq[(IndexedSeq[Long], Long, IndexedSeq[HierCent])] = {
+    // pin cid order before striding: callers hand us collect() output,
+    // whose partition order varies with layout/parallelism, and the
+    // super-centroid selection (hence nprobe>1 assignment on the scale
+    // path) must not depend on it.
+    val cents = centsIn.sortBy(_._1)
     val k = cents.length
     val stride = math.ceil(math.sqrt(k.toDouble)).toInt
     val supers = cents.zipWithIndex

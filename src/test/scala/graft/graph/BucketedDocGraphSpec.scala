@@ -81,6 +81,17 @@ class BucketedDocGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("an edge rel_type outside the bucket-key list fails loudly " +
+      "instead of silently vanishing from the binding") {
+    import org.apache.spark.sql.functions.lit
+    val withAlien = base.copy(edges = base.edges.unionAll(
+      base.edges.limit(1).withColumn("rel_type", lit("ALIEN_REL"))))
+    val e = intercept[IllegalArgumentException] {
+      DocGraph.bucketed(withAlien, "bdg_guard_spec", 4)
+    }
+    assert(e.getMessage.contains("ALIEN_REL"))
+  }
+
   test("per-relation pruning leaves a single scan per view; the 2-hop " +
       "join reads bucketed") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -66,4 +66,37 @@ class AnswerServiceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown family"))
   }
+
+  test("the serving path over the bucketed binding: same answer, and the " +
+      "routed 2-hop self-join plans with zero exchange under the join") {
+    val bucketedG = DocGraph.bucketed(g, "answer_svc_spec", 4)
+    // end-to-end: AnswerService over Binding 3 must render the exact
+    // answer the in-memory binding renders — layout, not semantics
+    val req = AnswerRequest("family=13 author='Author_29'")
+    val bucketedResp = answer(bucketedG, req)
+    val memResp = answer(g, req)
+    assert(bucketedResp.rows > 0)
+    assert(bucketedResp === memResp)
+    // and the routed plan reads co-located buckets: no shuffle exchange
+    // under the 2-hop self-join (the q71 shape the family routes to)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = Router.route(bucketedG, 13, Map("author" -> "Author_29"))
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a shuffled equi-join in the routed plan")
+      assert(joins.forall(
+        _.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty),
+        "the routed self-join must read co-located buckets, not shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -203,6 +203,21 @@ class NearestCellsHierSpec extends AnyFunSuite {
     }
   }
 
+  test("hierGroups is independent of input order (collect() partition " +
+      "order must not pick the super-centroids)") {
+    val cents = (0 until 61).map { i =>
+      cent(i.toLong * 5 + 1,
+        (i * 37 % 19 - 9).toLong, (i * 53 % 17 - 8).toLong,
+        (i * 71 % 23 - 11).toLong)
+    }.filter(_._3 > 0)
+    val sorted = Similarity.hierGroups(cents)
+    // deterministic shuffle: reverse + interleave halves
+    val (a, b) = cents.splitAt(cents.length / 2)
+    val shuffled = a.reverse.zipAll(b, null, null)
+      .flatMap { case (x, y) => Seq(x, y).filter(_ != null) }
+    assert(Similarity.hierGroups(shuffled) === sorted)
+  }
+
   test("spacing knob: unset keeps the sqrt rule, set pins it (floor 50)") {
     assert(Similarity.centroidModulus(spark, 2500L) === 50L)
     assert(Similarity.centroidModulus(spark, 1000000L) === 1000L)

@@ -44,8 +44,9 @@ def main():
         bb = f"{b:8.2f}" if b else "       -"
         print(f"{q:40s} {t:9.2f} {bb} {r}")
     ok = [r[0] for r in rows if r[0]]
+    med = f"{statistics.median(ok):.1f}" if ok else "n/a"
     print(f"\ntotal={target['value']:.1f}s n={len(rows)} "
-          f"median_ratio={statistics.median(ok):.1f} "
+          f"median_ratio={med} "
           f"(scale={scale:g}x; per-row-map queries amortize fixed costs "
           f"so ratios well under {scale:g} are expected)")
 

@@ -11,9 +11,21 @@ key-shifted facts (dims stay — the classic fact-scale-up):
   state scales with data instead of piling onto the same keys.
 - documents: doc_id shifted; a per-replica marker token appended so
   replicas of one doc form NEAR-duplicate clusters (the shape the dedup
-  pipeline is built for) instead of byte-identical rows.
-- embeddings: vec_id shifted; a deterministic per-replica perturbation on
-  one dimension so replicas are near- (not exact-) neighbors.
+  pipeline is built for) instead of byte-identical rows. Near-dup
+  FAMILIES ARE CAPPED at FAMILY=4 replicas: replicas in group g = r//4
+  for g >= 1 get every token suffixed with a group tag, which drops
+  cross-group token-set Jaccard to ~0 (< the 0.7 verify threshold and
+  below any LSH band collision) while within-group replicas still differ
+  only by the ' rep<r>' marker. Without the cap, all R replicas of one
+  doc were mutual near-dups and the candidate/CC input grew ~C(R,2) —
+  22,000x edges on 100x data (r7 verdict) — a replication artifact, not
+  a property of 100x corpora.
+- embeddings: vec_id shifted; group g = r//4 rotates the 64-dim vector
+  by g positions (zero-mean synthetic dims: cross-group cosine
+  concentrates near 0, p99 ~0.29 < the 0.35 eps-join threshold, with a
+  realistic sparse tail above it), and within a group a deterministic
+  0.001*(r%4) perturbation on one dimension keeps replicas near- (not
+  exact-) neighbors. Same C(R,2) -> O(R) edge-growth fix as documents.
 
 Replica 0 is the original data byte-for-byte. Everything is
 deterministic — no RNG. The output is NOT a correctness input: oracles
@@ -67,19 +79,33 @@ def main():
                 epoch_ns(ts) AS ts,
                 user_id + r * 10000000 AS user_id, event_type, value,
                 props""",
-        # ' rep' || r appends 4 + len(r) chars, so n_chars tracks len(text)
-        # exactly (the r6 ADVICE off-by-one used 5 + len(r))
-        "documents": """SELECT doc_id + r * 10000000 AS doc_id,
+        # family cap: group g = r//4. g=0 keeps the original token stream
+        # (so r=1..3 stay near-dups of the byte-identical r=0); g>=1
+        # suffixes EVERY token with 'g<g>', so groups share no tokens —
+        # no LSH band collision, token-set Jaccard ~0 across groups.
+        # ' rep' || r keeps within-group replicas distinct near-dups.
+        # n_chars is recomputed as len(text) — the suffixing makes a
+        # constant-offset adjustment impossible to state safely.
+        "documents": """SELECT doc_id, text, lang, source,
+                CASE WHEN orig THEN n_chars ELSE len(text) END AS n_chars
+              FROM (SELECT doc_id + r * 10000000 AS doc_id,
                 CASE WHEN r = 0 THEN text
-                     ELSE text || ' rep' || r END AS text,
-                lang, source,
-                CASE WHEN r = 0 THEN n_chars
-                     ELSE n_chars + 4 + len(CAST(r AS VARCHAR)) END AS n_chars""",
+                     WHEN r // 4 = 0 THEN text || ' rep' || r
+                     ELSE array_to_string(list_transform(
+                            string_split(text, ' '),
+                            w -> w || 'g' || (r // 4)), ' ')
+                          || ' rep' || r END AS text,
+                lang, source, n_chars, r = 0 AS orig FROM {src})""",
+        # family cap: group g = r//4 rotates the vector by g positions
+        # (dims are zero-mean — rotated copies decorrelate, cosine ~0);
+        # within a group the 0.001*(r%4) single-dim perturbation keeps
+        # replicas near-neighbors of the unrotated-or-rotated base.
         "embeddings": """SELECT vec_id + r * 10000000 AS vec_id,
                 CASE WHEN r = 0 THEN embedding
-                     ELSE list_transform(embedding, (x, i) ->
-                       CASE WHEN i = 1
-                         THEN CAST(x + 0.001 * r AS FLOAT) ELSE x END)
+                     ELSE list_transform(range(len(embedding)), i ->
+                       CAST(embedding[((i + r // 4) % len(embedding)) + 1]
+                         + CASE WHEN i = 0 THEN 0.001 * (r % 4)
+                                ELSE 0 END AS FLOAT))
                 END AS embedding,
                 label""",
     }
@@ -93,9 +119,12 @@ def main():
     row_group = {"documents": 20000, "embeddings": 20000}
     for t, sel in shifts.items():
         rg = (f", ROW_GROUP_SIZE {row_group[t]}" if t in row_group else "")
+        src = f"'{SRC}/{t}.parquet' CROSS JOIN reps"
+        # a query with its own nesting carries a {src} placeholder; the
+        # flat SELECT-list-only ones get the FROM appended as before
+        q = sel.format(src=src) if "{src}" in sel else f"{sel} FROM {src}"
         con.execute(
-            f"COPY ({sel} FROM '{SRC}/{t}.parquet' CROSS JOIN reps) "
-            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET{rg})")
+            f"COPY ({q}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET{rg})")
         n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
