@@ -462,6 +462,33 @@ object Similarity {
         .select($"qid", $"rank", $"nid",
           floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
         .orderBy($"qid", $"rank")
+    }),
+
+    // Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    // arXiv:2303.09540): k-means-cluster the embedding space, then
+    // within each cluster drop every vector that has a lower-id
+    // cluster-mate above the similarity bar — "keep lowest id" is the
+    // deterministic stand-in for the paper's keep-one-per-ball rule.
+    // The trained cells (q121's index) turn the O(n²) cosine matrix
+    // into per-cell blocks — q36's trade, but over TRAINED cells, which
+    // is what SemDeDup actually prescribes. Bar: cos ≥ 1/√8 ≈ 0.354 ⟺
+    // dot > 0 ∧ 8·dot² ≥ |a|²|b|², exact BIGINTs (max quantized nrm
+    // ~1e8 ⟹ 8·dot² ≤ 8e16 ≪ 2^63 — no overflow on either engine).
+    "q133_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      val cell = assignToCells(quantized(s, d), kmeansCentroids(s, d, 2))
+      val dropped = cell.as("a")
+        .join(cell.as("b"),
+          $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+        .withColumn("dp", dot($"a.e", $"b.e"))
+        .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
+        .select($"a.vec_id").distinct()
+        .withColumn("dup", lit(1L))
+      cell.select($"vec_id", $"cid")
+        .join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cid",
+          when($"dup".isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy($"vec_id")
     })
   )
 
@@ -753,6 +780,31 @@ object Similarity {
                FROM k)
          SELECT qid, rank, nid,
            CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
-         FROM r WHERE rank <= 3 ORDER BY qid, rank"""
+         FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    "q133_semantic_dedup" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c),
+         af AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM apf) t WHERE rn = 1),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM af a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT a.vec_id,
+                 CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
+                 a.nrm AS an, b.nrm AS bn
+               FROM full0 a JOIN full0 b
+                 ON a.cid = b.cid AND b.vec_id < a.vec_id),
+         dup AS (SELECT DISTINCT vec_id FROM p
+                 WHERE dot > 0 AND 8*dot*dot >= an*bn)
+         SELECT f.vec_id, f.cid,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM full0 f LEFT JOIN dup d ON f.vec_id = d.vec_id
+         ORDER BY f.vec_id"""
   )
 }

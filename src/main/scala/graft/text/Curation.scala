@@ -37,6 +37,21 @@ object Curation {
   private val Budget = 512L    // tokens per packed training sequence
   private val Shards = 32L     // pack-parallelism (≡ local core count)
 
+  // Deterministic-sampling constants (q130–q132). The "hash" is Knuth's
+  // multiplicative constant mod 2^32 in plain BIGINT arithmetic — chosen
+  // over Spark's murmur3 `hash()` precisely because the SAME expression
+  // runs in the DuckDB oracle, and over `sample()`/TABLESAMPLE because
+  // those are partition-layout-dependent: a task retry or an AQE
+  // coalesce changes which rows survive, which is disqualifying for a
+  // training corpus that must be re-materializable bit-for-bit.
+  // doc_id < 2^32 everywhere we run (sf10 bench tops out ~10^9), so the
+  // product stays < 2^63 — no overflow, and no engine-specific wrap.
+  private val HashMul = 2654435761L  // Knuth multiplicative hash, mod 2^32
+  private val HashMod = 4294967296L
+  private val SampleDen = 10L        // q130 keeps h % 10 == 0 → 10%
+  private val StratDen = 5L          // q131 keeps ceil(n/5) per stratum → 20%
+  private val MixBase = 800L         // q132 token budget per weight unit
+
   /** Distinct 3-word shingles per document, exploded. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -85,6 +100,64 @@ object Curation {
         .select($"doc_id", $"shard", $"n_tokens",
           expr(s"CAST((cum - n_tokens) DIV $Budget AS BIGINT)").as("seq_id"))
         .orderBy($"doc_id")
+    }),
+
+    // Reproducible 10% Bernoulli sample: keep doc iff
+    // (doc_id * HashMul mod 2^32) mod 10 == 0. A pure narrow map+filter —
+    // no shuffle, no RNG state, independent of partition layout, so the
+    // same corpus always yields the same sample on any cluster size.
+    "q130_hash_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("h", ($"doc_id" * HashMul) % HashMod)
+        .filter($"h" % SampleDen === 0)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Stratified sample with EXACT per-stratum counts: within each
+    // `source`, rank docs by the q130 hash (doc_id tiebreak) and keep the
+    // first ceil(n_s/5) — 20% per stratum to the document, not in
+    // expectation. One shuffle on the stratum key; each stratum's window
+    // is an independent linear scan (same shape as q126's packing).
+    "q131_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val byStratum = Window.partitionBy($"source")
+      val w = byStratum.orderBy($"h", $"doc_id")
+      Tables.documents(s, d)
+        .withColumn("h", ($"doc_id" * HashMul) % HashMod)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(byStratum))
+        .filter($"rn" * StratDen <= $"cnt" + (StratDen - 1L))
+        .select($"doc_id", $"source", $"rn")
+        .orderBy($"doc_id")
+    }),
+
+    // Domain mixing to a per-domain token budget: each source gets
+    // weight w (src0=4, src1=2, rest 1) and a budget of w*MixBase
+    // tokens; docs are admitted in hash order (the q130 hash — an
+    // unbiased, reproducible shuffle of each domain) until the budget is
+    // hit, with q126's start-offset rule (a doc is in iff its cumulative
+    // START is under budget) so admission is order-of-evaluation-free.
+    // This is the up/down-sampling step that turns "weights per domain"
+    // into a concrete training corpus.
+    "q132_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("h", ($"doc_id" * HashMul) % HashMod)
+        .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+        .withColumn("budget",
+          when($"source" === "src0", 4L * MixBase)
+            .when($"source" === "src1", 2L * MixBase)
+            .otherwise(MixBase))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .filter($"cum" - $"n_tokens" < $"budget")
+        .select($"doc_id", $"source", $"n_tokens",
+          ($"cum" - $"n_tokens").as("start_offset"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -122,6 +195,46 @@ object Curation {
            FROM x)
          SELECT doc_id, shard, n_tokens,
                 CAST((cum - n_tokens) // $Budget AS BIGINT) AS seq_id
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "q130_hash_sample" ->
+      s"""SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents
+         WHERE ((doc_id * $HashMul) % $HashMod) % $SampleDen = 0
+         ORDER BY doc_id""",
+    "q131_stratified_sample" ->
+      s"""WITH x AS (
+           SELECT doc_id, source,
+                  (doc_id * $HashMul) % $HashMod AS h
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY h, doc_id) AS BIGINT) AS rn,
+                  count(*) OVER (PARTITION BY source) AS cnt
+           FROM x)
+         SELECT doc_id, source, rn FROM r
+         WHERE rn * $StratDen <= cnt + ${StratDen - 1}
+         ORDER BY doc_id""",
+    "q132_domain_mix" ->
+      s"""WITH x AS (
+           SELECT doc_id, source,
+                  (doc_id * $HashMul) % $HashMod AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CASE WHEN source = 'src0' THEN 4 * $MixBase
+                       WHEN source = 'src1' THEN 2 * $MixBase
+                       ELSE $MixBase END AS budget
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens, budget,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM x)
+         SELECT doc_id, source, n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_offset
+         FROM c WHERE cum - n_tokens < budget
+         ORDER BY doc_id"""
   )
 }

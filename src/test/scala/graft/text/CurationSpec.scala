@@ -52,4 +52,60 @@ class CurationSpec extends AnyFunSuite {
       (64L, 0L, 300L, 0L),  // start 300 -> seq 0
       (96L, 0L, 300L, 1L))) // start 600 -> seq 1
   }
+
+  /** The q130–q132 sampling hash, restated independently in the test. */
+  private def h(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  private def sourcedDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("curation_fix").toString
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'zh' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("hash sample: keeps exactly the ids whose Knuth hash lands on 0 mod 10") {
+    import spark.implicits._
+    val d = fixtureDir((0L until 100L).map(i => i -> "a b c"))
+    val got = graft.SparkEntry.queries("q130_hash_sample")(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    val want = (0L until 100L).filter(h(_) % 10 == 0)
+      .map(i => (i, "test", 3L))
+    assert(got === want)
+    assert(got.nonEmpty) // the constants actually select something
+  }
+
+  test("stratified sample: exact ceil(n/5) per stratum, hash-ranked") {
+    import spark.implicits._
+    // stratum A: 6 docs -> keep ceil(6/5) = 2; stratum B: 1 doc -> keep 1
+    val aIds = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val d = sourcedDir(aIds.map(i => (i, "x y", "A")) :+ ((100L, "x", "B")))
+    val got = graft.SparkEntry.queries("q131_stratified_sample")(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    val wantA = aIds.sortBy(i => (h(i), i)).take(2)
+    assert(got.filter(_._2 == "A").map(_._1).sorted === wantA.sorted)
+    assert(got.filter(_._2 == "B") === Seq((100L, "B", 1L)))
+    // ranks are the hash-order positions 1..2 within A
+    assert(got.filter(_._2 == "A").map(_._3).sorted === Seq(1L, 2L))
+  }
+
+  test("domain mix: admits docs in hash order until the start offset hits the budget") {
+    import spark.implicits._
+    def toks(n: Int): String = Seq.fill(n)("t").mkString(" ")
+    // source "test" (weight 1) -> budget 800 tokens; 3 docs of 300:
+    // hash-order starts are 0, 300, 600 -> all < 800 admitted... so use
+    // 4 docs of 300: the 4th start (900) crosses and is cut.
+    val ids = Seq(10L, 11L, 12L, 13L)
+    val d = fixtureDir(ids.map(i => i -> toks(300)))
+    val got = graft.SparkEntry.queries("q132_domain_mix")(spark, d)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val order = ids.sortBy(i => (h(i), i))
+    val want = order.zipWithIndex.collect {
+      case (i, k) if k * 300L < 800L => (i, "test", 300L, k * 300L)
+    }.sortBy(_._1)
+    assert(got === want)
+    assert(got.size === 3)
+  }
 }
