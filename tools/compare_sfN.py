@@ -30,6 +30,7 @@ def main():
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 100.0
     base = med_from("bench/r04_scope108_run*.json")
     base.update(med_from("bench/r06_scope115_run*.json"))
+    base.update(med_from("bench/r07_scope119_run*.json"))
     rows = []
     for q, t in sorted(target["queries"].items()):
         if t < 0:

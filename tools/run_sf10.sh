@@ -9,7 +9,9 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r07.json'))) | {'q129_answer_bucketed'})
+qs=sorted(set(json.load(open('CORRECTNESS_r07.json')))
+          | {'q129_answer_bucketed','q130_hash_sample','q131_stratified_sample',
+             'q132_domain_mix','q133_semantic_dedup'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
