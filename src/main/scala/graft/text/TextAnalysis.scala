@@ -228,6 +228,57 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token")
         .limit(20)
+    }),
+
+    // Corpus novelty score: the fraction of a doc's distinct 3-gram
+    // shingles whose FIRST occurrence (min doc_id) is the doc itself —
+    // the curation signal that ranks content by how much it adds over
+    // what the corpus already holds (boilerplate scores ~0, fresh
+    // content ~1000‰). Shape: shingle explode → (shingle → min doc)
+    // partial-agg shuffle bounded by distinct-shingle count → join back
+    // on shingle → per-doc agg. Same linear fan-out as the LSH family.
+    "q134_novelty_permille" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", explode(array_distinct(
+          when(size($"t") >= 3, expr(
+            """transform(sequence(1, size(t) - 2),
+               j -> concat(element_at(t, j), ' ',
+                           element_at(t, j + 1), ' ',
+                           element_at(t, j + 2)))"""))
+            .otherwise(array()))).as("shingle"))
+      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        .select($"doc_id", $"n_shingles", $"n_novel",
+          expr("CAST(n_novel * 1000 DIV n_shingles AS BIGINT)")
+            .as("novelty_permille"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic TF-IDF-ish term ranking: score = tf · (10^6 DIV df)
+    // — the integer-reciprocal stand-in for tf·idf (monotone in tf and
+    // 1/df, exact in both engines where ln() parity is not). Top-3 terms
+    // per doc, ties broken lexicographically. Shape: token explode →
+    // (doc,term) tf agg → term df agg (vocabulary-sized, the classic
+    // broadcastable side) → join on term → per-doc window top-k.
+    "q135_tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      tf.join(dfreq, "term")
+        .withColumn("score", $"tf" * expr("CAST(1000000 DIV df AS BIGINT)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"score")
+        .orderBy($"doc_id", $"rank")
     })
   )
 
@@ -272,6 +323,39 @@ object TextAnalysis {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "q134_novelty_permille" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(tk) >= 3 THEN
+                    list_transform(range(1, len(tk) - 1),
+                      j -> tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])
+                  ELSE [] END)) AS shingle
+                FROM t),
+         f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+         g AS (SELECT s.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel
+               FROM sh s JOIN f USING (shingle) GROUP BY 1)
+         SELECT doc_id, n_shingles, n_novel,
+                CAST(n_novel * 1000 // n_shingles AS BIGINT) AS novelty_permille
+         FROM g ORDER BY doc_id""",
+    "q135_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+         sc AS (SELECT t.doc_id, t.term,
+                  t.tf * CAST(1000000 // d.df AS BIGINT) AS score
+                FROM tf t JOIN dfreq d USING (term)),
+         r AS (SELECT doc_id, term, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS BIGINT) AS rank
+               FROM sc)
+         SELECT doc_id, rank, term, score FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q29_langid_confusion" ->
       """SELECT lang,
            CASE WHEN en_markers * 1000 >= n_tokens * 60

@@ -91,6 +91,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "A").map(_._3).sorted === Seq(1L, 2L))
   }
 
+  test("novelty: first-occurrence shingles score 1000, repeats 0, short docs absent") {
+    import spark.implicits._
+    val d = fixtureDir(Seq(
+      1L -> "a b c d",   // shingles {a b c, b c d} — both first here -> 1000
+      2L -> "a b c d",   // same shingles, later id -> 0
+      3L -> "a b c x y", // {a b c, b c x, c x y}: 2 of 3 novel -> 666
+      4L -> "p q"))      // no shingles -> no row
+    val got = graft.SparkEntry.queries("q134_novelty_permille")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 1000L), (2L, 2L, 0L, 0L), (3L, 3L, 2L, 666L)))
+  }
+
+  test("tfidf: rare terms outrank frequent ones; ties break lexicographically") {
+    import spark.implicits._
+    // "z" df=1 (score 1e6), "a" df=3 (score 333333/occurrence)
+    val d = fixtureDir(Seq(
+      1L -> "a a z",  // z: 1e6; a: 2*333333=666666
+      2L -> "a b",    // b df=2 -> 5e5; a 333333
+      3L -> "a b"))
+    val got = graft.SparkEntry.queries("q135_tfidf_topk")(spark, d)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "z", 1000000L), (1L, 2L, "a", 666666L),
+      (2L, 1L, "b", 500000L), (2L, 2L, "a", 333333L),
+      (3L, 1L, "b", 500000L), (3L, 2L, "a", 333333L)))
+  }
+
   test("domain mix: admits docs in hash order until the start offset hits the budget") {
     import spark.implicits._
     def toks(n: Int): String = Seq.fill(n)("t").mkString(" ")
