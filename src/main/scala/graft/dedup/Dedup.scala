@@ -214,7 +214,32 @@ object Dedup {
     // BroadcastNestedLoopJoin. Cross-bucket near-dups are the recall trade
     // (standard IVF; nprobe>1 is the extension).
     "q36_cosine_neardup" -> ((s, d) =>
-      cosinePairs(s, d).orderBy(col("v1"), col("v2")))
+      cosinePairs(s, d).orderBy(col("v1"), col("v2"))),
+
+    // INCREMENTAL dedup — the daily-pipeline shape: dedup a NEW BATCH
+    // (here the deterministic doc_id % 10 = 9 slice) against the
+    // standing corpus plus itself, leaving corpus rows untouched. A
+    // batch doc is dropped if a verified near-dup (LSH candidate with
+    // Jaccard ≥ 0.7) exists in the corpus (either pair orientation) or
+    // earlier in the batch (lower doc_id). At 100 TB the corpus side is
+    // a persisted signature INDEX probed by the increment's bands — the
+    // banded equi-join here is that exact shape; only signature
+    // (re)computation differs, and it is linear in the increment.
+    "q38_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val batch = (c: Column) => c % 10 === 9
+      val pairs = jaccardPairs(s, d).select($"d1", $"d2")
+      val hits = pairs.filter(batch($"d2")).select($"d2".as("doc_id"))
+        .unionByName(pairs.filter(batch($"d1") && !batch($"d2"))
+          .select($"d1".as("doc_id")))
+      val dups = hits.groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+      Tables.documents(s, d).filter(batch($"doc_id"))
+        .select($"doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_dup", lit(0L)).as("n_dup"),
+          when($"n_dup".isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy($"doc_id")
+    })
   )
 
   /** q34's Jaccard verify WITHOUT the presentation sort — shared by q34
@@ -325,6 +350,27 @@ cand AS (
          SELECT d1, d2, CAST(inter * 1000 // uni AS BIGINT) AS jaccard_permille
          FROM p WHERE inter * 1000 >= uni * 700
          ORDER BY d1, d2""",
+    "q38_incremental_dedup" ->
+      s"""WITH $lshCandSql,
+         tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t
+                FROM documents),
+         v AS (SELECT c.d1, c.d2
+               FROM cand c
+               JOIN tt a ON c.d1 = a.doc_id
+               JOIN tt b ON c.d2 = b.doc_id
+               WHERE len(list_intersect(a.t, b.t)) * 1000 >=
+                 (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) * 700),
+         hits AS (SELECT d2 AS doc_id FROM v WHERE d2 % 10 = 9
+                  UNION ALL
+                  SELECT d1 AS doc_id FROM v
+                  WHERE d1 % 10 = 9 AND d2 % 10 <> 9),
+         dups AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+                  FROM hits GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
+                CAST(CASE WHEN u.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM documents d LEFT JOIN dups u USING (doc_id)
+         WHERE d.doc_id % 10 = 9 ORDER BY d.doc_id""",
     "q35_simhash" ->
       s"""WITH $simhashSql
          SELECT doc_id, sh AS simhash FROM sh0 ORDER BY doc_id""",

@@ -476,7 +476,13 @@ object Similarity {
     // ~1e8 ⟹ 8·dot² ≤ 8e16 ≪ 2^63 — no overflow on either engine).
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      // the assigned frame feeds the self-join's BOTH sides plus the
+      // final keep projection — persist or pay the O(n·k) assignment
+      // scan three times (same rationale as kmeansCentroids' train
+      // cache; Bench clears caches between queries)
       val cell = assignToCells(quantized(s, d), kmeansCentroids(s, d, 2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val dropped = cell.as("a")
         .join(cell.as("b"),
           $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")

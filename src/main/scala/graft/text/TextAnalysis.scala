@@ -234,11 +234,14 @@ object TextAnalysis {
     // shingles whose FIRST occurrence (min doc_id) is the doc itself —
     // the curation signal that ranks content by how much it adds over
     // what the corpus already holds (boilerplate scores ~0, fresh
-    // content ~1000‰). Shape: shingle explode → (shingle → min doc)
-    // partial-agg shuffle bounded by distinct-shingle count → join back
-    // on shingle → per-doc agg. Same linear fan-out as the LSH family.
+    // content ~1000‰). Shape: shingle explode → min-over-shingle WINDOW
+    // (ONE hash shuffle on the shingle key — an agg+self-join would fan
+    // the shingle frame out twice) → per-doc agg. Linear like the LSH
+    // family; the window partition is a shingle's occurrence list,
+    // bounded by duplication not corpus size.
     "q134_novelty_permille" -> ((s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val sh = Tables.documents(s, d)
         .select($"doc_id", split($"text", " ").as("t"))
         .select($"doc_id", explode(array_distinct(
@@ -248,8 +251,8 @@ object TextAnalysis {
                            element_at(t, j + 1), ' ',
                            element_at(t, j + 2)))"""))
             .otherwise(array()))).as("shingle"))
-      val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-      sh.join(first, "shingle")
+      sh.withColumn("first_doc",
+          min($"doc_id").over(Window.partitionBy($"shingle")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))

@@ -52,4 +52,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty) // the fixture actually produces near-dup pairs
   }
+
+  test("q38 incremental dedup: batch-vs-corpus and batch-vs-earlier-batch drop; corpus untouched") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("incdedup_fix").toString
+    Seq(
+      10L -> "a b c d e f",    // corpus
+      19L -> "a b c d e f",    // batch dup of corpus 10      -> dropped
+      29L -> "p q r s t u",    // batch, unique               -> kept
+      39L -> "x y z w v k",    // batch; first of a batch pair -> kept
+      49L -> "x y z w v k",    // batch dup of EARLIER batch 39 -> dropped
+      20L -> "m n o g h i",    // corpus-corpus dup pair: never
+      30L -> "m n o g h i")    //   surfaces (corpus rows untouched)
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'zh' AS lang", "'test' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.queries("q38_incremental_dedup")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (19L, 1L, 0L), (29L, 0L, 1L), (39L, 0L, 1L), (49L, 1L, 0L)))
+  }
 }
