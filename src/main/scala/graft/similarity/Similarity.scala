@@ -271,6 +271,29 @@ object Similarity {
     cents
   }
 
+  /** Persist a trained IVF index: the centroid table is k ≈ √n rows —
+    * THE artifact that makes IVF economical at corpus scale, because
+    * training is the expensive pass and every later job (ingest batches,
+    * query serving, the blocked near-dup joins) loads the index and pays
+    * only the assignment scan. Parquet keeps the exact BIGINT lattice.
+    */
+  private def writeIndex(s: SparkSession, cents: Seq[Cent], dir: String): Unit = {
+    import s.implicits._
+    // k rows: a single file is the right layout for a broadcast artifact
+    cents.toDF("cid", "ce", "cnrm").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted index back into the driver-held form the
+    * assignment expressions consume; cid-sorted so downstream grouping
+    * ([[hierGroups]]) is layout-independent.
+    */
+  private def readIndex(s: SparkSession, dir: String): Seq[Cent] = {
+    import s.implicits._
+    s.read.parquet(dir).as[(Long, Seq[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+  }
+
   /** Nearest-cell assignment of a quantized frame `(vec_id, e, nrm)` to
     * driver-held centroids: [[topCells]] rank-1 cell per vector, ties on
     * cid — the same rule as [[ivfAssignedN]].
@@ -474,6 +497,21 @@ object Similarity {
     // is what SemDeDup actually prescribes. Bar: cos ≥ 1/√8 ≈ 0.354 ⟺
     // dot > 0 ∧ 8·dot² ≥ |a|²|b|², exact BIGINTs (max quantized nrm
     // ~1e8 ⟹ 8·dot² ≤ 8e16 ≪ 2^63 — no overflow on either engine).
+    // Index-persistence round trip: train (q121's k-means) → write the
+    // index → load it in place of the in-memory centroids → assign the
+    // corpus. Gated against q121's exact oracle, so ANY serialization
+    // loss (column order, lattice precision, a dropped cell) diffs the
+    // assignment. Build-once/probe-many is the IVF economics at 100 TB;
+    // this is the "probe-many" path's loading contract.
+    "q49_ivf_index_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.sinks.SinkQueries.tmp(s, "q49_index")
+      writeIndex(s, kmeansCentroids(s, d, 2), dir)
+      assignToCells(quantized(s, d), readIndex(s, dir))
+        .select($"vec_id", $"cid".as("centroid_id"))
+        .orderBy($"vec_id")
+    }),
+
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
@@ -787,6 +825,19 @@ object Similarity {
          SELECT qid, rank, nid,
            CAST(floor(key * 1000000.0) AS BIGINT) AS cos2_x1e6
          FROM r WHERE rank <= 3 ORDER BY qid, rank""",
+    "q49_ivf_index_roundtrip" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c)
+         SELECT vec_id, cid AS centroid_id FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                 * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+           FROM apf) t WHERE rn = 1
+         ORDER BY vec_id""",
     "q133_semantic_dedup" ->
       s"""WITH ${kmeansSql(2)},
          apf AS (SELECT n.vec_id, c.cid,

@@ -43,7 +43,7 @@ object SinkQueries {
     root
   }
 
-  private def tmp(s: SparkSession, prefix: String): String = {
+  private[graft] def tmp(s: SparkSession, prefix: String): String = {
     // namespaced by the Spark application id: stable within a run (true
     // overwrite semantics across repeated queries), but concurrent
     // Bench/Verify/test processes — or other users on a shared tmpdir —
