@@ -31,6 +31,12 @@ def main():
     base = med_from("bench/r04_scope108_run*.json")
     base.update(med_from("bench/r06_scope115_run*.json"))
     base.update(med_from("bench/r07_scope119_run*.json"))
+    # r08 driver-like runs (n=3 in-artifact medians) fill queries the
+    # older scope runs don't know — fill-only, because that boot ran
+    # ~1.6x faster than the committed-median era and would skew ratios
+    # for queries that already have a consistent baseline
+    for k, v in med_from("bench/r08_sf01_driverlike_run*.json").items():
+        base.setdefault(k, v)
     rows = []
     for q, t in sorted(target["queries"].items()):
         if t < 0:
