@@ -512,6 +512,36 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // q133's recall knob made concrete: each vector joins its TWO
+    // nearest trained cells (the IVF nprobe=2 rule over the q121 index),
+    // pairs form within ANY shared cell (distinct-ed — a pair can share
+    // both), and the keep rule is q133's. Measured at sf0.01: pair
+    // recall 0.38 → 0.69, drop recall 0.44 → 0.75 vs the all-pairs
+    // truth, for 2× the assignment rows and ~2–4× the within-cell pair
+    // work — the standard IVF price curve applied to dedup (PERF.md
+    // round-8 recall table).
+    "q136_semantic_dedup_nprobe2" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val cents = kmeansCentroids(s, d, 2)
+      val cell = quantized(s, d)
+        .select($"vec_id", $"e", $"nrm",
+          explode(topCells(s, cents, $"e", $"nrm", 2)).as("cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dropped = cell.as("a")
+        .join(cell.as("b"),
+          $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+        .withColumn("dp", dot($"a.e", $"b.e"))
+        .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
+        .select($"a.vec_id").distinct()
+        .withColumn("dup", lit(1L))
+      cell.select($"vec_id").distinct()
+        .join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id",
+          when($"dup".isNull, 1L).otherwise(0L).as("keep"))
+        .orderBy($"vec_id")
+    }),
+
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
@@ -838,6 +868,32 @@ object Similarity {
                  * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
            FROM apf) t WHERE rn = 1
          ORDER BY vec_id""",
+    "q136_semantic_dedup_nprobe2" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c),
+         af AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM apf) t WHERE rn <= 2),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM af a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+               FROM full0 a JOIN full0 b
+                 ON a.cid = b.cid AND b.vec_id < a.vec_id
+               WHERE list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) > 0
+                 AND 8 * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                       * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                     >= a.nrm * b.nrm),
+         dup AS (SELECT DISTINCT va AS vec_id FROM p)
+         SELECT v.vec_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
+         ORDER BY v.vec_id""",
     "q133_semantic_dedup" ->
       s"""WITH ${kmeansSql(2)},
          apf AS (SELECT n.vec_id, c.cid,
