@@ -29,6 +29,7 @@ object SparkEntry {
     (graph.GraphQueries.queries, graph.GraphQueries.oracles),
     (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
     (streaming.Events.queries, streaming.Events.oracles),
+    (streaming.DocsStream.queries, streaming.DocsStream.oracles),
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
     (enrich.TermEncoding.queries, enrich.TermEncoding.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),

@@ -40,7 +40,7 @@ object Dedup {
 
   private val NSeeds = 8
   private val NBands = 4
-  private val MaxBucket = 50
+  private[graft] val MaxBucket = 50
 
   /** LSH candidate generation: r=2 bands (band hash = md5 of two
     * concatenated minhashes) with a deterministic per-bucket cap —
@@ -302,7 +302,7 @@ cand AS (
   /** Oracle CTE for the 16-bit simhash (shared by q35 and q37) — same
     * hex-digit majority vote as [[TextHashes.simhash16]].
     */
-  private val simhashSql = """sh0 AS (
+  private[graft] val simhashSql = """sh0 AS (
   SELECT doc_id,
     list_aggregate(list_transform(range(1, 17), p ->
       CASE WHEN list_sum(list_transform(th, x ->

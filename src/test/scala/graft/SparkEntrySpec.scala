@@ -23,7 +23,8 @@ class SparkEntrySpec extends AnyFunSuite {
       text.Curation.queries,
       dedup.Dedup.queries, similarity.Similarity.queries,
       graph.GraphQueries.queries, resolve.EntityResolution.queries,
-      streaming.Events.queries, enrich.TopicEnrichment.queries,
+      streaming.Events.queries, streaming.DocsStream.queries,
+      enrich.TopicEnrichment.queries,
       enrich.TermEncoding.queries,
       ingest.TaggedQueries.queries, query.QueryText.queries,
       sinks.SinkQueries.queries, multimodal.Multimodal.queries)
