@@ -16,14 +16,18 @@ object Bench {
     * state) moves them together; a real plan regression moves only its
     * own query.
     */
+  // re-pinned in round 8 from the two full-sweep driver-shaped records
+  // (each per-query n=3 medians; bench/r08_sf01_driverlike_run{1,2}) —
+  // the r6-era pins read ~0.6 on this provisioning and a constant-offset
+  // scale makes "ratio ≈ 1 = healthy" misleading.
   val ControlSnapshot: Map[String, Double] = Map(
-    "q01_pricing_summary" -> 1.88,
-    "q03_revenue_by_nation" -> 1.45,
-    "q04_top_customers" -> 1.87,
-    "q08_top_orders_per_segment" -> 1.13,
-    "q21_lang_id_heuristic" -> 0.39,
-    "q22_quality_score" -> 0.49,
-    "q27_repetition_stats" -> 1.02)
+    "q01_pricing_summary" -> 0.55,
+    "q03_revenue_by_nation" -> 0.80,
+    "q04_top_customers" -> 1.18,
+    "q08_top_orders_per_segment" -> 0.58,
+    "q21_lang_id_heuristic" -> 0.26,
+    "q22_quality_score" -> 0.40,
+    "q27_repetition_stats" -> 0.67)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -71,11 +75,12 @@ object Bench {
   }
 
   /** Committed sf-independent median of [[iterativeProbe]] (itself a
-    * median of 5 in-boot runs) on the provisioned 32-core box: n=5 clean
-    * boots in round 8 read 4.26/4.48/4.75/4.86/5.27 s — a 0.90-1.11x band
-    * around this pin, so iter_control_ratio ≳ 2 is a degraded boot, not
-    * noise. */
-  val IterativeProbeMedian: Double = 4.75
+    * median of 5 in-boot runs) on the provisioned 32-core box. Re-pinned
+    * in round 8 alongside [[ControlSnapshot]]: the two full-sweep
+    * driver-shaped boots read 3.08/3.15 s (the early-round 4.26-5.27 s
+    * band predated the same provisioning shift the controls saw), so
+    * iter_control_ratio ≳ 2 is a degraded boot, not noise. */
+  val IterativeProbeMedian: Double = 3.1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

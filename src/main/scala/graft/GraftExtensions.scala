@@ -48,7 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the 11-arg constructor is the only non-deprecated full form; empty
+    // strings mean "no examples/since/notes", "built-in" source matches
+    // what FunctionRegistry uses for its own expressions
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def minhashBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(tokens) => TextHashes.MinHashSignature(tokens, 8)
