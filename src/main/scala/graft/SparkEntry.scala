@@ -34,6 +34,7 @@ object SparkEntry {
     (enrich.TermEncoding.queries, enrich.TermEncoding.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),
     (query.QueryText.queries, query.QueryText.oracles),
+    (query.ChatStore.queries, query.ChatStore.oracles),
     (sinks.SinkQueries.queries, sinks.SinkQueries.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )

@@ -1,0 +1,165 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Chat persistence (SURVEY §2.9 L6) re-expressed Spark-native — the
+  * last reference component previously scoped out. The reference is
+  * SQLite row-CRUD (`WebUI_Front/app_new.py:19-107`: chats/messages
+  * tables, cascade delete, title fallback `对话 - {id}`, recency-ordered
+  * listing). Single-row UPDATE/DELETE is the one shape a distributed
+  * engine should NOT imitate literally, so this is the lakehouse
+  * equivalent: an APPEND-ONLY event log (`create` / `message` /
+  * `rename` / `delete` rows in parquet) plus declarative state folds —
+  * the current-chats view and per-chat history are queries over the
+  * log, not mutations. Same observable semantics:
+  *
+  *  - delete cascades: a chat's current EPOCH is everything after its
+  *    last `delete`; messages of deleted epochs never resurface, and a
+  *    re-`create` of the same id starts clean (SQLite's
+  *    DELETE-then-INSERT cycle).
+  *  - title: last `rename` in the epoch, else the epoch's `create`
+  *    title, else the reference's `对话 - {id}` fallback.
+  *  - listing ordered by last activity, newest first
+  *    (`get_all_chats`'s ORDER BY last_updated_at DESC).
+  *
+  * Monotone `seq` replaces wall-clock timestamps (the determinism
+  * contract — the reference's CURRENT_TIMESTAMP ordering, minus the
+  * clock). Scale: the log partitions by append batch, the folds are one
+  * hash shuffle on chat_id each; compaction (rewriting the folded state
+  * as the new log head) is the standard lakehouse maintenance job and
+  * composes from these same views.
+  */
+object ChatStore {
+
+  /** Append a batch of events. Schema: seq LONG, op STRING ('create' |
+    * 'message' | 'rename' | 'delete'), chat_id STRING, title STRING,
+    * role STRING, content STRING (nulls where not applicable).
+    */
+  def append(events: DataFrame, dir: String): Unit =
+    events.write.mode("append").parquet(dir)
+
+  def load(s: SparkSession, dir: String): DataFrame = s.read.parquet(dir)
+
+  /** Events of each chat's CURRENT epoch (after its last delete),
+    * deletes themselves excluded.
+    */
+  private def effective(log: DataFrame): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    val lastDel = log.filter($"op" === "delete")
+      .groupBy($"chat_id").agg(max($"seq").as("del_seq"))
+    log.filter($"op" =!= "delete")
+      .join(lastDel, Seq("chat_id"), "left")
+      .filter($"del_seq".isNull || $"seq" > $"del_seq")
+      .drop("del_seq")
+  }
+
+  /** The chats listing: one row per live chat — resolved title, message
+    * count, last-activity seq — newest first.
+    */
+  def chats(log: DataFrame): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    val eff = effective(log)
+    val wDesc = Window.partitionBy($"chat_id").orderBy($"seq".desc)
+    // a chat LIVES iff its epoch has a create; latest create wins
+    val created = eff.filter($"op" === "create")
+      .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
+      .select($"chat_id", $"seq".as("created_seq"), $"title".as("create_title"))
+    val lastRename = eff.filter($"op" === "rename")
+      .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
+      .select($"chat_id", $"title".as("rename_title"))
+    val activity = eff.groupBy($"chat_id").agg(
+      max($"seq").as("last_seq"),
+      sum(when($"op" === "message", 1L).otherwise(0L)).as("n_messages"))
+    created
+      .join(lastRename, Seq("chat_id"), "left")
+      .join(activity, Seq("chat_id"))
+      .select($"chat_id",
+        coalesce($"rename_title", $"create_title",
+          concat(lit("对话 - "), $"chat_id")).as("title"),
+        $"n_messages", $"last_seq")
+      .orderBy($"last_seq".desc, $"chat_id")
+  }
+
+  /** A live chat's history, oldest first (`get_chat_messages_from_db`);
+    * empty for deleted or never-created chats.
+    */
+  def messages(log: DataFrame, chatId: String): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    val eff = effective(log).filter($"chat_id" === chatId)
+    val alive = eff.filter($"op" === "create").limit(1).select($"chat_id")
+    eff.filter($"op" === "message")
+      .join(broadcast(alive), "chat_id")
+      .select($"seq", $"role", $"content")
+      .orderBy($"seq")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Round trip of the whole L6 surface, driven by fixture-derived
+    // events so the DuckDB oracle can recompute the expected state from
+    // `documents` alone: one chat per source (created at min(doc_id)·10,
+    // titled by the source), one message per doc (seq doc_id·10+5),
+    // then a SECOND append batch (exercising log append, not overwrite)
+    // renaming src1 and deleting every source ending in '0'. The gated
+    // frame is the folded chats listing read back from disk.
+    "q138_chat_state_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.sinks.SinkQueries.tmp(s, "q138_chatlog")
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val creates = docs.groupBy($"source")
+        .agg((min($"doc_id") * 10).as("seq"))
+        .select($"seq", lit("create").as("op"), $"source".as("chat_id"),
+          $"source".as("title"),
+          lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("content"))
+      val msgs = docs.select(($"doc_id" * 10 + 5).as("seq"),
+        lit("message").as("op"), $"source".as("chat_id"),
+        lit(null).cast("string").as("title"),
+        when($"doc_id" % 2 === 0, "user").otherwise("assistant").as("role"),
+        substring($"text", 1, 30).as("content"))
+      ChatStore.append(creates.unionByName(msgs), dir)
+      val maxSeq = docs.agg(max($"doc_id") * 10).as[Long].head()
+      val renames = s.range(1).select(lit(maxSeq + 6).as("seq"),
+        lit("rename").as("op"), lit("src1").as("chat_id"),
+        lit("src1-renamed").as("title"),
+        lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("content"))
+      val deletes = docs.select($"source").distinct()
+        .filter($"source".endsWith("0"))
+        .select(lit(maxSeq + 7).as("seq"), lit("delete").as("op"),
+          $"source".as("chat_id"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("content"))
+      ChatStore.append(renames.unionByName(deletes), dir)
+      chats(load(s, dir))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // The expected folded state, recomputed from `documents` directly:
+    // live chats are the sources NOT ending in '0'; title is the rename
+    // for src1 else the source; message count is the source's doc count
+    // (no deletes hit live chats); last activity is the rename seq for
+    // src1 else the source's max message seq.
+    "q138_chat_state_roundtrip" ->
+      """WITH src AS (
+           SELECT source, min(doc_id) AS mn, max(doc_id) AS mx,
+                  count(*) AS n
+           FROM documents GROUP BY 1),
+         gm AS (SELECT max(doc_id) * 10 AS maxseq FROM documents)
+         SELECT source AS chat_id,
+           CASE WHEN source = 'src1' THEN 'src1-renamed'
+                ELSE source END AS title,
+           CAST(n AS BIGINT) AS n_messages,
+           CAST(CASE WHEN source = 'src1' THEN (SELECT maxseq FROM gm) + 6
+                     ELSE mx * 10 + 5 END AS BIGINT) AS last_seq
+         FROM src WHERE source NOT LIKE '%0'
+         ORDER BY last_seq DESC, chat_id"""
+  )
+}

@@ -27,6 +27,7 @@ class SparkEntrySpec extends AnyFunSuite {
       enrich.TopicEnrichment.queries,
       enrich.TermEncoding.queries,
       ingest.TaggedQueries.queries, query.QueryText.queries,
+      query.ChatStore.queries,
       sinks.SinkQueries.queries, multimodal.Multimodal.queries)
     val names = perModule.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys

@@ -1,0 +1,62 @@
+package graft.query
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** L6 chat-persistence semantics on the append-only log, pinned against
+  * the reference's SQLite behavior (`app_new.py:19-107`): cascade
+  * delete, re-create starts a clean epoch, rename wins over create
+  * title, `对话 - {id}` fallback, recency-ordered listing, and
+  * durability across a reload (separate read of the same directory).
+  */
+class ChatStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ev(rows: Seq[(Long, String, String, Option[String],
+      Option[String], Option[String])]) = {
+    import spark.implicits._
+    rows.toDF("seq", "op", "chat_id", "title", "role", "content")
+  }
+
+  test("create/message/rename/delete fold to the reference's observable state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chatlog").toString + "/log"
+    ChatStore.append(ev(Seq(
+      (1L, "create", "a", Some("First"), None, None),
+      (2L, "message", "a", None, Some("user"), Some("hi")),
+      (3L, "create", "b", None, None, None),          // no title -> fallback
+      (4L, "message", "b", None, Some("user"), Some("x")),
+      (5L, "message", "a", None, Some("assistant"), Some("yo")))), dir)
+    // second batch: rename a, delete b — append, not overwrite
+    ChatStore.append(ev(Seq(
+      (6L, "rename", "a", Some("Renamed"), None, None),
+      (7L, "delete", "b", None, None, None))), dir)
+
+    val log = ChatStore.load(spark, dir)
+    val cs = ChatStore.chats(log)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // b is gone (cascade); a's title is the rename; ordered by last_seq desc
+    assert(cs === Seq(("a", "Renamed", 2L, 6L)))
+    // history: oldest first, role+content; deleted chat reads empty
+    val ha = ChatStore.messages(log, "a")
+      .as[(Long, String, String)].collect().toSeq
+    assert(ha === Seq((2L, "user", "hi"), (5L, "assistant", "yo")))
+    assert(ChatStore.messages(log, "b").isEmpty)
+
+    // re-create b: clean epoch — the old message never resurfaces
+    ChatStore.append(ev(Seq(
+      (8L, "create", "b", None, None, None),
+      (9L, "message", "b", None, Some("user"), Some("fresh")))), dir)
+    val log2 = ChatStore.load(spark, dir)
+    val cs2 = ChatStore.chats(log2)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cs2 === Seq(
+      ("b", "对话 - b", 1L, 9L),  // fallback title, newest first
+      ("a", "Renamed", 2L, 6L)))
+    assert(ChatStore.messages(log2, "b")
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((9L, "user", "fresh")))
+  }
+}
