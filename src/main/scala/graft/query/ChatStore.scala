@@ -99,6 +99,40 @@ object ChatStore {
       .orderBy($"seq")
   }
 
+  /** Compaction — the lakehouse maintenance job this design assumes:
+    * rewrite the log as the minimal event set reproducing the current
+    * state (each live epoch's create, its LAST rename if any, and its
+    * messages), atomically swapping via a temp dir. Deleted epochs and
+    * superseded renames vanish; `chats` and `messages` read identically
+    * before and after — including `last_seq` when the last activity was
+    * a rename, which is why the rename event is kept rather than baked
+    * into the create (spec-pinned). At scale this is the periodic job
+    * that keeps log read cost proportional to LIVE state rather than
+    * all-time history.
+    */
+  def compact(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val log = load(s, dir)
+    val eff = effective(log)
+    val wDesc = Window.partitionBy($"chat_id").orderBy($"seq".desc)
+    val keepOps = Seq("create", "rename").map { op =>
+      eff.filter($"op" === op)
+        .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
+        .drop("rn")
+    }
+    val live = keepOps.head.select($"chat_id")
+    val msgs = eff.filter($"op" === "message").join(live, "chat_id")
+    val cols = Seq($"seq", $"op", $"chat_id", $"title", $"role", $"content")
+    val compacted = (keepOps.head.select(cols: _*) +:
+      Seq(keepOps(1).join(live, "chat_id").select(cols: _*),
+        msgs.select(cols: _*))).reduce(_ unionByName _)
+    val tmp = dir + ".compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    // rewrite the head from the materialized temp copy, then drop it
+    s.read.parquet(tmp).write.mode("overwrite").parquet(dir)
+    graft.sinks.SinkQueries.rmTreePath(tmp)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Round trip of the whole L6 surface, driven by fixture-derived
     // events so the DuckDB oracle can recompute the expected state from

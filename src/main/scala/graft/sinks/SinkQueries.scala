@@ -27,6 +27,10 @@ object SinkQueries {
     f.delete(); ()
   }
 
+  /** Remove a directory tree by path — shared with the cross-module
+    * maintenance jobs (ChatStore compaction's temp dir). */
+  private[graft] def rmTreePath(p: String): Unit = rmTree(new java.io.File(p))
+
   // one JVM shutdown hook per application dir: per-run namespacing means
   // nothing ELSE ever deletes this run's tree, so without the hook every
   // Bench/Verify/test invocation would permanently leak a graft_<appId>

@@ -94,6 +94,60 @@ object DocsStream {
       }
   }
 
+  case class BandInT(doc_id: Long, band: Int, bits: String, sh: String,
+                     ts: java.sql.Timestamp)
+  case class BucketStateT(sigs: List[(Long, String, Long)]) // (id, sig, ts_ms)
+
+  /** Sliding-window variant: near-dedup against the TRAILING `ttlMs`
+    * of the stream only. Held signatures carry their event time and are
+    * expired two ways: entries behind the current watermark are pruned
+    * on every bucket invocation (handles buckets that keep receiving
+    * data — `hasTimedOut` never fires for those), and fully-idle
+    * buckets are removed via `EventTimeTimeout` at last-activity + ttl
+    * (so dormant buckets don't hold state forever). This is the bounded
+    * form the module scaladoc promises for 100 TB: total state ≤
+    * buckets-active-in-the-window × cap, regardless of stream age. A
+    * doc whose duplicate arrives after the window is NOT flagged — it
+    * re-enters as the fresh holder (the sliding-window dedup contract).
+    */
+  def nearDedupStreamTtl(docs: DataFrame, ttlMs: Long): Dataset[DupHit] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withWatermark("ts", s"$ttlMs milliseconds")
+      .select($"doc_id", TextHashes.simhash16(split($"text", " ")).as("sh"), $"ts")
+      .select($"doc_id", $"sh", $"ts",
+        posexplode(array(substring($"sh", 1, 8), substring($"sh", 9, 8)))
+          .as(Seq("band", "bits")))
+      .select($"doc_id", $"band".cast("int").as("band"), $"bits", $"sh", $"ts")
+      .as[BandInT]
+      .groupByKey(e => (e.band, e.bits))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), it: Iterator[BandInT], state: GroupState[BucketStateT]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val out = Seq.newBuilder[DupHit]
+            var held = state.getOption.map(_.sigs).getOrElse(Nil)
+              .filter(_._3 >= wmMs)
+            it.toSeq.sortBy(_.doc_id).foreach { e =>
+              held.foreach { case (id, sig, _) =>
+                val h = hamming(sig, e.sh)
+                if (h <= 3) out += DupHit(e.doc_id, id, h)
+              }
+              if (held.size < Dedup.MaxBucket)
+                held = (e.doc_id, e.sh, e.ts.getTime) :: held
+            }
+            if (held.isEmpty) state.remove()
+            else {
+              state.update(BucketStateT(held))
+              state.setTimeoutTimestamp(held.map(_._3).max + ttlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Batch-mode verdict frame over `documents`: every doc with its
     * distinct-earlier-dup count and keep flag — the materialized form
     * of running the stream over the corpus in doc_id order.

@@ -58,5 +58,20 @@ class ChatStoreSpec extends AnyFunSuite {
     assert(ChatStore.messages(log2, "b")
       .as[(Long, String, String)].collect().toSeq ===
       Seq((9L, "user", "fresh")))
+
+    // compaction: dead epochs and superseded events vanish from the log,
+    // but every observable — listing incl. last_seq (a's is the rename's
+    // seq), history, fallback title — reads identically
+    val before = (cs2, ha)
+    ChatStore.compact(spark, dir)
+    val log3 = ChatStore.load(spark, dir)
+    assert(ChatStore.chats(log3)
+      .as[(String, String, Long, Long)].collect().toSeq === before._1)
+    assert(ChatStore.messages(log3, "a")
+      .as[(Long, String, String)].collect().toSeq === before._2)
+    // b's DELETED epoch (seq 4's message, the delete itself) is gone:
+    // the log shrank to creates + a's rename + the 3 live messages
+    assert(log3.count() === 2 + 1 + 3)
+    assert(log3.filter("op = 'delete'").count() === 0)
   }
 }

@@ -50,6 +50,36 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must actually produce duplicates")
   }
 
+  test("TTL variant: a duplicate past the window is not flagged; within it, it is") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val same = "alpha beta gamma delta epsilon zeta"
+    val other = "completely different words here now ok"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocsStream.nearDedupStreamTtl(
+        in.toDF().toDF("doc_id", "text", "ts"), ttlMs = 60L * 60000L)
+      .writeStream.format("memory").queryName("dup_ttl")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, same, t(0)))
+      q.processAllAvailable()
+      // unrelated doc 3h later advances the watermark past doc 1 + ttl
+      in.addData((2L, other, t(180)))
+      q.processAllAvailable()
+      // duplicate of doc 1 AFTER the window: state pruned, no flag;
+      // doc 3 becomes the fresh holder
+      in.addData((3L, same, t(185)))
+      q.processAllAvailable()
+      // duplicate WITHIN the window of doc 3: flagged against 3 only
+      in.addData((4L, same, t(186)))
+      q.processAllAvailable()
+      val hits = spark.table("dup_ttl")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(hits === Set((4L, 3L, 0)))
+    } finally q.stop()
+  }
+
   test("a bucket caps at MaxBucket holders; later docs probe but never hold") {
     import spark.implicits._
     // identical text -> identical signature -> both bands of every doc
