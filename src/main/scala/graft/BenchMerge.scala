@@ -1,0 +1,84 @@
+package graft
+
+/** Cross-boot bench adjudicator: merges N committed `Bench` JSON records
+  * (one per boot, e.g. `bench_sf10/run*.json`) into the per-query
+  * CROSS-RUN medians and their sum — the "520.9 s over 7 runs" number
+  * round 8 hand-computed, now reproducible from the artifacts alone.
+  *
+  * Within-boot medians (Bench's n=3 mode) absorb cache/JIT jitter;
+  * cross-BOOT medians additionally absorb whole-boot degradation (the
+  * contended-scheduler mode `iter_control_ratio` detects). A boot whose
+  * record carries `boot_degraded:true` (or probe ratio ≥ 2) is excluded
+  * up front and listed, so the merged number is over healthy boots only
+  * — the adjudication is in the output, not in prose.
+  *
+  * Deliberately dependency-free: the records are single-line JSON whose
+  * relevant fields are flat, so a targeted regex extraction is exact for
+  * this producer (this is NOT a general JSON parser and reads only
+  * Bench's own output format).
+  *
+  * Usage: `runMain graft.BenchMerge out.json in1.json in2.json ...`
+  * (first arg = output path, rest = per-boot records).
+  */
+object BenchMerge {
+
+  private val QueriesRe =
+    """"queries":\{([^}]*)\}""".r
+  private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+  private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
+  private val DegradedRe = """"boot_degraded":(true|false)""".r
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  final case class Boot(path: String, queries: Map[String, Double],
+      iterRatio: Option[Double], degraded: Boolean)
+
+  private[graft] def parse(path: String, line: String): Boot = {
+    val qs = QueriesRe.findFirstMatchIn(line).map(_.group(1))
+      .getOrElse(sys.error(s"$path: no queries field"))
+    val pairs = PairRe.findAllMatchIn(qs)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val iter = IterRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+    val degraded = DegradedRe.findFirstMatchIn(line)
+      .map(_.group(1) == "true")
+      // pre-r09 records lack the flag: fall back to the ratio threshold
+      .getOrElse(iter.exists(_ >= 2.0))
+    Boot(path, pairs, iter, degraded)
+  }
+
+  private[graft] def merge(boots: Seq[Boot]): (Map[String, Double], Seq[Boot]) = {
+    val (bad, good) = boots.partition(_.degraded)
+    val use = if (good.nonEmpty) good else boots // never merge nothing
+    val names = use.flatMap(_.queries.keys).distinct.sorted
+    val med = names.map { n =>
+      // negative entries are Bench's crash convention — excluded from the
+      // median the same way Bench's own totals exclude them
+      val ts = use.flatMap(_.queries.get(n)).filter(_ >= 0)
+      n -> (if (ts.nonEmpty) median(ts) else -1.0)
+    }.toMap
+    (med, bad)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchMerge <out.json> <in.json>...")
+    val boots = args.drop(1).toSeq.map { p =>
+      parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
+    }
+    val (med, excluded) = merge(boots)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val total = med.values.filter(_ >= 0).sum
+    val qs = med.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val excl = excluded.map(b => "\"" + b.path + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
+      json.getBytes("UTF-8"))
+    println(json)
+  }
+}

@@ -21,9 +21,16 @@ import graft.Tables
   *    re-`create` of the same id starts clean (SQLite's
   *    DELETE-then-INSERT cycle).
   *  - title: last `rename` in the epoch, else the epoch's `create`
-  *    title, else the reference's `对话 - {id}` fallback.
+  *    title; a NULL **or empty** resolved title falls back to the
+  *    reference's `对话 - {id}` (its `row[1] or ...` treats '' as
+  *    falsy, so an empty stored title also falls back — and it falls
+  *    back to the id form, NOT to an earlier title, because SQLite
+  *    stores only the latest value).
   *  - listing ordered by last activity, newest first
-  *    (`get_all_chats`'s ORDER BY last_updated_at DESC).
+  *    (`get_all_chats`'s ORDER BY last_updated_at DESC). Activity is
+  *    `create` + `message` only: the reference's
+  *    `update_chat_title_in_db` does NOT bump `last_updated_at`, so a
+  *    rename must not reorder the listing here either.
   *
   * Monotone `seq` replaces wall-clock timestamps (the determinism
   * contract — the reference's CURRENT_TIMESTAMP ordering, minus the
@@ -72,14 +79,20 @@ object ChatStore {
     val lastRename = eff.filter($"op" === "rename")
       .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
       .select($"chat_id", $"title".as("rename_title"))
-    val activity = eff.groupBy($"chat_id").agg(
-      max($"seq").as("last_seq"),
-      sum(when($"op" === "message", 1L).otherwise(0L)).as("n_messages"))
+    // last_seq folds over create+message ONLY (never rename): mirrors
+    // the reference, where add_message bumps last_updated_at but
+    // update_chat_title_in_db does not — renaming must not reorder.
+    val activity = eff.filter($"op".isin("create", "message"))
+      .groupBy($"chat_id").agg(
+        max($"seq").as("last_seq"),
+        sum(when($"op" === "message", 1L).otherwise(0L)).as("n_messages"))
     created
       .join(lastRename, Seq("chat_id"), "left")
       .join(activity, Seq("chat_id"))
       .select($"chat_id",
-        coalesce($"rename_title", $"create_title",
+        // latest stored title (rename over create), with the reference's
+        // falsy fallback: NULL *or empty* → `对话 - {id}`
+        coalesce(nullif(coalesce($"rename_title", $"create_title"), lit("")),
           concat(lit("对话 - "), $"chat_id")).as("title"),
         $"n_messages", $"last_seq")
       .orderBy($"last_seq".desc, $"chat_id")
@@ -101,14 +114,23 @@ object ChatStore {
 
   /** Compaction — the lakehouse maintenance job this design assumes:
     * rewrite the log as the minimal event set reproducing the current
-    * state (each live epoch's create, its LAST rename if any, and its
-    * messages), atomically swapping via a temp dir. Deleted epochs and
+    * state (each live epoch's create, its LAST rename if any — kept for
+    * the resolved title — and its messages). Deleted epochs and
     * superseded renames vanish; `chats` and `messages` read identically
-    * before and after — including `last_seq` when the last activity was
-    * a rename, which is why the rename event is kept rather than baked
-    * into the create (spec-pinned). At scale this is the periodic job
+    * before and after (spec-pinned). At scale this is the periodic job
     * that keeps log read cost proportional to LIVE state rather than
     * all-time history.
+    *
+    * Swap discipline: the compacted log is FULLY written to `dir
+    * + ".compact"` first, then swapped in via filesystem
+    * delete-old + rename-tmp — never an in-place overwrite of the live
+    * dir (which would delete the only copy before the rewrite lands).
+    * The rename is atomic on HDFS/POSIX; the remaining crash window is
+    * delete-done/rename-pending, where the fully-written `.compact` dir
+    * survives on disk as the recovery copy (recovery = rename it back).
+    * On rename-less object stores this becomes copy+delete — still
+    * crash-safe in the sense that a complete copy exists at every
+    * instant.
     */
   def compact(s: SparkSession, dir: String): Unit = {
     import s.implicits._
@@ -126,11 +148,15 @@ object ChatStore {
     val compacted = (keepOps.head.select(cols: _*) +:
       Seq(keepOps(1).join(live, "chat_id").select(cols: _*),
         msgs.select(cols: _*))).reduce(_ unionByName _)
-    val tmp = dir + ".compact"
-    compacted.write.mode("overwrite").parquet(tmp)
-    // rewrite the head from the materialized temp copy, then drop it
-    s.read.parquet(tmp).write.mode("overwrite").parquet(dir)
-    graft.sinks.SinkQueries.rmTreePath(tmp)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    // the live dir is touched only AFTER the temp copy is complete
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"compact swap failed: $tmp survives as the recovery copy")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,20 +205,20 @@ object ChatStore {
     // The expected folded state, recomputed from `documents` directly:
     // live chats are the sources NOT ending in '0'; title is the rename
     // for src1 else the source; message count is the source's doc count
-    // (no deletes hit live chats); last activity is the rename seq for
-    // src1 else the source's max message seq.
+    // (no deletes hit live chats); last activity is the source's max
+    // message seq for EVERY chat — the src1 rename resolves the title
+    // but, like the reference's update_chat_title_in_db, does not bump
+    // the activity order.
     "q138_chat_state_roundtrip" ->
       """WITH src AS (
            SELECT source, min(doc_id) AS mn, max(doc_id) AS mx,
                   count(*) AS n
-           FROM documents GROUP BY 1),
-         gm AS (SELECT max(doc_id) * 10 AS maxseq FROM documents)
+           FROM documents GROUP BY 1)
          SELECT source AS chat_id,
            CASE WHEN source = 'src1' THEN 'src1-renamed'
                 ELSE source END AS title,
            CAST(n AS BIGINT) AS n_messages,
-           CAST(CASE WHEN source = 'src1' THEN (SELECT maxseq FROM gm) + 6
-                     ELSE mx * 10 + 5 END AS BIGINT) AS last_seq
+           CAST(mx * 10 + 5 AS BIGINT) AS last_seq
          FROM src WHERE source NOT LIKE '%0'
          ORDER BY last_seq DESC, chat_id"""
   )

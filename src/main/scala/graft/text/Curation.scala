@@ -48,7 +48,7 @@ object Curation {
   // product stays < 2^63 — no overflow, and no engine-specific wrap.
   private val HashMul = 2654435761L  // Knuth multiplicative hash, mod 2^32
   private val HashMod = 4294967296L
-  private val SampleDen = 10L        // q130 keeps h % 10 == 0 → 10%
+  private val SampleDen = 10L        // q130 keeps (h >> 22) % 10 == 0 → ~10%
   private val StratDen = 5L          // q131 keeps ceil(n/5) per stratum → 20%
   private val MixBase = 800L         // q132 token budget per weight unit
 
@@ -103,14 +103,23 @@ object Curation {
     }),
 
     // Reproducible 10% Bernoulli sample: keep doc iff
-    // (doc_id * HashMul mod 2^32) mod 10 == 0. A pure narrow map+filter —
-    // no shuffle, no RNG state, independent of partition layout, so the
-    // same corpus always yields the same sample on any cluster size.
+    // ((doc_id * HashMul mod 2^32) >> 22) mod 10 == 0. A pure narrow
+    // map+filter — no shuffle, no RNG state, independent of partition
+    // layout, so the same corpus always yields the same sample on any
+    // cluster size. The keep decision reads the HIGH bits of the product:
+    // multiplicative hashing only mixes upward (bit i of h depends on
+    // input bits <= i), so the LOW bits are unmixed — in particular
+    // h ≡ doc_id (mod 2) exactly, and a `h % 10` rule would admit only
+    // even ids, 2x-misweighting any property correlated with id parity.
+    // Shifting down to the top 10 bits before the mod uses the fully
+    // mixed part of the hash (Knuth's prescription for multiplicative
+    // hashing), at the cost of a keep rate of ceil-rounding on 1024
+    // buckets rather than exactly 1/10 — irrelevant for sampling.
     "q130_hash_sample" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d)
         .withColumn("h", ($"doc_id" * HashMul) % HashMod)
-        .filter($"h" % SampleDen === 0)
+        .filter(shiftright($"h", 22) % SampleDen === 0)
         .select($"doc_id", $"source",
           size(split($"text", " ")).cast("long").as("n_tokens"))
         .orderBy($"doc_id")
@@ -200,7 +209,7 @@ object Curation {
       s"""SELECT doc_id, source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          FROM documents
-         WHERE ((doc_id * $HashMul) % $HashMod) % $SampleDen = 0
+         WHERE (((doc_id * $HashMul) % $HashMod) // 4194304) % $SampleDen = 0
          ORDER BY doc_id""",
     "q131_stratified_sample" ->
       s"""WITH x AS (

@@ -234,14 +234,20 @@ object TextAnalysis {
     // shingles whose FIRST occurrence (min doc_id) is the doc itself —
     // the curation signal that ranks content by how much it adds over
     // what the corpus already holds (boilerplate scores ~0, fresh
-    // content ~1000‰). Shape: shingle explode → min-over-shingle WINDOW
-    // (ONE hash shuffle on the shingle key — an agg+self-join would fan
-    // the shingle frame out twice) → per-doc agg. Linear like the LSH
-    // family; the window partition is a shingle's occurrence list,
-    // bounded by duplication not corpus size.
+    // content ~1000‰). Shape: shingle explode → groupBy(shingle)
+    // .agg(min(doc_id)) → join back on shingle → per-doc agg. The agg
+    // form (NOT a min-over-shingle window) is deliberate skew armor:
+    // min() gets map-side partial aggregation, so the shuffle carries
+    // one row per (partition, distinct shingle) and the reduce side is
+    // one row per distinct shingle — whereas a window partitioned by
+    // shingle must materialize a shingle's ENTIRE corpus-wide occurrence
+    // list in one partition, which for a boilerplate shingle (the
+    // dominant key at corpus scale) is an uncombinable hot partition.
+    // The join back does re-shuffle the exploded frame once, but that
+    // exchange is skew-split by AQE and its per-key fan-out is the
+    // occurrence count — distributed across tasks, never one task.
     "q134_novelty_permille" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val sh = Tables.documents(s, d)
         .select($"doc_id", split($"text", " ").as("t"))
         .select($"doc_id", explode(array_distinct(
@@ -251,8 +257,9 @@ object TextAnalysis {
                            element_at(t, j + 1), ' ',
                            element_at(t, j + 2)))"""))
             .otherwise(array()))).as("shingle"))
-      sh.withColumn("first_doc",
-          min($"doc_id").over(Window.partitionBy($"shingle")))
+      val firstDoc = sh.groupBy($"shingle")
+        .agg(min($"doc_id").as("first_doc"))
+      sh.join(firstDoc, "shingle")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))

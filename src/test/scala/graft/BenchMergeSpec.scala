@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-boot merge semantics: per-query medians over HEALTHY boots,
+  * degraded boots excluded and named, crash entries (negative times)
+  * never polluting a median.
+  */
+class BenchMergeSpec extends AnyFunSuite {
+
+  private def rec(qs: String, iter: Double, degraded: Option[Boolean]) = {
+    val d = degraded.map(b => s""","boot_degraded":$b""").getOrElse("")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"failed":[],"iter_control_ratio":$iter$d,"sf":"x"}"""
+  }
+
+  test("healthy boots merge to per-query medians; degraded boots are excluded") {
+    val b1 = BenchMerge.parse("r1", rec(""""q1":1.0,"q2":2.0""", 0.8, Some(false)))
+    val b2 = BenchMerge.parse("r2", rec(""""q1":3.0,"q2":4.0""", 0.9, Some(false)))
+    val b3 = BenchMerge.parse("r3", rec(""""q1":99.0,"q2":99.0""", 2.5, Some(true)))
+    val (med, excluded) = BenchMerge.merge(Seq(b1, b2, b3))
+    assert(med === Map("q1" -> 2.0, "q2" -> 3.0))
+    assert(excluded.map(_.path) === Seq("r3"))
+  }
+
+  test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
+    val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
+    assert(old.degraded)
+    val ok = BenchMerge.parse("ok", rec(""""q1":5.0""", 0.7, None))
+    assert(!ok.degraded)
+  }
+
+  test("crash entries (negative) are dropped from the median; all-degraded still merges") {
+    val b1 = BenchMerge.parse("r1", rec(""""q1":-3.0,"q2":1.0""", 0.8, Some(false)))
+    val b2 = BenchMerge.parse("r2", rec(""""q1":7.0,"q2":2.0""", 0.8, Some(false)))
+    val (med, _) = BenchMerge.merge(Seq(b1, b2))
+    assert(med === Map("q1" -> 7.0, "q2" -> 1.5))
+    // every boot degraded: merge over all rather than nothing
+    val bad = BenchMerge.parse("r3", rec(""""q1":9.0""", 3.0, Some(true)))
+    val (med2, excl2) = BenchMerge.merge(Seq(bad))
+    assert(med2 === Map("q1" -> 9.0) && excl2.map(_.path) === Seq("r3"))
+  }
+}

@@ -37,8 +37,10 @@ class ChatStoreSpec extends AnyFunSuite {
     val log = ChatStore.load(spark, dir)
     val cs = ChatStore.chats(log)
       .as[(String, String, Long, Long)].collect().toSeq
-    // b is gone (cascade); a's title is the rename; ordered by last_seq desc
-    assert(cs === Seq(("a", "Renamed", 2L, 6L)))
+    // b is gone (cascade); a's title is the rename, but last_seq is its
+    // last MESSAGE (5), not the rename (6) — update_chat_title_in_db
+    // does not bump last_updated_at in the reference
+    assert(cs === Seq(("a", "Renamed", 2L, 5L)))
     // history: oldest first, role+content; deleted chat reads empty
     val ha = ChatStore.messages(log, "a")
       .as[(Long, String, String)].collect().toSeq
@@ -54,14 +56,14 @@ class ChatStoreSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(cs2 === Seq(
       ("b", "对话 - b", 1L, 9L),  // fallback title, newest first
-      ("a", "Renamed", 2L, 6L)))
+      ("a", "Renamed", 2L, 5L)))
     assert(ChatStore.messages(log2, "b")
       .as[(Long, String, String)].collect().toSeq ===
       Seq((9L, "user", "fresh")))
 
     // compaction: dead epochs and superseded events vanish from the log,
-    // but every observable — listing incl. last_seq (a's is the rename's
-    // seq), history, fallback title — reads identically
+    // but every observable — listing, history, fallback title — reads
+    // identically (a's rename survives compaction to keep its title)
     val before = (cs2, ha)
     ChatStore.compact(spark, dir)
     val log3 = ChatStore.load(spark, dir)
@@ -73,5 +75,24 @@ class ChatStoreSpec extends AnyFunSuite {
     // the log shrank to creates + a's rename + the 3 live messages
     assert(log3.count() === 2 + 1 + 3)
     assert(log3.filter("op = 'delete'").count() === 0)
+    // the swap left no stray temp copy behind
+    assert(!new java.io.File(dir + ".compact").exists())
+  }
+
+  test("empty stored title is falsy like the reference's `row[1] or ...`") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chatlog_empty").toString + "/log"
+    ChatStore.append(ev(Seq(
+      (1L, "create", "a", Some("Real"), None, None),
+      // renaming to '' leaves an empty STORED title; the reference lists
+      // it as 对话 - a (SQLite keeps only the latest value, so the
+      // fallback is the id form, never the superseded 'Real')
+      (2L, "rename", "a", Some(""), None, None),
+      (3L, "create", "b", Some(""), None, None))), dir)
+    val cs = ChatStore.chats(ChatStore.load(spark, dir))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cs === Seq(
+      ("b", "对话 - b", 0L, 3L),
+      ("a", "对话 - a", 0L, 1L)))
   }
 }

@@ -66,15 +66,19 @@ class CurationSpec extends AnyFunSuite {
     d
   }
 
-  test("hash sample: keeps exactly the ids whose Knuth hash lands on 0 mod 10") {
+  test("hash sample: keeps exactly the ids whose Knuth hash HIGH bits land on 0 mod 10") {
     import spark.implicits._
     val d = fixtureDir((0L until 100L).map(i => i -> "a b c"))
     val got = graft.SparkEntry.queries("q130_hash_sample")(spark, d)
       .as[(Long, String, Long)].collect().toSeq
-    val want = (0L until 100L).filter(h(_) % 10 == 0)
+    val want = (0L until 100L).filter(i => (h(i) >> 22) % 10 == 0)
       .map(i => (i, "test", 3L))
     assert(got === want)
     assert(got.nonEmpty) // the constants actually select something
+    // Regression for the parity bias the low-bit rule had: because
+    // h ≡ doc_id (mod 2), `h % 10 == 0` could only ever keep even ids.
+    // The high-bit rule must sample both parities.
+    assert(got.map(_._1 % 2).toSet === Set(0L, 1L))
   }
 
   test("stratified sample: exact ceil(n/5) per stratum, hash-ranked") {
