@@ -213,8 +213,36 @@ object Dedup {
     // pair join an equi hash join on the bucket id instead of an all-pairs
     // BroadcastNestedLoopJoin. Cross-bucket near-dups are the recall trade
     // (standard IVF; nprobe>1 is the extension).
-    "q36_cosine_neardup" -> ((s, d) =>
-      cosinePairs(s, d).orderBy(col("v1"), col("v2"))),
+    //
+    // OUTPUT is the capped kNN-graph form: each vector's top-3 above-bar
+    // neighbors (cos² desc, neighbor-id tiebreak), one row per
+    // (vec_id, rank). Round 8 measured the uncapped pair dump at ~10M
+    // rows at 100× on this diffuse fixture (2.3% of ALL random pairs
+    // clear the 0.25 bar) — an output-size-unbounded operator, which no
+    // real pipeline wants: dedup/graph consumers want each vector's
+    // strongest neighbors, not the full ε-graph. The cap bounds emitted
+    // rows to 3n REGARDLESS of bar density — the MaxBucket analog on the
+    // output side. The per-vector window is skew-safe: a vector's
+    // neighbor list is bounded by its cell population (~√n by the
+    // spacing rule), never by corpus duplication. The FULL pair dump
+    // stays available as the explicit opt-in API ([[cosinePairs]], which
+    // q39's clustering consumes internally — clustering semantics are
+    // unchanged).
+    "q36_cosine_neardup" -> ((s, d) => {
+      import s.implicits._
+      val p = cosinePairs(s, d)
+      val sym = p.select($"v1".as("vec_id"), $"v2".as("nid"),
+          $"dot", $"na", $"nb")
+        .unionByName(p.select($"v2".as("vec_id"), $"v1".as("nid"),
+          $"dot", $"nb".as("na"), $"na".as("nb")))
+      val w = Window.partitionBy($"vec_id").orderBy($"key".desc, $"nid")
+      sym.withColumn("key", VectorOps.cos2Key($"dot", $"na", $"nb"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"vec_id", $"rank", $"nid",
+          floor($"key" * 1000000.0).cast("long").as("cos2_x1e6"))
+        .orderBy($"vec_id", $"rank")
+    }),
 
     // INCREMENTAL dedup — the daily-pipeline shape: dedup a NEW BATCH
     // (here the deterministic doc_id % 10 = 9 slice) against the
@@ -262,8 +290,12 @@ object Dedup {
         expr("CAST(inter * 1000 DIV uni AS BIGINT)").as("jaccard_permille"))
   }
 
-  /** q36's IVF-blocked cosine pairs WITHOUT the presentation sort —
-    * shared by q36 and q39 (same rationale as [[jaccardPairs]]).
+  /** The FULL IVF-blocked cosine ε-graph (every above-bar pair, both
+    * norms riding along) — the explicit opt-in dump whose output volume
+    * is bar-density-bounded, not engine-bounded. q39's clustering
+    * consumes it internally (pair order irrelevant there); q36's
+    * registry entry caps it to the top-3-per-vector kNN form before
+    * anything is emitted.
     */
   private[dedup] def cosinePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -273,7 +305,8 @@ object Dedup {
     a.join(b, $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
       .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
       .filter($"dot" > 0 && $"dot" * $"dot" * 16 >= $"a.nrm" * $"b.nrm")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"dot")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"dot",
+        $"a.nrm".as("na"), $"b.nrm".as("nb"))
   }
 
   /** Oracle CTE mirror of [[lshCandidates]] (shared by q33 and q34);
@@ -399,8 +432,19 @@ cand AS (
          SELECT d1, d2, hamming FROM h WHERE hamming <= 3
          ORDER BY d1, d2""",
     "q36_cosine_neardup" ->
-      s"""WITH $cosinePairsSql
-         SELECT v1, v2, dot FROM cpairs ORDER BY v1, v2""",
+      s"""WITH $cosinePairsSql,
+         sym AS (SELECT v1 AS vec_id, v2 AS nid, dot, na, nb FROM cpairs
+                 UNION ALL
+                 SELECT v2, v1, dot, nb, na FROM cpairs),
+         r AS (SELECT vec_id, nid,
+                 CAST(floor(CAST(dot*dot AS DOUBLE) / CAST(na*nb AS DOUBLE)
+                   * 1000000) AS BIGINT) AS cos2_x1e6,
+                 CAST(row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(na*nb AS DOUBLE) DESC,
+                   nid) AS BIGINT) AS rank
+               FROM sym)
+         SELECT vec_id, rank, nid, cos2_x1e6 FROM r WHERE rank <= 3
+         ORDER BY vec_id, rank""",
     "q39_dedup_clusters" ->
       s"""WITH RECURSIVE $lshCandSql,
          tt AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS t
@@ -457,6 +501,6 @@ p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.nrm AS na, b.nrm AS nb,
         CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot
       FROM full0 a JOIN full0 b
         ON a.cid = b.cid AND a.vec_id < b.vec_id),
-cpairs AS (SELECT v1, v2, dot FROM p
+cpairs AS (SELECT v1, v2, dot, na, nb FROM p
            WHERE dot > 0 AND dot * dot * 16 >= na * nb)"""
 }

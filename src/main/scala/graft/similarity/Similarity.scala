@@ -302,6 +302,40 @@ object Similarity {
     emb.withColumn("cid",
       element_at(topCells(emb.sparkSession, cents, col("e"), col("nrm"), 1), 1))
 
+  /** Shared body of the nprobe-generalized SemDeDup queries (q136 n=2,
+    * q139 n=4): train (2 Lloyd rounds), assign each vector to its
+    * `nprobe` nearest trained cells, form candidate pairs within ANY
+    * shared cell (distinct-ed — a pair can share several), drop the
+    * higher id of every above-bar pair. The assigned frame feeds the
+    * self-join's both sides plus the final keep projection — persist or
+    * pay the O(n·k) assignment scan three times (Bench clears caches
+    * between queries). Scale: assignment rows = n·nprobe; per-cell pair
+    * work grows ~nprobe² but stays blocked (cell-keyed equi-join), so
+    * the recall knob never reopens the all-pairs path.
+    */
+  private def semanticDedupNprobe(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val cents = kmeansCentroids(s, d, 2)
+    val cell = quantized(s, d)
+      .select($"vec_id", $"e", $"nrm",
+        explode(topCells(s, cents, $"e", $"nrm", nprobe)).as("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = cell.as("a")
+      .join(cell.as("b"),
+        $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
+      .withColumn("dp", dot($"a.e", $"b.e"))
+      .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
+      .select($"a.vec_id").distinct()
+      .withColumn("dup", lit(1L))
+    cell.select($"vec_id").distinct()
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"dup".isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
     "q40_ann_bruteforce_topk" -> ((s, d) => {
@@ -520,27 +554,19 @@ object Similarity {
     // truth, for 2× the assignment rows and ~2–4× the within-cell pair
     // work — the standard IVF price curve applied to dedup (PERF.md
     // round-8 recall table).
-    "q136_semantic_dedup_nprobe2" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.storage.StorageLevel
-      val cents = kmeansCentroids(s, d, 2)
-      val cell = quantized(s, d)
-        .select($"vec_id", $"e", $"nrm",
-          explode(topCells(s, cents, $"e", $"nrm", 2)).as("cid"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val dropped = cell.as("a")
-        .join(cell.as("b"),
-          $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
-        .withColumn("dp", dot($"a.e", $"b.e"))
-        .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
-        .select($"a.vec_id").distinct()
-        .withColumn("dup", lit(1L))
-      cell.select($"vec_id").distinct()
-        .join(dropped, Seq("vec_id"), "left")
-        .select($"vec_id",
-          when($"dup".isNull, 1L).otherwise(0L).as("keep"))
-        .orderBy($"vec_id")
-    }),
+    "q136_semantic_dedup_nprobe2" -> ((s, d) => semanticDedupNprobe(s, d, 2)),
+
+    // The production point on the same recall curve: nprobe=4 multi-cell
+    // assignment measures pair recall 0.98 / drop recall 0.98 at sf0.01
+    // (1.00/1.00 at sf0.001) vs the all-pairs truth — past the ≥0.85 bar
+    // a dedup stage needs to actually remove most duplicates, where
+    // nprobe≤2 (0.38/0.69) leaves the majority alive. Cost is the
+    // standard IVF price: assignment rows scale linearly in nprobe and
+    // candidate pairs ~quadratically (sf0.01: 50k → 200k candidate pairs
+    // from nprobe 2 → 4), both still blocked per cell — never all-pairs.
+    // The recall/cost ladder is measurable with
+    // `tools/recall_semdedup.py`; PERF.md carries the table.
+    "q139_semantic_dedup_nprobe4" -> ((s, d) => semanticDedupNprobe(s, d, 4)),
 
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
@@ -612,6 +638,36 @@ object Similarity {
     }
     sb.toString
   }
+
+  /** DuckDB mirror of [[semanticDedupNprobe]], parameterized on the
+    * probe count (`rn <= nprobe` is the only knob).
+    */
+  private def semanticDedupNprobeSql(nprobe: Int): String =
+    s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c),
+         af AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM apf) t WHERE rn <= $nprobe),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM af a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+               FROM full0 a JOIN full0 b
+                 ON a.cid = b.cid AND b.vec_id < a.vec_id
+               WHERE list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) > 0
+                 AND 8 * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                       * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                     >= a.nrm * b.nrm),
+         dup AS (SELECT DISTINCT va AS vec_id FROM p)
+         SELECT v.vec_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
+         ORDER BY v.vec_id"""
 
   def oracles: Map[String, String] = Map(
     "q40_ann_bruteforce_topk" ->
@@ -868,32 +924,8 @@ object Similarity {
                  * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
            FROM apf) t WHERE rn = 1
          ORDER BY vec_id""",
-    "q136_semantic_dedup_nprobe2" ->
-      s"""WITH ${kmeansSql(2)},
-         apf AS (SELECT n.vec_id, c.cid,
-                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
-                 n.nrm, c.cnrm
-               FROM n CROSS JOIN c2 c),
-         af AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY
-                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
-                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
-               FROM apf) t WHERE rn <= 2),
-         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
-                   FROM af a JOIN n ON a.vec_id = n.vec_id),
-         p AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-               FROM full0 a JOIN full0 b
-                 ON a.cid = b.cid AND b.vec_id < a.vec_id
-               WHERE list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) > 0
-                 AND 8 * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
-                       * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
-                     >= a.nrm * b.nrm),
-         dup AS (SELECT DISTINCT va AS vec_id FROM p)
-         SELECT v.vec_id,
-           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
-         ORDER BY v.vec_id""",
+    "q136_semantic_dedup_nprobe2" -> semanticDedupNprobeSql(2),
+    "q139_semantic_dedup_nprobe4" -> semanticDedupNprobeSql(4),
     "q133_semantic_dedup" ->
       s"""WITH ${kmeansSql(2)},
          apf AS (SELECT n.vec_id, c.cid,
