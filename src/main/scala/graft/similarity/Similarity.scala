@@ -302,6 +302,36 @@ object Similarity {
     emb.withColumn("cid",
       element_at(topCells(emb.sparkSession, cents, col("e"), col("nrm"), 1), 1))
 
+  /** IVF assignment of the FULL corpus against an index pinned to a
+    * SUB-corpus — the incremental-ingest shape, where the index predates
+    * the new batch: seeds are every m-th vec_id OF THE SUBSET with
+    * m = max(50, floor(sqrt(n_subset))), and every vector (standing and
+    * batch alike) is assigned to its nearest pinned cell. Production
+    * systems hold the coarse quantizer fixed across daily batches and
+    * retrain only at full-rebuild cadence, because changing the index
+    * re-cells the standing corpus and invalidates every blocked
+    * artifact derived from it (pair sets, cluster tables). Output:
+    * (vec_id, e, nrm, cid) like [[ivfAssigned]].
+    */
+  private[graft] def ivfAssignedPinned(s: SparkSession, d: String,
+      indexSubset: Column => Column): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val sub = q.filter(indexSubset($"vec_id"))
+    val m = centroidModulus(s, sub.count())
+    // same seed-pick rule as [[seedCentroids]], including the bench-only
+    // hash-sample variant under the spacing knob (id-aligned replica
+    // corpora otherwise collapse the sample — see seedCentroids)
+    val pick =
+      if (s.conf.getOption(SpacingConf).isDefined)
+        pmod(hash($"vec_id"), lit(m)) === 0
+      else $"vec_id" % m === 0
+    val cents = sub.filter(pick)
+      .select($"vec_id", $"e", $"nrm").as[(Long, Seq[Long], Long)]
+      .collect().toSeq
+    assignToCells(q, cents)
+  }
+
   /** Shared body of the nprobe-generalized SemDeDup queries (q136 n=2,
     * q139 n=4): train (2 Lloyd rounds), assign each vector to its
     * `nprobe` nearest trained cells, form candidate pairs within ANY
