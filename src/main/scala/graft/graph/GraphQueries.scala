@@ -418,6 +418,19 @@ object GraphQueries {
       graft.query.Router.route(g, 13, Map("author" -> "Author_29"))
     }),
 
+    // q129 with the ingest/serve attribution SPLIT: the bucketed tables
+    // build once per JVM+source (DocGraph.bucketedServed) and every
+    // later call — including Bench's run 2..n, whose per-query median
+    // therefore reflects the serve path — reads the existing co-located
+    // buckets and pays ONLY the routed 2-hop self-join. q129 stays in
+    // the registry as the all-in-one (ingest+serve) number; this entry
+    // is what a production /answer request actually costs. Same q71
+    // oracle: the layout split must not change a single result row.
+    "q142_answer_served" -> ((s, d) => {
+      val g = graft.graph.DocGraph.bucketedServed(s, d, "graft_q142", 16)
+      graft.query.Router.route(g, 13, Map("author" -> "Author_29"))
+    }),
+
     // Parameterized-hop traversal on the co-authorship graph (Pregel).
     "q84_coauthor_reach" -> ((s, d) => coauthorReach(s, d, "Author_29", 2)),
 
@@ -516,6 +529,14 @@ object GraphQueries {
     // identical semantics to q71 by construction: the bucketed binding
     // must be a pure LAYOUT change, so it shares q71's oracle SQL
     "q129_answer_bucketed" ->
+      s"""WITH $P
+         SELECT DISTINCT b.author AS coauthor
+         FROM authored a JOIN authored b
+           ON a.title = b.title AND b.author <> a.author
+         WHERE a.author = 'Author_29' ORDER BY coauthor""",
+    // the serve-only split rides the same oracle: build-once/serve-many
+    // is a COST attribution change, never a result change
+    "q142_answer_served" ->
       s"""WITH $P
          SELECT DISTINCT b.author AS coauthor
          FROM authored a JOIN authored b

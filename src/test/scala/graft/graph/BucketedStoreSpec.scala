@@ -31,6 +31,47 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(bucketed === plain && plain.nonEmpty)
   }
 
+  test("bucket-aligned append keeps co-located joins; compaction restores one file per bucket") {
+    val au = BibGraph.authored(spark, TinySf)
+    val (batch1, batch2) =
+      (au.filter($"author" < "Author_5"), au.filter($"author" >= "Author_5"))
+    BucketedStore.writeBucketed(batch1, "authored_app", "title", buckets = 8)
+    BucketedStore.appendBucketed(batch2, "authored_app", "title", buckets = 8)
+
+    def content() = BucketedStore.table(spark, "authored_app")
+      .as[(String, String)].collect().toSet
+    val want = au.as[(String, String)].collect().toSet
+    assert(content() === want && want.nonEmpty,
+      "append must make the union visible (read-equivalence)")
+    // a drifted bucket spec must fail loudly, not corrupt the layout
+    intercept[Exception] {
+      BucketedStore.appendBucketed(batch2, "authored_app", "title", buckets = 4)
+    }
+
+    def joinPlan() = {
+      val t = BucketedStore.table(spark, "authored_app")
+      t.as("a")
+        .join(t.as("b"), $"a.title" === $"b.title" && $"a.author" < $"b.author")
+        .select($"a.author", $"b.author")
+        .queryExecution.executedPlan.toString
+    }
+    assert(!joinPlan().contains("Exchange hashpartitioning"),
+      s"post-append bucketed join shuffles:\n${joinPlan()}")
+
+    def dataFiles() = BucketedStore.table(spark, "authored_app")
+      .inputFiles.length
+    val grown = dataFiles()
+    assert(grown > 8, s"append should add per-bucket files (saw $grown)")
+    BucketedStore.compactBucketed(spark, "authored_app", "title", buckets = 8)
+    assert(content() === want, "compaction must not change table content")
+    assert(dataFiles() <= 8,
+      s"compaction should restore <=1 file per bucket (saw ${dataFiles()})")
+    assert(!joinPlan().contains("Exchange hashpartitioning"),
+      s"post-compact bucketed join shuffles:\n${joinPlan()}")
+    // the temp swap table is gone from the catalog
+    assert(!spark.catalog.tableExists("authored_app_compact"))
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("partstore").toString
