@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Exactly-once landing: duplicate micro-batch replay leaves the landing
+  * zone AND the folded bucketed table unchanged, and the fold is
+  * idempotent (re-running it is a no-op on content). Also drives a real
+  * MemoryStream through the foreachBatch wiring end-to-end.
+  */
+class ExactlyOnceSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def zone() =
+    Files.createTempDirectory("eo_sink").toString + "/zone"
+
+  test("replayed batch rewrites only its own partition; fold is idempotent") {
+    val dir = zone()
+    val b0 = Seq((1L, "v1"), (2L, "v1")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "v2"), (3L, "v1")).toDF("doc_id", "text")
+    ExactlyOnceSink.landBatch(b0, 0L, dir)
+    ExactlyOnceSink.landBatch(b1, 1L, dir)
+    def state() = ExactlyOnceSink.landed(spark, dir)
+      .select($"doc_id", $"text", $"batch_id".cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = Set((1L, "v1", 0L), (2L, "v1", 0L), (2L, "v2", 1L), (3L, "v1", 1L))
+    assert(state() === want)
+
+    // at-least-once delivery: the SAME batch id re-delivers the same
+    // rows — the landing zone must converge, not accumulate
+    ExactlyOnceSink.landBatch(b1, 1L, dir)
+    assert(state() === want, "replay must leave the landing zone unchanged")
+    // ...and must not have touched the sibling batch-0 partition
+    assert(ExactlyOnceSink.landed(spark, dir)
+      .filter($"batch_id" === 0).count() === 2)
+
+    // fold to the bucketed serving table: latest batch wins per key
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs", "doc_id", 8)
+    def folded() = spark.table("eo_docs")
+      .as[(Long, String)].collect().toSet
+    val wantFolded = Set((1L, "v1"), (2L, "v2"), (3L, "v1"))
+    assert(folded() === wantFolded)
+
+    // replay + re-fold: byte-identical serving content
+    ExactlyOnceSink.landBatch(b1, 1L, dir)
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs", "doc_id", 8)
+    assert(folded() === wantFolded, "fold after replay must be a content no-op")
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs", "doc_id", 8)
+    assert(folded() === wantFolded, "double fold must be a content no-op")
+  }
+
+  test("a real stream lands through foreachBatch and survives a duplicate fold") {
+    val dir = zone()
+    val ckpt = Files.createTempDirectory("eo_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = ExactlyOnceSink.attach(
+      in.toDF().toDF("doc_id", "text"), dir, ckpt)
+    try {
+      in.addData((10L, "a"), (11L, "b"))
+      q.processAllAvailable()
+      in.addData((11L, "b2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_stream", "doc_id", 8)
+    val got = spark.table("eo_docs_stream")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((10L, "a"), (11L, "b2")))
+  }
+}
