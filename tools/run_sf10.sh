@@ -9,10 +9,9 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r07.json')))
-          | {'q129_answer_bucketed','q130_hash_sample','q131_stratified_sample',
-             'q132_domain_mix','q133_semantic_dedup','q134_novelty_permille',
-             'q135_tfidf_topk','q38_incremental_dedup','q49_ivf_index_roundtrip','q136_semantic_dedup_nprobe2','q137_stream_neardup_batch','q138_chat_state_roundtrip'})
+qs=sorted(set(json.load(open('CORRECTNESS_r08.json')))
+          | {'q139_semantic_dedup_nprobe4','q141_er_incremental',
+             'q142_answer_served'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
