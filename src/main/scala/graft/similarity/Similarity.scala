@@ -314,7 +314,30 @@ object Similarity {
     * (vec_id, e, nrm, cid) like [[ivfAssigned]].
     */
   private[graft] def ivfAssignedPinned(s: SparkSession, d: String,
-      indexSubset: Column => Column): DataFrame = {
+      indexSubset: Column => Column): DataFrame =
+    assignToCells(quantized(s, d), pinnedCentroids(s, d, indexSubset))
+
+  /** [[ivfAssignedPinned]] restricted to a row subset — the serve-side
+    * increment shape: assign ONLY the new batch against the pinned
+    * index, never rescanning the standing corpus.
+    */
+  private[graft] def ivfAssignedPinnedSubset(s: SparkSession, d: String,
+      indexSubset: Column => Column, rowSubset: Column => Column): DataFrame = {
+    import s.implicits._
+    assignToCells(quantized(s, d).filter(rowSubset($"vec_id")),
+      pinnedCentroids(s, d, indexSubset))
+  }
+
+  /** Per-JVM centroid cache for the pinned index (keyed by caller tag →
+    * source dir): the production analog is the persisted index table
+    * (q49's write/readIndex); in-process the collect is simply reused,
+    * and a DIFFERENT source dir under the same tag recomputes.
+    */
+  private val pinnedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Cent])]()
+
+  private def pinnedCentroids(s: SparkSession, d: String,
+      indexSubset: Column => Column): Seq[Cent] = {
     import s.implicits._
     val q = quantized(s, d)
     val sub = q.filter(indexSubset($"vec_id"))
@@ -326,10 +349,23 @@ object Similarity {
       if (s.conf.getOption(SpacingConf).isDefined)
         pmod(hash($"vec_id"), lit(m)) === 0
       else $"vec_id" % m === 0
-    val cents = sub.filter(pick)
+    sub.filter(pick)
       .select($"vec_id", $"e", $"nrm").as[(Long, Seq[Long], Long)]
       .collect().toSeq
-    assignToCells(q, cents)
+  }
+
+  /** [[ivfAssignedPinnedSubset]] with the centroid collect cached per
+    * (tag, source dir) in this JVM — the serve path's repeated calls
+    * reuse the index instead of re-deriving it.
+    */
+  private[graft] def ivfAssignedPinnedSubsetCached(s: SparkSession,
+      d: String, tag: String, indexSubset: Column => Column,
+      rowSubset: Column => Column): DataFrame = {
+    import s.implicits._
+    val cents = pinnedCache.compute(tag, (_, prev) =>
+      if (prev != null && prev._1 == d) prev
+      else (d, pinnedCentroids(s, d, indexSubset)))._2
+    assignToCells(quantized(s, d).filter(rowSubset($"vec_id")), cents)
   }
 
   /** Shared body of the nprobe-generalized SemDeDup queries (q136 n=2,

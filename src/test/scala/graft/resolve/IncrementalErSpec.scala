@@ -59,5 +59,12 @@ class IncrementalErSpec extends AnyFunSuite {
     val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, d)
       .as[(Long, Long)].collect().toSeq
     assert(scratch === got)
+    // the served split (q143) agrees — and serving TWICE (the second
+    // call reads the standing tables instead of rebuilding) agrees too
+    val served1 = EntityResolution.incrementalResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val served2 = EntityResolution.incrementalResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(served1 === got && served2 === got)
   }
 }
