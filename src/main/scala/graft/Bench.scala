@@ -79,15 +79,16 @@ object Bench {
 
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
-    * 32-core box. Provenance: re-pinned in round 8 alongside
-    * [[ControlSnapshot]] from the TWO full-sweep driver-shaped boots of
-    * that round (3.08 / 3.15 s; the early-round 4.26-5.27 s band
-    * predates the same provisioning shift the controls saw). Two boots
-    * is a thinner basis than the n=5 band it replaced — treat the
-    * "iter_control_ratio ≳ 2 means degraded" threshold as a coarse flag
-    * until the pin accumulates ≥5 healthy boots (each round's bench
-    * records add to the evidence; see PERF.md's probe table). */
-  val IterativeProbeMedian: Double = 3.1
+    * 32-core box. Provenance: re-pinned in round 9 as the median of ALL
+    * 15 recorded boot observations across rounds 8-9
+    * (`bench/r08_sf01_driverlike_run{1..4}` + every r09 record:
+    * 2.94-4.13 s, median 3.216) — the ≥5-healthy-boots basis the round-8
+    * two-boot pin (3.1) lacked. The observations span sf0.1 through
+    * sf10 boots, confirming the probe is sf-independent; the 4.13 s
+    * outlier came from the boot whose full sweep read uniformly 1.5×
+    * (bench/r09_sf1_run1), i.e. the probe flagged exactly the drift it
+    * exists to flag. */
+  val IterativeProbeMedian: Double = 3.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

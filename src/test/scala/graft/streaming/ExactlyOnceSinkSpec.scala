@@ -53,6 +53,37 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(folded() === wantFolded, "double fold must be a content no-op")
   }
 
+  test("pruned batches survive re-folds through the base layer") {
+    val dir = zone()
+    ExactlyOnceSink.landBatch(
+      Seq((1L, "only-in-b0"), (2L, "v1")).toDF("doc_id", "text"), 0L, dir)
+    ExactlyOnceSink.landBatch(
+      Seq((2L, "v2")).toDF("doc_id", "text"), 1L, dir)
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_prune", "doc_id", 8)
+    // batches 0-1 are folded: prune them (filesystem check — a
+    // partition-less dir can't even be read as parquet)
+    ExactlyOnceSink.pruneLanded(spark, dir, 1L)
+    assert(Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("batch_id=")) === 0)
+    // folding an empty zone is a no-op, not a crash or a truncation
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_prune", "doc_id", 8)
+    assert(spark.table("eo_docs_prune").count() === 2)
+    // a later batch updates doc 2 and adds doc 3; doc 1 exists ONLY in
+    // the pruned batch 0 — the base layer must carry it through
+    ExactlyOnceSink.landBatch(
+      Seq((2L, "v3"), (3L, "new")).toDF("doc_id", "text"), 2L, dir)
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_prune", "doc_id", 8)
+    def folded() = spark.table("eo_docs_prune")
+      .as[(Long, String)].collect().toSet
+    val want = Set((1L, "only-in-b0"), (2L, "v3"), (3L, "new"))
+    assert(folded() === want)
+    // fold again (replay/crash recovery): content no-op
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_prune", "doc_id", 8)
+    assert(folded() === want)
+    // no stray temp table from the swap
+    assert(!spark.catalog.tableExists("eo_docs_prune_fold"))
+  }
+
   test("a real stream lands through foreachBatch and survives a duplicate fold") {
     val dir = zone()
     val ckpt = Files.createTempDirectory("eo_ckpt").toString
