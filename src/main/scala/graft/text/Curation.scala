@@ -52,6 +52,13 @@ object Curation {
   private val StratDen = 5L          // q131 keeps ceil(n/5) per stratum → 20%
   private val MixBase = 800L         // q132 token budget per weight unit
 
+  // q144 redaction patterns — deliberately restricted to the syntax
+  // subset Java regex (Spark) and RE2 (DuckDB) interpret identically:
+  // literal classes, bounded repeats, \b word boundaries. No lookarounds
+  // (RE2 lacks them), no engine-specific escapes.
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhonePat = """\b1[3-9][0-9]{9}\b"""
+
   /** Distinct 3-word shingles per document, exploded. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -143,6 +150,38 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
+    // PII scrubbing — the redaction pass every training corpus runs
+    // before anything else sees the text: emails → <EMAIL>, CN-mobile
+    // numbers → <PHONE>, with per-doc match counts and an md5 of the
+    // scrubbed text (the hash gates the REPLACEMENT bytes exactly, not
+    // just the counts). The fixture text contains no PII, so the query
+    // deterministically INJECTS it first (doc_id % 7 → an email,
+    // doc_id % 11 → a phone) — the injection is part of the query
+    // definition and mirrored in the oracle, so the regex machinery is
+    // actually exercised on every 7th/11th document rather than
+    // trivially matching nothing. Patterns stay in the Java∩RE2 common
+    // dialect (character classes, bounded repeats, \b) so Spark and
+    // DuckDB agree byte-for-byte. Shape: pure per-row map — no shuffle
+    // but the presentation sort; at 100 TB this is a narrow codegen'd
+    // scan, the cheapest possible operator class.
+    "q144_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val t = concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call 13812345678 ok"))
+          .otherwise(lit("")))
+      val scrub = regexp_replace(
+        regexp_replace(t, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          regexp_count(t, lit(EmailPat)).cast("long").as("n_emails"),
+          regexp_count(t, lit(PhonePat)).cast("long").as("n_phones"),
+          md5(scrub).as("scrub_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Domain mixing to a per-domain token budget: each source gets
     // weight w (src0=4, src1=2, rest 1) and a budget of w*MixBase
     // tokens; docs are admitted in hash order (the q130 hash — an
@@ -225,6 +264,22 @@ object Curation {
          SELECT doc_id, source, rn FROM r
          WHERE rn * $StratDen <= cnt + ${StratDen - 1}
          ORDER BY doc_id""",
+    "q144_pii_scrub" ->
+      s"""WITH x AS (
+           SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 13812345678 ok' ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '$EmailPat', '<EMAIL>', 'g'),
+                              '$PhonePat', '<PHONE>', 'g')) AS scrub_md5
+         FROM x ORDER BY doc_id""",
     "q132_domain_mix" ->
       s"""WITH x AS (
            SELECT doc_id, source,
