@@ -388,12 +388,26 @@ object Similarity {
       .select($"vec_id", $"e", $"nrm",
         explode(topCells(s, cents, $"e", $"nrm", nprobe)).as("cid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LEFT SEMI with the similarity bar INSIDE the join condition: a
+    // probe row is "dropped" as soon as ONE above-bar lower-id
+    // cell-mate exists, so the per-bucket scan short-circuits at the
+    // first hit and no pair row is ever materialized — where the
+    // inner-join + distinct form computes EVERY above-bar pair (the
+    // candidate set grows ~nprobe², the dominant cost at nprobe=4)
+    // just to throw all but one bit per vector away. Same drop set by
+    // construction; measured for q139: ~41 → 7.8 s at 10×, 87.5 →
+    // 14.7 s at 100× (bench/r09_sf10_semidedup.json) — the dedup
+    // DECISION is far cheaper than the dedup PAIR SET, which remains
+    // available through the q36-style dump operators when a consumer
+    // actually wants pairs.
     val dropped = cell.as("a")
       .join(cell.as("b"),
-        $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
-      .withColumn("dp", dot($"a.e", $"b.e"))
-      .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
-      .select($"a.vec_id").distinct()
+        $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id" &&
+          dot($"a.e", $"b.e") > 0 &&
+          dot($"a.e", $"b.e") * dot($"a.e", $"b.e") * 8 >=
+            $"a.nrm" * $"b.nrm",
+        "left_semi")
+      .select($"vec_id").distinct()
       .withColumn("dup", lit(1L))
     cell.select($"vec_id").distinct()
       .join(dropped, Seq("vec_id"), "left")
@@ -640,15 +654,18 @@ object Similarity {
       // the assigned frame feeds the self-join's BOTH sides plus the
       // final keep projection — persist or pay the O(n·k) assignment
       // scan three times (same rationale as kmeansCentroids' train
-      // cache; Bench clears caches between queries)
+      // cache; Bench clears caches between queries). Drop detection is
+      // the short-circuiting LEFT SEMI form (see semanticDedupNprobe).
       val cell = assignToCells(quantized(s, d), kmeansCentroids(s, d, 2))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val dropped = cell.as("a")
         .join(cell.as("b"),
-          $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id")
-        .withColumn("dp", dot($"a.e", $"b.e"))
-        .filter($"dp" > 0 && $"dp" * $"dp" * 8 >= $"a.nrm" * $"b.nrm")
-        .select($"a.vec_id").distinct()
+          $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id" &&
+            dot($"a.e", $"b.e") > 0 &&
+            dot($"a.e", $"b.e") * dot($"a.e", $"b.e") * 8 >=
+              $"a.nrm" * $"b.nrm",
+          "left_semi")
+        .select($"vec_id").distinct()
         .withColumn("dup", lit(1L))
       cell.select($"vec_id", $"cid")
         .join(dropped, Seq("vec_id"), "left")
