@@ -11,7 +11,8 @@ ONLY=$(python3 -c "
 import json
 qs=sorted(set(json.load(open('CORRECTNESS_r08.json')))
           | {'q139_semantic_dedup_nprobe4','q141_er_incremental',
-             'q142_answer_served'})
+             'q142_answer_served','q143_er_incremental_served',
+             'q144_pii_scrub'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
