@@ -77,6 +77,48 @@ object Bench {
     dt
   }
 
+  /** Second boot-health probe, GRAPH-shaped: the sf0.1 run-4 record of
+    * round 9 showed a drift mode [[iterativeProbe]] under-detects — its
+    * ratio read 0.886 while the GraphX/dump-driver queries (q39, q47,
+    * q54, q99) ran uniformly 1.19× the clean boot (scan/join controls
+    * clean at 1.009). This probe is THAT shape: a fixed Pregel
+    * connected-components run (many tiny supersteps — GraphX job
+    * submission + vertex/edge co-partitioning) plus a pair of small
+    * noop write jobs (the dump-driver shape). Data-free and
+    * sf-independent like the iterative probe.
+    *
+    * UNPINNED as of round 9: the artifact reports raw
+    * `graph_probe_sec` so boots accumulate calibration evidence;
+    * [[GraphProbeMedian]] stays at the −1 sentinel (ratio emitted as
+    * null) until enough healthy boots exist to pin it — the same
+    * discipline the iterative probe's pin went through.
+    */
+  private[graft] def graphProbe(spark: SparkSession): Double = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val sc = spark.sparkContext
+    val n = 50000L
+    val edges = sc.range(0L, n, 1L, sc.defaultParallelism)
+      .map(i => Edge(i, (i * 17 + 3) % n, 1))
+    val t0 = System.nanoTime()
+    val g = Graph.fromEdges(edges, 0L)
+    g.connectedComponents(3).vertices.count()
+    var w = 0
+    while (w < 2) {
+      spark.range(100000).selectExpr("sum(id) s")
+        .write.format("noop").mode("overwrite").save()
+      w += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    g.unpersist(blocking = false)
+    dt
+  }
+
+  /** Unpinned sentinel — see [[graphProbe]]. Replace with the median of
+    * ≥5 healthy-boot observations once recorded (bench/r09+ artifacts
+    * carry `graph_probe_sec`).
+    */
+  val GraphProbeMedian: Double = -1.0
+
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
     * 32-core box. Provenance: re-pinned in round 9 as the median of ALL
@@ -151,9 +193,10 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
       .getOrElse(3)
-    // multi-job boot-health probe: median of 5, measured before the sweep
+    // multi-job boot-health probes: medians measured before the sweep
     // so a degraded scheduler is visible regardless of which queries run.
     val iterProbeSec = median((1 to 5).map(_ => iterativeProbe(spark)))
+    val graphProbeSec = median((1 to 3).map(_ => graphProbe(spark)))
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -227,7 +270,11 @@ object Bench {
     // cross-round comparison. Recorded IN the artifact so it
     // self-adjudicates.
     val bootDegraded = IterativeProbeMedian > 0 && iterRatio >= 2.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"boot_degraded":$bootDegraded$rawJson,"sf":"$sfDir"}""")
+    val graphRatioJson =
+      if (GraphProbeMedian > 0)
+        num(graphProbeSec / GraphProbeMedian, "%.3f")
+      else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded$rawJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
