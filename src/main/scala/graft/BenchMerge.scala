@@ -50,8 +50,17 @@ object BenchMerge {
     Boot(path, pairs, iter, degraded)
   }
 
-  private[graft] def merge(boots: Seq[Boot]): (Map[String, Double], Seq[Boot]) = {
+  /** Returns (per-query medians, boots excluded as degraded,
+    * degradedUsed). When every boot is degraded the merge falls back to
+    * using them all rather than merging nothing; in that case
+    * degradedUsed=true and NO boots are reported as excluded — the
+    * artifact must not self-describe as healthy-boots-only when the
+    * medians came entirely from degraded boots.
+    */
+  private[graft] def merge(
+      boots: Seq[Boot]): (Map[String, Double], Seq[Boot], Boolean) = {
     val (bad, good) = boots.partition(_.degraded)
+    val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
     val names = use.flatMap(_.queries.keys).distinct.sorted
     val med = names.map { n =>
@@ -60,7 +69,7 @@ object BenchMerge {
       val ts = use.flatMap(_.queries.get(n)).filter(_ >= 0)
       n -> (if (ts.nonEmpty) median(ts) else -1.0)
     }.toMap
-    (med, bad)
+    (med, if (degradedUsed) Seq.empty else bad, degradedUsed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,7 +77,7 @@ object BenchMerge {
     val boots = args.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
-    val (med, excluded) = merge(boots)
+    val (med, excluded, degradedUsed) = merge(boots)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = med.values.filter(_ >= 0).sum
@@ -76,7 +85,7 @@ object BenchMerge {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val excl = excluded.map(b => "\"" + b.path + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

@@ -30,6 +30,7 @@ object SparkEntry {
     (resolve.EntityResolution.queries, resolve.EntityResolution.oracles),
     (streaming.Events.queries, streaming.Events.oracles),
     (streaming.DocsStream.queries, streaming.DocsStream.oracles),
+    (streaming.ExactlyOnceSink.queries, streaming.ExactlyOnceSink.oracles),
     (enrich.TopicEnrichment.queries, enrich.TopicEnrichment.oracles),
     (enrich.TermEncoding.queries, enrich.TermEncoding.oracles),
     (ingest.TaggedQueries.queries, ingest.TaggedQueries.oracles),

@@ -200,8 +200,23 @@ object DocGraph {
   def bucketedServed(s: SparkSession, d: String, prefix: String,
                      buckets: Int = 16): DocGraph = {
     val proto = synthetic(s, d)
-    val prev = servedFrom.put(prefix, d)
-    if (prev == null || prev != d) bucketed(proto, prefix, buckets)
-    else readBucketedBinding(s, prefix, proto.kwMapping)
+    // Record the source dir only AFTER the build succeeds: a put-before-
+    // build would let a partial build (exception after some per-rel table
+    // writes) or a concurrent caller arriving mid-build observe prev == d
+    // and silently serve stale/partial tables — exactly the wrong-results
+    // mode this guard exists to prevent. compute() holds the per-prefix
+    // map lock across the build, so a concurrent second caller blocks
+    // until the tables exist, and a build that throws leaves the mapping
+    // UNCHANGED (ConcurrentHashMap.compute's contract), so the next
+    // caller rebuilds from scratch instead of serving the partial write.
+    if (servedFrom.get(prefix) == d)
+      readBucketedBinding(s, prefix, proto.kwMapping)
+    else {
+      servedFrom.compute(prefix, (_, prev) => {
+        if (prev != d) bucketed(proto, prefix, buckets)
+        d
+      })
+      readBucketedBinding(s, prefix, proto.kwMapping)
+    }
   }
 }

@@ -20,12 +20,11 @@ import graft.Tables
   *    last `delete`; messages of deleted epochs never resurface, and a
   *    re-`create` of the same id starts clean (SQLite's
   *    DELETE-then-INSERT cycle).
-  *  - title: last `rename` in the epoch, else the epoch's `create`
-  *    title; a NULL **or empty** resolved title falls back to the
-  *    reference's `对话 - {id}` (its `row[1] or ...` treats '' as
-  *    falsy, so an empty stored title also falls back — and it falls
-  *    back to the id form, NOT to an earlier title, because SQLite
-  *    stores only the latest value).
+  *  - title: the value carried by the LATEST create-or-rename event in
+  *    the epoch (NULL included — SQLite stores only the latest value);
+  *    a NULL **or empty** latest value falls back to the reference's
+  *    `对话 - {id}` (its `row[1] or ...` treats '' as falsy), and the
+  *    fallback is ALWAYS the id form, never an earlier title.
   *  - listing ordered by last activity, newest first
   *    (`get_all_chats`'s ORDER BY last_updated_at DESC). Activity is
   *    `create` + `message` only: the reference's
@@ -75,10 +74,15 @@ object ChatStore {
     // a chat LIVES iff its epoch has a create; latest create wins
     val created = eff.filter($"op" === "create")
       .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
-      .select($"chat_id", $"seq".as("created_seq"), $"title".as("create_title"))
-    val lastRename = eff.filter($"op" === "rename")
+      .select($"chat_id", $"seq".as("created_seq"))
+    // latest stored title = the title of the most RECENT create-or-rename
+    // event, NULL included — mirrors SQLite storing only the latest
+    // value: a rename to NULL overwrites a non-empty create title, and
+    // the falsy fallback below must then yield the id form, never an
+    // earlier title (a rename-over-create coalesce would resurrect it).
+    val latestTitle = eff.filter($"op".isin("create", "rename"))
       .withColumn("rn", row_number().over(wDesc)).filter($"rn" === 1)
-      .select($"chat_id", $"title".as("rename_title"))
+      .select($"chat_id", $"title".as("latest_title"))
     // last_seq folds over create+message ONLY (never rename): mirrors
     // the reference, where add_message bumps last_updated_at but
     // update_chat_title_in_db does not — renaming must not reorder.
@@ -87,12 +91,12 @@ object ChatStore {
         max($"seq").as("last_seq"),
         sum(when($"op" === "message", 1L).otherwise(0L)).as("n_messages"))
     created
-      .join(lastRename, Seq("chat_id"), "left")
+      .join(latestTitle, Seq("chat_id"), "left")
       .join(activity, Seq("chat_id"))
       .select($"chat_id",
-        // latest stored title (rename over create), with the reference's
-        // falsy fallback: NULL *or empty* → `对话 - {id}`
-        coalesce(nullif(coalesce($"rename_title", $"create_title"), lit("")),
+        // the reference's falsy fallback applied to the single latest
+        // value: NULL *or empty* → `对话 - {id}`
+        coalesce(nullif($"latest_title", lit("")),
           concat(lit("对话 - "), $"chat_id")).as("title"),
         $"n_messages", $"last_seq")
       .orderBy($"last_seq".desc, $"chat_id")

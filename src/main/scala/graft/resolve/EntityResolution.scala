@@ -636,26 +636,35 @@ object EntityResolution {
     import s.implicits._
     val isBatch = (c: Column) => c % 10 === 9
     val notBatch = (c: Column) => c % 10 =!= 9
-    val prev = erServedFrom.put(prefix, d)
-    if (prev == null || prev != d) {
-      val standing = graft.similarity.Similarity
-        .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val standPairs = standing.as("a")
-        .join(standing.as("b"),
-          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-        .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-        .filter($"dot" > 0 &&
-          $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-        .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
-      val mapping =
-        connectedComponents(s, standing.select($"vec_id"), standPairs)
-      graft.graph.BucketedStore.writeBucketed(
-        standing, s"${prefix}_assigned", "cid", 16)
-      graft.graph.BucketedStore.writeBucketed(
-        mapping, s"${prefix}_mapping", "vec_id", 16)
-      standing.unpersist(blocking = false)
-    }
+    // Same ordering discipline as DocGraph.bucketedServed: the source dir
+    // is recorded only AFTER both standing tables are written (the build
+    // runs inside compute(), which holds the per-prefix lock and leaves
+    // the mapping unchanged if the build throws) — a put-before-build
+    // would let a partial build or a concurrent mid-build caller serve
+    // stale/partial standing state.
+    if (erServedFrom.get(prefix) != d)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != d) {
+          val standing = graft.similarity.Similarity
+            .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val standPairs = standing.as("a")
+            .join(standing.as("b"),
+              $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+            .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+            .filter($"dot" > 0 &&
+              $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+            .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+          val mapping =
+            connectedComponents(s, standing.select($"vec_id"), standPairs)
+          graft.graph.BucketedStore.writeBucketed(
+            standing, s"${prefix}_assigned", "cid", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            mapping, s"${prefix}_mapping", "vec_id", 16)
+          standing.unpersist(blocking = false)
+        }
+        d
+      })
     val standingAssigned =
       graft.graph.BucketedStore.table(s, s"${prefix}_assigned")
     val standingMapping =
@@ -675,7 +684,77 @@ object EntityResolution {
     mergeIncrement(s, standingMapping, batch.select($"vec_id"), touching)
   }
 
+  /** The TOMBSTONE (deletion) path of incremental ER — the production
+    * shape q141/q143's insert-only batches left open (round-9 verdict
+    * item 5): retract a 10% batch of terms (`vec_id % 10 = 5`) from the
+    * standing state without recomputing everything, beating the
+    * reference's force-recompute fallback (`keyword_merger.py:134-144`
+    * rebuilds the whole mapping on any correction).
+    *
+    * Algorithm (the deletion dual of [[mergeIncrement]]):
+    *  1. standing state: blocked ε-pairs + CC over the full corpus under
+    *     the PINNED index (deletions do not move the index — same
+    *     full-rebuild trigger discipline as inserts).
+    *  2. affected components: those containing ≥1 deleted member —
+    *     deletion can SPLIT a component (bridge removal) or retire its
+    *     min-id representative, so membership alone marks it dirty.
+    *  3. recompute: CC over the affected components' SURVIVORS with the
+    *     standing pair set restricted to survivor endpoints — NO second
+    *     ε-join: under a pinned index, pairs(post-delete) is exactly
+    *     pairs(standing) minus pairs touching a tombstone, so two
+    *     left-semi joins replace the quadratic-shaped work. Star edges
+    *     (the insert path's shortcut) are NOT sound here — they route
+    *     connectivity through possibly-deleted vertices — hence real
+    *     pairs, but only for the dirty components.
+    *  4. untouched components pass through unchanged (no deleted member
+    *     ⇒ membership, connectivity, and min-id rep are all unchanged).
+    *
+    * Equivalence (what the oracle checks): edges only ever connect
+    * members of the same standing component, so recomputed components
+    * never merge with untouched ones, and the result is bit-equal to
+    * from-scratch blocked ER over the post-delete corpus under the same
+    * pinned index — which is exactly what the DuckDB oracle computes.
+    */
+  def tombstoneResolve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val isDel = (c: Column) => c % 10 === 5
+    val assigned = graft.similarity.Similarity
+      .ivfAssignedPinned(s, d, c => c % 10 =!= 9)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allPairs = assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val standingMapping =
+      connectedComponents(s, assigned.select($"vec_id"), allPairs)
+    val delReps = standingMapping.filter(isDel($"vec_id"))
+      .select($"component").distinct()
+    val untouched =
+      standingMapping.join(delReps, Seq("component"), "left_anti")
+        .filter(!isDel($"vec_id")) // belt-and-braces: always true here
+    val survivors = standingMapping.join(delReps, "component")
+      .filter(!isDel($"vec_id")).select($"vec_id")
+    val survivorPairs = allPairs
+      .join(survivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")
+      .join(survivors.withColumnRenamed("vec_id", "v"), Seq("v"), "left_semi")
+    val merged = connectedComponents(s, survivors, survivorPairs)
+    untouched.select($"vec_id", $"component".as("rep_id"))
+      .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tombstone-batch ER: delete vec_id%10=5 from the standing state,
+    // recompute only the components a tombstone touches. The oracle is
+    // FROM-SCRATCH blocked ER over the post-delete corpus under the
+    // pinned index, so a missed split, a stale representative, or a
+    // survivor lost with its component all hash-mismatch.
+    "q146_er_tombstones" -> ((s, d) => tombstoneResolve(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -858,8 +937,13 @@ comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)""
     * corpus (`vec_id % 10 <> 9`, modulus from the standing count) — the
     * from-scratch mirror of [[incrementalResolve]]'s index rule. Every
     * other CTE is identical: assignment, ε-predicate, CC walk.
+    * `memberWhere` restricts the RESOLVED corpus (the `m` CTE: what is
+    * assigned, paired, and labeled) WITHOUT touching the centroid set —
+    * the index stays pinned to the pre-restriction standing corpus,
+    * which is exactly the tombstone contract (q146): deleting members
+    * does not move the index.
     */
-  private val pinnedCcSql = s"""q0 AS (
+  private def pinnedCcSqlWhere(memberWhere: String) = s"""q0 AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
   FROM embeddings),
@@ -870,10 +954,11 @@ cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
          FROM n WHERE vec_id % 10 <> 9 AND vec_id % (
            SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
            FROM embeddings WHERE vec_id % 10 <> 9) = 0),
-ap AS (SELECT n.vec_id, cent.cid,
-        CAST(list_sum(list_transform(n.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
-        n.nrm, cent.cnrm
-      FROM n CROSS JOIN cent),
+m AS (SELECT vec_id, e, nrm FROM n WHERE $memberWhere),
+ap AS (SELECT m.vec_id, cent.cid,
+        CAST(list_sum(list_transform(m.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
+        m.nrm, cent.cnrm
+      FROM m CROSS JOIN cent),
 assigned AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
@@ -881,8 +966,8 @@ assigned AS (
         CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
           * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
     FROM ap) t WHERE rn = 1),
-full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
-          FROM assigned a JOIN n ON a.vec_id = n.vec_id),
+full0 AS (SELECT a.vec_id, a.cid, m.e, m.nrm
+          FROM assigned a JOIN m ON a.vec_id = m.vec_id),
 ed AS (SELECT u, v FROM (
          SELECT a.vec_id AS u, b.vec_id AS v,
            CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
@@ -892,11 +977,13 @@ ed AS (SELECT u, v FROM (
        WHERE dot > 0 AND 400*dot*dot >= 49*na*nb),
 ee AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
 walk(node, lab) AS (
-  SELECT vec_id, vec_id FROM n
+  SELECT vec_id, vec_id FROM m
   UNION
   SELECT ee.v, walk.lab FROM walk JOIN ee ON walk.node = ee.u
 ),
 comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)"""
+
+  private val pinnedCcSql = pinnedCcSqlWhere("TRUE")
 
   /** Oracle mirror of [[variantTerms]] + [[aliasMapping]]: the o-prefixed
     * CTE chain ends in `omap(original, representative)`. All names are
@@ -957,6 +1044,11 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
   def oracles: Map[String, String] = Map(
     "q141_er_incremental" ->
       s"""WITH RECURSIVE $pinnedCcSql
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // from-scratch ER over the post-delete corpus, index still pinned
+    // to the pre-delete standing rule
+    "q146_er_tombstones" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     // the serve split must be a pure cost-attribution change
     "q143_er_incremental_served" ->

@@ -17,9 +17,10 @@ class BenchMergeSpec extends AnyFunSuite {
     val b1 = BenchMerge.parse("r1", rec(""""q1":1.0,"q2":2.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":3.0,"q2":4.0""", 0.9, Some(false)))
     val b3 = BenchMerge.parse("r3", rec(""""q1":99.0,"q2":99.0""", 2.5, Some(true)))
-    val (med, excluded) = BenchMerge.merge(Seq(b1, b2, b3))
+    val (med, excluded, degradedUsed) = BenchMerge.merge(Seq(b1, b2, b3))
     assert(med === Map("q1" -> 2.0, "q2" -> 3.0))
     assert(excluded.map(_.path) === Seq("r3"))
+    assert(!degradedUsed)
   }
 
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
@@ -32,11 +33,13 @@ class BenchMergeSpec extends AnyFunSuite {
   test("crash entries (negative) are dropped from the median; all-degraded still merges") {
     val b1 = BenchMerge.parse("r1", rec(""""q1":-3.0,"q2":1.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":7.0,"q2":2.0""", 0.8, Some(false)))
-    val (med, _) = BenchMerge.merge(Seq(b1, b2))
+    val (med, _, _) = BenchMerge.merge(Seq(b1, b2))
     assert(med === Map("q1" -> 7.0, "q2" -> 1.5))
-    // every boot degraded: merge over all rather than nothing
+    // every boot degraded: merge over all rather than nothing — flagged
+    // as degraded_used, and NOT self-described as excluded (the record
+    // must not claim healthy-boots-only medians)
     val bad = BenchMerge.parse("r3", rec(""""q1":9.0""", 3.0, Some(true)))
-    val (med2, excl2) = BenchMerge.merge(Seq(bad))
-    assert(med2 === Map("q1" -> 9.0) && excl2.map(_.path) === Seq("r3"))
+    val (med2, excl2, degradedUsed2) = BenchMerge.merge(Seq(bad))
+    assert(med2 === Map("q1" -> 9.0) && excl2.isEmpty && degradedUsed2)
   }
 }

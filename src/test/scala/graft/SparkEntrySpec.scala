@@ -24,6 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
       dedup.Dedup.queries, similarity.Similarity.queries,
       graph.GraphQueries.queries, resolve.EntityResolution.queries,
       streaming.Events.queries, streaming.DocsStream.queries,
+      streaming.ExactlyOnceSink.queries,
       enrich.TopicEnrichment.queries,
       enrich.TermEncoding.queries,
       ingest.TaggedQueries.queries, query.QueryText.queries,

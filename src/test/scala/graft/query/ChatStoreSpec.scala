@@ -95,4 +95,18 @@ class ChatStoreSpec extends AnyFunSuite {
       ("b", "对话 - b", 0L, 3L),
       ("a", "对话 - a", 0L, 1L)))
   }
+
+  test("a NULL rename overwrites a non-empty create title (latest value wins)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chatlog_null").toString + "/log"
+    ChatStore.append(ev(Seq(
+      (1L, "create", "a", Some("Real"), None, None),
+      // the reference stores the latest (NULL) value; `row[1] or ...`
+      // then falls back to the ID FORM — a rename-over-create coalesce
+      // would wrongly resurrect 'Real'
+      (2L, "rename", "a", None, None, None))), dir)
+    val cs = ChatStore.chats(ChatStore.load(spark, dir))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cs === Seq(("a", "对话 - a", 0L, 1L)))
+  }
 }

@@ -67,4 +67,45 @@ class IncrementalErSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(served1 === got && served2 === got)
   }
+
+  /** Tombstone path (q146) on a fixture engineered for the deletion
+    * hard cases, hand-derived: deleting a BRIDGE must split its
+    * component, deleting a REPRESENTATIVE must re-min the survivors,
+    * an untouched component must pass through, and an isolated deleted
+    * vector must simply vanish. Deleted set = vec_id % 10 = 5.
+    */
+  test("tombstones split bridged components and retire deleted representatives") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Float] =
+      (0 until 6).map(j => if (j == i) 1.0f else 0.0f)
+    val bridge = Seq(0.7071f, 0.7071f, 0.0f, 0.0f, 0.0f, 0.0f)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> axis(5),                               // seed/distractor, alone
+      11L -> axis(0), 15L -> bridge, 21L -> axis(1), // C1: 15 is the bridge
+      5L -> axis(2), 6L -> axis(2), 7L -> axis(2),   // C2: rep 5 is deleted
+      13L -> axis(3), 14L -> axis(3),                // C3: untouched
+      25L -> axis(4))                                // isolated, deleted
+    val d = Files.createTempDirectory("tomb_er_fix").toString
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = EntityResolution.tombstoneResolve(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(
+      0L -> 0L,
+      6L -> 6L, 7L -> 6L,        // rep 5 deleted → survivors re-min to 6
+      11L -> 11L,                // bridge 15 deleted → C1 splits...
+      13L -> 13L, 14L -> 13L,    // untouched pass-through
+      21L -> 21L))               // ...each side its own rep; 25 vanished
+    // from-scratch blocked ER over the post-delete corpus agrees (the
+    // seed sets coincide on this fixture: survivor 0 is the only
+    // multiple of 50 either way)
+    val postDir = Files.createTempDirectory("tomb_er_post").toString
+    rows.filterNot(_._1 % 10 == 5).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$postDir/embeddings.parquet")
+    val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, postDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(scratch === got)
+  }
 }

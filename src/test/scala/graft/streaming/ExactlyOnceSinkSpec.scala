@@ -84,6 +84,25 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("eo_docs_prune_fold"))
   }
 
+  test("explicit tieBreak list folds schemas with unorderable (map) columns") {
+    val dir = zone()
+    import org.apache.spark.sql.functions.{map, lit}
+    val b0 = Seq((1L, "v1"), (2L, "v1")).toDF("doc_id", "text")
+      .withColumn("props", map(lit("k"), $"text"))
+    val b1 = Seq((2L, "v2")).toDF("doc_id", "text")
+      .withColumn("props", map(lit("k"), $"text"))
+    ExactlyOnceSink.landBatch(b0, 0L, dir)
+    ExactlyOnceSink.landBatch(b1, 1L, dir)
+    // default tie-break would ORDER BY the map column → AnalysisException;
+    // the explicit deterministic column list avoids it
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_map", "doc_id", 8,
+      tieBreak = Seq("text"))
+    val got = spark.table("eo_docs_map")
+      .select($"doc_id", $"text", $"props"("k").as("p"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "v1", "v1"), (2L, "v2", "v2")))
+  }
+
   test("a real stream lands through foreachBatch and survives a duplicate fold") {
     val dir = zone()
     val ckpt = Files.createTempDirectory("eo_ckpt").toString
