@@ -87,11 +87,10 @@ object Bench {
     * noop write jobs (the dump-driver shape). Data-free and
     * sf-independent like the iterative probe.
     *
-    * UNPINNED as of round 9: the artifact reports raw
-    * `graph_probe_sec` so boots accumulate calibration evidence;
-    * [[GraphProbeMedian]] stays at the −1 sentinel (ratio emitted as
-    * null) until enough healthy boots exist to pin it — the same
-    * discipline the iterative probe's pin went through.
+    * Pinned in round 10 (see [[GraphProbeMedian]]) after seven
+    * clean-boot calibration observations; every record now carries a
+    * non-null `graph_control_ratio`, and `boot_degraded` honors this
+    * probe's threshold alongside the iterative probe's.
     */
   private[graft] def graphProbe(spark: SparkSession): Double = {
     import org.apache.spark.graphx.{Edge, Graph}
@@ -113,11 +112,16 @@ object Bench {
     dt
   }
 
-  /** Unpinned sentinel — see [[graphProbe]]. Replace with the median of
-    * ≥5 healthy-boot observations once recorded (bench/r09+ artifacts
-    * carry `graph_probe_sec`).
+  /** Committed sf-independent pin for [[graphProbe]] (each boot's
+    * observation is a median of 3 in-boot probe runs). Provenance:
+    * median of seven clean-boot observations — the four round-9
+    * calibration boots (2.68 / 2.34 / 3.00 / 2.86 s, PERF.md) plus
+    * three dedicated round-10 calibration boots (2.534 / 2.52 /
+    * 2.613 s, same-boot iterative probes 3.26–3.54 s ≈ ratio 1.0–1.1,
+    * i.e. clean). The same ≥5-healthy-boots basis the iterative
+    * probe's pin uses.
     */
-  val GraphProbeMedian: Double = -1.0
+  val GraphProbeMedian: Double = 2.61
 
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
@@ -198,10 +202,22 @@ object Bench {
     val iterProbeSec = median((1 to 5).map(_ => iterativeProbe(spark)))
     val graphProbeSec = median((1 to 3).map(_ => graphProbe(spark)))
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // build/serve attribution, native in the record (round-10 item 4):
+    // the build-once/serve-many queries pay their standing build on the
+    // FIRST call in a JVM and only then serve. Previously the split was
+    // only visible in n≥3 raw arrays (the median lands on serve runs)
+    // and n=1 records — the 100× driver shape — silently re-paid the
+    // build. Now every served-family query runs one dedicated,
+    // separately-timed build pass before its measured runs, so the
+    // recorded per-query time is the serve cost at ANY n and the build
+    // cost rides in the `served` object instead of a side artifact.
+    val servedFamily = Set("q142_answer_served",
+      "q143_er_incremental_served", "q147_stream_to_serve")
+    val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -214,6 +230,8 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         if (ok) dt else -dt
       }
+      if (servedFamily(name)) served(name) = once()
+      val times = (1 to runs).map(_ => once())
       if (runs > 1) raw(name) = times
       val successes = times.filter(_ >= 0)
       // all-failed: keep the negative time-to-failure convention so a
@@ -252,6 +270,14 @@ object Bench {
         val cr = median(controlRatios.map(_._2))
         (num(cr, "%.3f"), num(total / cr, "%.2f"))
       } else ("null", "null")
+    // {name: {build_sec, serve_sec}} for the build-once/serve-many
+    // family — serve_sec repeats the recorded per-query value so the
+    // split reads without cross-referencing `queries`.
+    val servedJson = served.map { case (name, b) =>
+      val serve = results.collectFirst { case (`name`, v) => v }.getOrElse(-1.0)
+      "\"" + name + "\":{\"build_sec\":" + num(b, "%.4f") +
+        ",\"serve_sec\":" + num(serve, "%.4f") + "}"
+    }.mkString("{", ",", "}")
     val rawJson =
       if (runs > 1)
         raw.map { case (k, ts) =>
@@ -269,12 +295,17 @@ object Bench {
     // boot should be divided by the ratio (or the boot re-run) before
     // cross-round comparison. Recorded IN the artifact so it
     // self-adjudicates.
-    val bootDegraded = IterativeProbeMedian > 0 && iterRatio >= 2.0
+    // ...and the SECOND threshold (round-10 item 1): the graph-shaped
+    // probe adjudicates the Pregel/multi-write drift mode the iterative
+    // probe under-detects (sf0.1 r9 run4: iter 0.886 while graph shapes
+    // ran 1.19×). Same ≥2 convention for the hard flag; sub-2× drift is
+    // adjudicated from the recorded ratio rather than by exclusion.
+    val graphRatio = graphProbeSec / GraphProbeMedian
+    val bootDegraded = (IterativeProbeMedian > 0 && iterRatio >= 2.0) ||
+      (GraphProbeMedian > 0 && graphRatio >= 2.0)
     val graphRatioJson =
-      if (GraphProbeMedian > 0)
-        num(graphProbeSec / GraphProbeMedian, "%.3f")
-      else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded$rawJson,"sf":"$sfDir"}""")
+      if (GraphProbeMedian > 0) num(graphRatio, "%.3f") else "null"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

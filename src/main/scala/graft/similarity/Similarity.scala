@@ -648,6 +648,18 @@ object Similarity {
     // `tools/recall_semdedup.py`; PERF.md carries the table.
     "q139_semantic_dedup_nprobe4" -> ((s, d) => semanticDedupNprobe(s, d, 4)),
 
+    // The rung that closes the round-9 recall residual: on the DIFFUSE
+    // sf0.1 fixture (n=2000, k=40 cells) nprobe=4 reads pair recall
+    // 0.786 — under the ≥0.85 operational bar even though the compact
+    // sf0.001/sf0.01 fixtures sit at 0.98–1.00. nprobe=5 measures
+    // 0.890 / 0.965 (pair/drop) at sf0.1 and 1.00/1.00 at the other
+    // gated SFs (`tools/recall_semdedup.py`; PERF.md table), so the
+    // ladder now clears the bar at EVERY gated SF. Cost follows the
+    // same blocked curve: assignment rows 5n, candidate pairs ~25/16 of
+    // nprobe=4's (sf0.1: 798k → 1.25M), all cell-keyed — never
+    // all-pairs; the left-semi short-circuit keeps the decision cheap.
+    "q148_semantic_dedup_nprobe5" -> ((s, d) => semanticDedupNprobe(s, d, 5)),
+
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
@@ -1009,6 +1021,7 @@ object Similarity {
          ORDER BY vec_id""",
     "q136_semantic_dedup_nprobe2" -> semanticDedupNprobeSql(2),
     "q139_semantic_dedup_nprobe4" -> semanticDedupNprobeSql(4),
+    "q148_semantic_dedup_nprobe5" -> semanticDedupNprobeSql(5),
     "q133_semantic_dedup" ->
       s"""WITH ${kmeansSql(2)},
          apf AS (SELECT n.vec_id, c.cid,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -58,6 +58,15 @@ object Curation {
   // (RE2 lacks them), no engine-specific escapes.
   private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PhonePat = """\b1[3-9][0-9]{9}\b"""
+  // q149: GB 11643 resident-ID SHAPE (17 digits + digit-or-X check char).
+  // The regex finds ID-LIKE candidates; the checksum (weights 2^(18-i)
+  // mod 11, check char table indexed by the weighted sum mod 11) then
+  // separates real resident IDs from arbitrary 18-digit runs — a
+  // checksum is not regular, so the validation runs as an array
+  // expression over the extracted candidates, not in the pattern.
+  private val CnIdPat = """\b[1-9][0-9]{16}[0-9X]\b"""
+  private val CnIdWeights = Seq(7, 9, 10, 5, 8, 4, 2, 1, 6, 3, 7, 9, 10, 5, 8, 4, 2)
+  private val CnIdCheckChars = "10X98765432" // indexed by weighted-sum % 11
 
   /** Distinct 3-word shingles per document, exploded. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
@@ -182,6 +191,51 @@ object Curation {
         .orderBy($"doc_id")
     }),
 
+    // PII breadth (round-10 item 6): CN resident-ID handling on top of
+    // q144's email/mobile pass. The SCRUB redacts every ID-like
+    // 18-char run (`<IDNUM>`) — the safe production default: an
+    // id-shaped number is removed whether or not its checksum verifies
+    // — while the CHECKSUM machinery is gated through `n_cnid_valid`
+    // (count of candidates whose GB 11643 check char verifies). The
+    // deterministic injection plants a checksum-VALID id on every 13th
+    // doc and a checksum-INVALID id-like run on every 17th, so both
+    // branches of the validator are exercised and the md5 gate pins the
+    // replacement bytes of the full email→phone→id chain. Same
+    // Java∩RE2 dialect; the checksum is array arithmetic (aggregate /
+    // list_sum over 17 positions), identical on both engines. Shape:
+    // narrow per-row map, zero shuffle beyond the presentation sort.
+    "q149_pii_scrub_ids" -> ((s, d) => {
+      import s.implicits._
+      val t = concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call 13812345678 ok"))
+          .otherwise(lit("")),
+        when($"doc_id" % 13 === 0, lit(" id 11010519491231002X ok"))
+          .otherwise(lit("")),
+        when($"doc_id" % 17 === 0, lit(" id 110105194912310021 no"))
+          .otherwise(lit("")))
+      val cands = regexp_extract_all(t, lit(CnIdPat), lit(0))
+      val weights = array(CnIdWeights.map(lit(_)): _*)
+      val valid = (c: Column) => {
+        val sum = aggregate(sequence(lit(1), lit(17)), lit(0L),
+          (acc, i) => acc +
+            ((ascii(c.substr(i, lit(1))) - lit(48)) *
+              element_at(weights, i)).cast("long"))
+        c.substr(lit(18), lit(1)) ===
+          lit(CnIdCheckChars).substr((sum % 11).cast("int") + 1, lit(1))
+      }
+      val scrub = regexp_replace(regexp_replace(regexp_replace(t,
+        EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), CnIdPat, "<IDNUM>")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(cands).cast("long").as("n_id_like"),
+          size(filter(cands, valid)).cast("long").as("n_cnid_valid"),
+          md5(scrub).as("scrub_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // Domain mixing to a per-domain token budget: each source gets
     // weight w (src0=4, src1=2, rest 1) and a budget of w*MixBase
     // tokens; docs are admitted in hash order (the q130 hash — an
@@ -279,6 +333,33 @@ object Curation {
            CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones,
            md5(regexp_replace(regexp_replace(t, '$EmailPat', '<EMAIL>', 'g'),
                               '$PhonePat', '<PHONE>', 'g')) AS scrub_md5
+         FROM x ORDER BY doc_id""",
+    "q149_pii_scrub_ids" ->
+      s"""WITH x AS (
+           SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' call 13812345678 ok' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' id 11010519491231002X ok' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                  THEN ' id 110105194912310021 no' ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$CnIdPat')) AS BIGINT)
+             AS n_id_like,
+           CAST(len(list_filter(regexp_extract_all(t, '$CnIdPat'), c ->
+             substring(c, 18, 1) = substring('$CnIdCheckChars',
+               CAST(list_sum(list_transform(range(1, 18), i ->
+                 (ascii(substring(c, CAST(i AS INT), 1)) - 48) *
+                   ([${CnIdWeights.mkString(",")}])[CAST(i AS INT)]))
+                 % 11 AS INT) + 1, 1))) AS BIGINT) AS n_cnid_valid,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '$EmailPat', '<EMAIL>', 'g'), '$PhonePat', '<PHONE>', 'g'),
+               '$CnIdPat', '<IDNUM>', 'g')) AS scrub_md5
          FROM x ORDER BY doc_id""",
     "q132_domain_mix" ->
       s"""WITH x AS (
