@@ -212,7 +212,8 @@ object Bench {
     // recorded per-query time is the serve cost at ANY n and the build
     // cost rides in the `served` object instead of a side artifact.
     val servedFamily = Set("q142_answer_served",
-      "q143_er_incremental_served", "q147_stream_to_serve")
+      "q143_er_incremental_served", "q147_stream_to_serve",
+      "q150_er_tombstones_served")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -555,6 +555,22 @@ object EntityResolution {
     * what the DuckDB oracle computes. A changed index breaks the
     * decomposition; that is the documented full-rebuild trigger.
     */
+  /** ε-pairs (u < v) within shared pinned cells of one assigned frame —
+    * the standing-side pair kernel shared by the incremental family
+    * (q141/q143 standing build, q146/q150 tombstone standing build).
+    */
+  private def epsCellPairsOrdered(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+  }
+
   def incrementalResolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -564,13 +580,7 @@ object EntityResolution {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standing = assigned.filter(!isBatch($"vec_id"))
     val batch = assigned.filter(isBatch($"vec_id"))
-    val standPairs = standing.as("a")
-      .join(standing.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-      .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+    val standPairs = epsCellPairsOrdered(standing)
     val standingMapping =
       connectedComponents(s, standing.select($"vec_id"), standPairs)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -648,13 +658,7 @@ object EntityResolution {
           val standing = graft.similarity.Similarity
             .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val standPairs = standing.as("a")
-            .join(standing.as("b"),
-              $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-            .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-            .filter($"dot" > 0 &&
-              $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-            .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+          val standPairs = epsCellPairsOrdered(standing)
           val mapping =
             connectedComponents(s, standing.select($"vec_id"), standPairs)
           graft.graph.BucketedStore.writeBucketed(
@@ -718,20 +722,26 @@ object EntityResolution {
   def tombstoneResolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val isDel = (c: Column) => c % 10 === 5
     val assigned = graft.similarity.Similarity
       .ivfAssignedPinned(s, d, c => c % 10 =!= 9)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val allPairs = assigned.as("a")
-      .join(assigned.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-      .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+    val allPairs = epsCellPairsOrdered(assigned)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standingMapping =
       connectedComponents(s, assigned.select($"vec_id"), allPairs)
+    mergeTombstones(s, standingMapping, allPairs)
+  }
+
+  /** Steps 2–4 of the tombstone algorithm, shared by the inline (q146)
+    * and the served (q150) forms: mark components with a deleted member
+    * dirty, recompute CC over their survivors with the standing pair
+    * set restricted to survivor endpoints, pass every clean component
+    * through.
+    */
+  private def mergeTombstones(s: SparkSession, standingMapping: DataFrame,
+      allPairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val isDel = (c: Column) => c % 10 === 5
     val delReps = standingMapping.filter(isDel($"vec_id"))
       .select($"component").distinct()
     val untouched =
@@ -748,6 +758,45 @@ object EntityResolution {
       .orderBy($"vec_id")
   }
 
+  /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
+    * pattern applied to deletions): the standing PAIR SET (bucketed by
+    * `u` — the key both survivor semi-joins probe) and the standing
+    * MAPPING (bucketed by `vec_id`) are catalog tables built once per
+    * JVM+source; the serve path reads them, derives the dirty
+    * components from the tombstone predicate, and re-runs CC over dirty
+    * survivors only — ZERO ε-join work at serve time (the pinned index
+    * means post-delete pairs are a subset of the stored set, selected
+    * by two semi-joins). This is the production daily-tombstone cost:
+    * proportional to the dirty components, not the corpus. Result is
+    * bit-equal to q146 (same oracle).
+    */
+  def tombstoneResolveServed(s: SparkSession, d: String,
+      prefix: String = "graft_q150"): DataFrame = {
+    import s.implicits._
+    if (erServedFrom.get(prefix) != d)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != d) {
+          val assigned = graft.similarity.Similarity
+            .ivfAssignedPinned(s, d, c => c % 10 =!= 9)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pairs = epsCellPairsOrdered(assigned)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val mapping =
+            connectedComponents(s, assigned.select($"vec_id"), pairs)
+          graft.graph.BucketedStore.writeBucketed(
+            pairs, s"${prefix}_pairs", "u", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            mapping, s"${prefix}_mapping", "vec_id", 16)
+          pairs.unpersist(blocking = false)
+          assigned.unpersist(blocking = false)
+        }
+        d
+      })
+    mergeTombstones(s,
+      graft.graph.BucketedStore.table(s, s"${prefix}_mapping"),
+      graft.graph.BucketedStore.table(s, s"${prefix}_pairs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tombstone-batch ER: delete vec_id%10=5 from the standing state,
     // recompute only the components a tombstone touches. The oracle is
@@ -755,6 +804,10 @@ object EntityResolution {
     // pinned index, so a missed split, a stale representative, or a
     // survivor lost with its component all hash-mismatch.
     "q146_er_tombstones" -> ((s, d) => tombstoneResolve(s, d)),
+    // q146 with the standing-table build split out (the q143 pattern):
+    // pairs+mapping build on the first call in a JVM; the gated/benched
+    // median is the tombstone merge alone. Same oracle as q146.
+    "q150_er_tombstones_served" -> ((s, d) => tombstoneResolveServed(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -1048,6 +1101,10 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // from-scratch ER over the post-delete corpus, index still pinned
     // to the pre-delete standing rule
     "q146_er_tombstones" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // the serve split must be a pure cost-attribution change
+    "q150_er_tombstones_served" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     // the serve split must be a pure cost-attribution change

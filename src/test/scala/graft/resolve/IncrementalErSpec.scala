@@ -107,5 +107,12 @@ class IncrementalErSpec extends AnyFunSuite {
     val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, postDir)
       .as[(Long, Long)].collect().toSeq
     assert(scratch === got)
+    // the served split (q150) agrees — and serving TWICE (the second
+    // call reads the standing pair/mapping tables) agrees too
+    val served1 = EntityResolution.tombstoneResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val served2 = EntityResolution.tombstoneResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(served1 === got && served2 === got)
   }
 }
