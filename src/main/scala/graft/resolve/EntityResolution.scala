@@ -739,9 +739,9 @@ object EntityResolution {
     * through.
     */
   private def mergeTombstones(s: SparkSession, standingMapping: DataFrame,
-      allPairs: DataFrame): DataFrame = {
+      allPairs: DataFrame,
+      isDel: Column => Column = c => c % 10 === 5): DataFrame = {
     import s.implicits._
-    val isDel = (c: Column) => c % 10 === 5
     val delReps = standingMapping.filter(isDel($"vec_id"))
       .select($"component").distinct()
     val untouched =
@@ -756,6 +756,65 @@ object EntityResolution {
     untouched.select($"vec_id", $"component".as("rep_id"))
       .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
       .orderBy($"vec_id")
+  }
+
+  /** The UPDATE path of incremental ER (q151) — the third production
+    * batch shape after inserts (q141/q143) and deletions (q146/q150):
+    * a 10% batch of terms (`vec_id % 10 = 7`) is RE-EMBEDDED (the
+    * deterministic stand-in: reverse the embedding — a dimension
+    * permutation, so the norm is exactly preserved and both engines
+    * compute it bit-identically) and the standing state must converge
+    * to from-scratch ER over the updated corpus without recomputing
+    * everything. An update is a retraction composed with an insertion,
+    * and both component algorithms are already exact, so the
+    * composition is too:
+    *
+    *  1. retract: [[mergeTombstones]] with the update predicate — dirty
+    *     components recompute over their survivors, the rest pass
+    *     through → the exact post-delete mapping.
+    *  2. re-insert: assign the UPDATED embeddings against the pinned
+    *     index, pair them against survivors and each other within
+    *     shared cells, and [[mergeIncrement]] over the post-delete
+    *     mapping (star edges reproduce its connectivity; only touched
+    *     components recompute).
+    *
+    * The oracle is from-scratch blocked ER over the corpus with the
+    * batch's embeddings replaced (`list_reverse`) under the SAME pinned
+    * index — a wrong dirty set in either phase, a stale representative,
+    * or a missed cross-phase pair hash-mismatches.
+    */
+  def updateResolve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val isUpd = (c: Column) => c % 10 === 7
+    val assigned = graft.similarity.Similarity
+      .ivfAssignedPinned(s, d, c => c % 10 =!= 9)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allPairs = epsCellPairsOrdered(assigned)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val standingMapping =
+      connectedComponents(s, assigned.select($"vec_id"), allPairs)
+    val postDelete =
+      mergeTombstones(s, standingMapping, allPairs, isUpd)
+        .select($"vec_id", $"rep_id".as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val updBatch = graft.similarity.Similarity
+      .ivfAssignedPinnedReversedSubset(s, d, c => c % 10 =!= 9, isUpd)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors =
+      assigned.join(postDelete.select($"vec_id"), "vec_id")
+    val all = survivors.select($"vec_id", $"cid", $"e", $"nrm")
+      .unionByName(updBatch.select($"vec_id", $"cid", $"e", $"nrm"))
+    val touching = updBatch.as("a")
+      .join(all.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select(least($"a.vec_id", $"b.vec_id").as("u"),
+        greatest($"a.vec_id", $"b.vec_id").as("v"))
+      .distinct()
+    mergeIncrement(s, postDelete, updBatch.select($"vec_id"), touching)
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
@@ -808,6 +867,9 @@ object EntityResolution {
     // pairs+mapping build on the first call in a JVM; the gated/benched
     // median is the tombstone merge alone. Same oracle as q146.
     "q150_er_tombstones_served" -> ((s, d) => tombstoneResolveServed(s, d)),
+    // Update-batch ER: retract + re-insert composition over the pinned
+    // index; oracle is from-scratch ER on the re-embedded corpus.
+    "q151_er_updates" -> ((s, d) => updateResolve(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -994,9 +1056,12 @@ comp AS (SELECT node AS vec_id, min(lab) AS component FROM walk GROUP BY node)""
     * assigned, paired, and labeled) WITHOUT touching the centroid set —
     * the index stays pinned to the pre-restriction standing corpus,
     * which is exactly the tombstone contract (q146): deleting members
-    * does not move the index.
+    * does not move the index. `memberExpr` likewise transforms the
+    * member EMBEDDINGS without touching the index — the update
+    * contract (q151): re-embedding members does not move it either.
     */
-  private def pinnedCcSqlWhere(memberWhere: String) = s"""q0 AS (
+  private def pinnedCcSqlWhere(memberWhere: String,
+      memberExpr: String = "e") = s"""q0 AS (
   SELECT vec_id, list_transform(embedding,
     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
   FROM embeddings),
@@ -1007,7 +1072,7 @@ cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm
          FROM n WHERE vec_id % 10 <> 9 AND vec_id % (
            SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
            FROM embeddings WHERE vec_id % 10 <> 9) = 0),
-m AS (SELECT vec_id, e, nrm FROM n WHERE $memberWhere),
+m AS (SELECT vec_id, $memberExpr AS e, nrm FROM n WHERE $memberWhere),
 ap AS (SELECT m.vec_id, cent.cid,
         CAST(list_sum(list_transform(m.e, (x,i) -> x * cent.ce[i])) AS BIGINT) AS dot,
         m.nrm, cent.cnrm
@@ -1106,6 +1171,12 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // the serve split must be a pure cost-attribution change
     "q150_er_tombstones_served" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // from-scratch ER over the corpus with the update batch re-embedded
+    // (reversed), index still pinned to the original standing rule
+    "q151_er_updates" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("TRUE",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     // the serve split must be a pure cost-attribution change
     "q143_er_incremental_served" ->

@@ -328,6 +328,22 @@ object Similarity {
       pinnedCentroids(s, d, indexSubset))
   }
 
+  /** [[ivfAssignedPinnedSubset]] with the subset's embeddings REVERSED —
+    * the deterministic "re-embedding" stand-in for the ER update path
+    * (q151): `reverse` permutes dimensions, so the norm is unchanged and
+    * both engines compute the transformed vector exactly
+    * (`functions.reverse` here, `list_reverse` in the DuckDB oracle).
+    */
+  private[graft] def ivfAssignedPinnedReversedSubset(s: SparkSession,
+      d: String, indexSubset: Column => Column,
+      rowSubset: Column => Column): DataFrame = {
+    import s.implicits._
+    assignToCells(
+      quantized(s, d).filter(rowSubset($"vec_id"))
+        .withColumn("e", reverse($"e")),
+      pinnedCentroids(s, d, indexSubset))
+  }
+
   /** Per-JVM centroid cache for the pinned index (keyed by caller tag →
     * source dir): the production analog is the persisted index table
     * (q49's write/readIndex); in-process the collect is simply reused,

@@ -115,4 +115,45 @@ class IncrementalErSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(served1 === got && served2 === got)
   }
+
+  /** Update path (q151) on a fixture engineered for the migration hard
+    * case, hand-derived: updating vector 17 (reverse(x0) = x5) must
+    * REMOVE it from its old component {11,12,17} (which re-mins to
+    * {11,12}) and MERGE it into the seed 0's component; updating the
+    * isolated 27 (reverse(x2) = x3) must attach it to 14; {21,22}
+    * passes through untouched. Updated set = vec_id % 10 = 7.
+    */
+  test("updates migrate vectors across components; both phases compose exactly") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Float] =
+      (0 until 6).map(j => if (j == i) 1.0f else 0.0f)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> axis(5),                                 // seed; 17 lands here
+      11L -> axis(0), 12L -> axis(0), 17L -> axis(0), // C1; 17 updated away
+      21L -> axis(1), 22L -> axis(1),                 // untouched
+      14L -> axis(3), 27L -> axis(2))                 // 27 updated onto 14
+    val d = Files.createTempDirectory("upd_er_fix").toString
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = EntityResolution.updateResolve(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(
+      0L -> 0L,
+      11L -> 11L, 12L -> 11L,    // 17 left; survivors re-min to 11
+      14L -> 14L,
+      17L -> 0L,                 // migrated into the seed's component
+      21L -> 21L, 22L -> 21L,    // untouched pass-through
+      27L -> 14L))               // migrated onto 14
+    // from-scratch blocked ER over the re-embedded corpus agrees (the
+    // seed sets coincide: 0 is the only multiple of 50 either way)
+    val postDir = Files.createTempDirectory("upd_er_post").toString
+    rows.map { case (id, e) => (id, if (id % 10 == 7) e.reverse else e) }
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$postDir/embeddings.parquet")
+    val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, postDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(scratch === got)
+  }
 }
