@@ -27,6 +27,8 @@ object BenchMerge {
   private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
   private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
   private val DegradedRe = """"boot_degraded":(true|false)""".r
+  private val ServedRe =
+    """"([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)\}""".r
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -35,7 +37,8 @@ object BenchMerge {
   }
 
   final case class Boot(path: String, queries: Map[String, Double],
-      iterRatio: Option[Double], degraded: Boolean)
+      iterRatio: Option[Double], degraded: Boolean,
+      served: Map[String, (Double, Double)] = Map.empty)
 
   private[graft] def parse(path: String, line: String): Boot = {
     val qs = QueriesRe.findFirstMatchIn(line).map(_.group(1))
@@ -47,7 +50,12 @@ object BenchMerge {
       .map(_.group(1) == "true")
       // pre-r09 records lack the flag: fall back to the ratio threshold
       .getOrElse(iter.exists(_ >= 2.0))
-    Boot(path, pairs, iter, degraded)
+    // the build/serve entries are structurally unambiguous on the whole
+    // line (only the served object nests {"build_sec":..,"serve_sec":..})
+    val served = ServedRe.findAllMatchIn(line)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+    Boot(path, pairs, iter, degraded, served)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
@@ -84,8 +92,17 @@ object BenchMerge {
     val qs = med.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val excl = excluded.map(b => "\"" + b.path + "\"").mkString("[", ",", "]")
+    // cross-boot medians for the build/serve split, over the same boot
+    // set the query medians use (healthy boots, or all under fallback)
+    val use = boots.filterNot(b => excluded.exists(_.path == b.path))
+    val servedNames = use.flatMap(_.served.keys).distinct.sorted
+    val served = servedNames.map { n =>
+      val obs = use.flatMap(_.served.get(n))
+      "\"" + n + "\":{\"build_sec\":" + num(median(obs.map(_._1))) +
+        ",\"serve_sec\":" + num(median(obs.map(_._2))) + "}"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

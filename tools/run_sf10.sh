@@ -9,10 +9,11 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r08.json')))
-          | {'q139_semantic_dedup_nprobe4','q141_er_incremental',
-             'q142_answer_served','q143_er_incremental_served',
-             'q144_pii_scrub'})
+qs=sorted(set(json.load(open('CORRECTNESS_r09.json')))
+          | {'q145_exactly_once_fold','q146_er_tombstones',
+             'q147_stream_to_serve','q148_semantic_dedup_nprobe5',
+             'q149_pii_scrub_ids','q150_er_tombstones_served',
+             'q151_er_updates'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
