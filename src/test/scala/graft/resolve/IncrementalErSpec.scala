@@ -156,4 +156,53 @@ class IncrementalErSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(scratch === got)
   }
+
+  /** Randomized equivalence for the whole delete/update family: on
+    * random small corpora (axes + bridge mixtures — enough structure
+    * for multi-member components, bridges, and cross-component
+    * migrations to arise by chance), the incremental results must equal
+    * from-scratch blocked ER over the correspondingly modified corpus.
+    * Ids stay under 50 with vector 0 always present, so the pinned and
+    * unpinned seed sets coincide ({0}) and from-scratch q52 is a valid
+    * oracle for both paths.
+    */
+  test("random corpora: tombstone and update paths equal from-scratch ER") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Float] =
+      (0 until 6).map(j => if (j == i) 1.0f else 0.0f)
+    def bridge(i: Int, j: Int): Seq[Float] =
+      (0 until 6).map(k => if (k == i || k == j) 0.7071f else 0.0f)
+    Seq(5L, 13L, 77L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ids = 0L +: rnd.shuffle((1L until 50L).toList).take(20)
+      val rows: Seq[(Long, Seq[Float])] = ids.map { id =>
+        id -> (if (rnd.nextInt(3) == 0)
+          bridge(rnd.nextInt(6), rnd.nextInt(6))
+        else axis(rnd.nextInt(6)))
+      }
+      def write(rs: Seq[(Long, Seq[Float])]): String = {
+        val d = java.nio.file.Files.createTempDirectory(s"er_prop$seed").toString
+        rs.toDF("vec_id", "embedding")
+          .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
+      }
+      val d = write(rows)
+      def scratch(rs: Seq[(Long, Seq[Float])]): Seq[(Long, Long)] =
+        graft.SparkEntry.queries("q52_er_blocked")(spark, write(rs))
+          .as[(Long, Long)].collect().toSeq
+
+      val tomb = EntityResolution.tombstoneResolve(spark, d)
+        .as[(Long, Long)].collect().toSeq
+      assert(tomb === scratch(rows.filterNot(_._1 % 10 == 5)),
+        s"tombstone diverged at seed $seed")
+
+      val upd = EntityResolution.updateResolve(spark, d)
+        .as[(Long, Long)].collect().toSeq
+      val reEmbedded = rows.map { case (id, e) =>
+        (id, if (id % 10 == 7) e.reverse else e)
+      }
+      assert(upd === scratch(reEmbedded), s"update diverged at seed $seed")
+    }
+  }
 }
