@@ -103,6 +103,49 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(got === Set((1L, "v1", "v1"), (2L, "v2", "v2")))
   }
 
+  test("streaming near-dup verdicts land exactly-once and equal batch mode") {
+    // the ingest-pipeline SPLICE: DocsStream.nearDedupStream (stateful
+    // dedup) feeds ExactlyOnceSink.attach (idempotent landing) — two
+    // micro-batches, then the landing zone's distinct hit set must
+    // equal batch mode on the union, and a manual REPLAY of the last
+    // batch's rows must leave the zone unchanged.
+    val dir = zone()
+    val ckpt = Files.createTempDirectory("eo_dedup_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 30L).map(i =>
+      i -> (if (i % 5 == 0) "the quick brown fox jumps over dogs"
+            else s"word$i token$i stuff$i filler$i pad$i end$i"))
+    val in = MemoryStream[(Long, String)]
+    val hits = DocsStream.nearDedupStream(in.toDF().toDF("doc_id", "text"))
+    val q = ExactlyOnceSink.attach(hits.toDF(), dir, ckpt)
+    try {
+      in.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def landedHits() = ExactlyOnceSink.landed(spark, dir)
+      .select($"doc_id", $"dup_of", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val batch = DocsStream.nearDedupStream(docs.toDF("doc_id", "text"))
+      .collect().map(h => (h.doc_id, h.dup_of, h.hamming)).toSet
+    val first = landedHits()
+    assert(first === batch)
+    assert(batch.nonEmpty, "fixture must actually produce duplicates")
+    // at-least-once: re-land the final micro-batch's rows under its id
+    val lastBid = ExactlyOnceSink.landed(spark, dir)
+      .agg(org.apache.spark.sql.functions.max($"batch_id")).as[Long].head()
+    // materialize the rows first: landBatch would otherwise overwrite
+    // the very partition the lazy plan is reading
+    val lastRows = ExactlyOnceSink.landed(spark, dir)
+      .filter($"batch_id" === lastBid)
+      .select($"doc_id", $"dup_of", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    ExactlyOnceSink.landBatch(
+      lastRows.toDF("doc_id", "dup_of", "hamming"), lastBid, dir)
+    assert(landedHits() === batch, "replay must leave the landing zone unchanged")
+  }
+
   test("a real stream lands through foreachBatch and survives a duplicate fold") {
     val dir = zone()
     val ckpt = Files.createTempDirectory("eo_ckpt").toString
