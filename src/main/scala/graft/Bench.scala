@@ -207,13 +207,15 @@ object Bench {
     // FIRST call in a JVM and only then serve. Previously the split was
     // only visible in n≥3 raw arrays (the median lands on serve runs)
     // and n=1 records — the 100× driver shape — silently re-paid the
-    // build. Now every served-family query runs one dedicated,
-    // separately-timed build pass before its measured runs, so the
-    // recorded per-query time is the serve cost at ANY n and the build
-    // cost rides in the `served` object instead of a side artifact.
+    // build. Now every served-family query runs one dedicated build
+    // pass before its measured runs, so the recorded per-query time is
+    // the serve cost at ANY n and the first-call total (build + one
+    // serve — `build_sec` is build-INCLUSIVE, not a pure build; derive
+    // build-only as build_sec − serve_sec) rides in the `served`
+    // object instead of a side artifact.
     val servedFamily = Set("q142_answer_served",
       "q143_er_incremental_served", "q147_stream_to_serve",
-      "q150_er_tombstones_served")
+      "q150_er_tombstones_served", "q153_er_tombstones_sparse")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -227,11 +229,37 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop any frames the query persisted (candidate caches, CC
         // outputs) so queries are measured independently instead of under
-        // the previous queries' accumulated storage pressure
-        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        // the previous queries' accumulated storage pressure — BOTH
+        // levels: the SQL cache (DataFrame persists) and RDD-level
+        // blocks the SQL cache never tracks (GraphX internals that
+        // survive a failed unpersist, localCheckpoint block stores).
+        // The RDD purge is the round-10 q99 fix: each dump run leaves
+        // localCheckpoint blocks behind, and on a memory-pressured boot
+        // the accumulation read as monotone within-run growth
+        // (driver tail 4.5→9.3→13.6 s) that clearCache alone never
+        // released. Deliberate cross-query serve state is unaffected:
+        // standing tables live on disk in the catalog, pinned centroids
+        // in driver memory.
+        try {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case _: Throwable => () }
         if (ok) dt else -dt
       }
-      if (servedFamily(name)) served(name) = once()
+      // served family: one dedicated build pass before the measured runs.
+      // The recorded build_sec is the FIRST-CALL total — standing build
+      // plus one serve pass (and for q147 the land/fold/route) — not a
+      // pure build cost; the derived standing-build estimate is
+      // build_sec − serve_sec. On a failed build pass, retry ONCE before
+      // the measured runs (otherwise the first measured run silently
+      // re-pays the build and inflates the serve median); a build still
+      // failing after the retry is surfaced in `build_failed`.
+      if (servedFamily(name)) {
+        var b = once()
+        if (b < 0) b = once()
+        served(name) = b
+      }
       val times = (1 to runs).map(_ => once())
       if (runs > 1) raw(name) = times
       val successes = times.filter(_ >= 0)
@@ -306,7 +334,22 @@ object Bench {
       (GraphProbeMedian > 0 && graphRatio >= 2.0)
     val graphRatioJson =
       if (GraphProbeMedian > 0) num(graphRatio, "%.3f") else "null"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
+    // build passes that stayed negative after their one retry — the
+    // serve medians for these queries are suspect (a measured run may
+    // have re-paid the build) and the record says so
+    val buildFailed = served.collect { case (n, b) if b < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
+    // COMPACT SUMMARY, printed LAST (round-10 verdict item 2): the
+    // driver captures a bounded TAIL of stdout, and with 140+ queries ×
+    // n=3 raw arrays the full record starts before the capture window —
+    // BENCH_r10.json carried `parsed: null` and per-query numbers for
+    // roughly q55+ only. This line is a few hundred bytes at any
+    // registry size, so the tail always contains at least one complete
+    // parseable JSON record: headline total, counts, every boot-health
+    // ratio, and the build/serve splits. The full per-query record
+    // remains the line above (and the committed bench/ artifacts).
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"served":$servedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

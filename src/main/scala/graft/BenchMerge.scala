@@ -59,25 +59,41 @@ object BenchMerge {
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
-    * degradedUsed). When every boot is degraded the merge falls back to
-    * using them all rather than merging nothing; in that case
-    * degradedUsed=true and NO boots are reported as excluded — the
-    * artifact must not self-describe as healthy-boots-only when the
-    * medians came entirely from degraded boots.
+    * degradedUsed, generation-mixed query names). When every boot is
+    * degraded the merge falls back to using them all rather than
+    * merging nothing; in that case degradedUsed=true and NO boots are
+    * reported as excluded — the artifact must not self-describe as
+    * healthy-boots-only when the medians came entirely from degraded
+    * boots.
+    *
+    * GENERATION GUARD: round-10 records measure served-family queries
+    * serve-only (the build rides in the `served` object); pre-round-10
+    * records measured the same queries build-INCLUSIVE. Merging both
+    * silently mixed the two semantics in one median — so when SOME but
+    * not ALL used boots carry a `served` entry for a query, the
+    * query's median is computed from the served-carrying boots only
+    * (the current generation) and the query is listed in the returned
+    * mixed set so the artifact names the restriction.
     */
-  private[graft] def merge(
-      boots: Seq[Boot]): (Map[String, Double], Seq[Boot], Boolean) = {
+  private[graft] def merge(boots: Seq[Boot])
+      : (Map[String, Double], Seq[Boot], Boolean, Seq[String]) = {
     val (bad, good) = boots.partition(_.degraded)
     val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
     val names = use.flatMap(_.queries.keys).distinct.sorted
+    val mixed = names.filter { n =>
+      val having = use.filter(_.queries.contains(n))
+      val withServed = having.count(_.served.contains(n))
+      withServed > 0 && withServed < having.size
+    }
     val med = names.map { n =>
       // negative entries are Bench's crash convention — excluded from the
       // median the same way Bench's own totals exclude them
-      val ts = use.flatMap(_.queries.get(n)).filter(_ >= 0)
+      val gen = if (mixed.contains(n)) use.filter(_.served.contains(n)) else use
+      val ts = gen.flatMap(_.queries.get(n)).filter(_ >= 0)
       n -> (if (ts.nonEmpty) median(ts) else -1.0)
     }.toMap
-    (med, if (degradedUsed) Seq.empty else bad, degradedUsed)
+    (med, if (degradedUsed) Seq.empty else bad, degradedUsed, mixed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -85,7 +101,7 @@ object BenchMerge {
     val boots = args.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
-    val (med, excluded, degradedUsed) = merge(boots)
+    val (med, excluded, degradedUsed, mixed) = merge(boots)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = med.values.filter(_ >= 0).sum
@@ -101,8 +117,9 @@ object BenchMerge {
       "\"" + n + "\":{\"build_sec\":" + num(median(obs.map(_._1))) +
         ",\"serve_sec\":" + num(median(obs.map(_._2))) + "}"
     }.mkString("{", ",", "}")
+    val mixedJson = mixed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"served":$served,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

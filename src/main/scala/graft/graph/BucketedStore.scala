@@ -28,15 +28,44 @@ object BucketedStore {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 16): Unit = {
     val s = df.sparkSession
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropManagedPurging(s, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** DROP `table` AND clear its on-disk location, refusing non-managed
+    * tables. The swap discipline (write temp → drop → rename) needs the
+    * target location gone before the rename, but deleting data is only
+    * DROP's job for MANAGED tables — for an EXTERNAL (or custom-location)
+    * table the location holds data the catalog does not own, so deleting
+    * it here would destroy user data the DROP deliberately left behind.
+    * The location is read from the catalog entry when one exists (never
+    * reconstructed from the warehouse dir, which could name a different
+    * directory than the table actually uses); only when the catalog has
+    * NO entry — the orphaned-managed-dir case, where a previous JVM's
+    * in-memory catalog forgot the table while its warehouse directory
+    * survived on disk — is the conventional managed location cleared.
+    */
+  private[graft] def dropManagedPurging(s: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val cat = s.sessionState.catalog
+    val ident = TableIdentifier(table)
+    val loc =
+      if (cat.tableExists(ident)) {
+        val meta = cat.getTableMetadata(ident)
+        require(meta.tableType == CatalogTableType.MANAGED,
+          s"refusing to drop-and-purge `$table`: it is ${meta.tableType} — " +
+            "the swap discipline deletes the table location, which DROP " +
+            "does not own for non-managed tables")
+        new org.apache.hadoop.fs.Path(meta.location)
+      } else new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   def table(s: SparkSession, name: String): DataFrame = s.table(name)
@@ -93,7 +122,9 @@ object BucketedStore {
     writeBucketed(
       raw.repartition(buckets, org.apache.spark.sql.functions.col(key)),
       tmp, key, buckets)
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // same managed-only drop+purge and reader contract as
+    // ExactlyOnceSink.foldIntoBucketed's swap (resolve-per-request)
+    dropManagedPurging(s, table)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 

@@ -152,15 +152,55 @@ object ChatStore {
     val compacted = (keepOps.head.select(cols: _*) +:
       Seq(keepOps(1).join(live, "chat_id").select(cols: _*),
         msgs.select(cols: _*))).reduce(_ unionByName _)
+    swapInto(s, compacted, dir)
+  }
+
+  /** Retention for the event log — the [[graft.streaming.ExactlyOnceSink
+    * .pruneLanded]] analog (round-10 verdict item 7): physically drop
+    * DEAD epochs (every event at-or-before its chat's last `delete`,
+    * and the then-unreferenced delete markers themselves) while keeping
+    * live-epoch history VERBATIM — superseded renames included, unlike
+    * [[compact]], which rewrites live state down to its minimal event
+    * set. Prune is exactly "materialize [[effective]]", so every fold is
+    * unchanged by construction (`chats`/`messages` consume only
+    * `effective(log)`, and effective∘prune = prune — no deletes remain
+    * and every surviving event postdates the old delete fence); it is
+    * idempotent; and a deleted chat's re-`create` after a prune starts
+    * clean exactly as it did before the prune. At scale this is the
+    * cheap high-frequency retention job (one filter + rewrite of the
+    * live tail) between [[compact]]'s full rewrites — and the one that
+    * makes "deleted" mean GONE FROM DISK (the GDPR-shaped guarantee a
+    * soft-deleting event log otherwise never gives).
+    */
+  def prune(s: SparkSession, dir: String): Unit = {
+    val log = load(s, dir)
+    // effective()'s join surfaces chat_id first; rewrite in the log's
+    // own column order so prune never changes the on-disk schema shape
+    swapInto(s, effective(log).select(log.columns.map(col(_)): _*), dir)
+  }
+
+  /** Shared swap discipline for the log-rewriting maintenance jobs: the
+    * replacement is FULLY written to `dir + ".compact"` first, then
+    * swapped in via filesystem delete-old + rename-tmp — never an
+    * in-place overwrite of the live dir (which would delete the only
+    * copy before the rewrite lands). The rename is atomic on HDFS/POSIX;
+    * the remaining crash window is delete-done/rename-pending, where the
+    * fully-written temp dir survives on disk as the recovery copy
+    * (recovery = rename it back). On rename-less object stores this
+    * becomes copy+delete — still crash-safe in the sense that a complete
+    * copy exists at every instant.
+    */
+  private def swapInto(s: SparkSession, replacement: DataFrame,
+      dir: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     val fs = dst.getFileSystem(s.sessionState.newHadoopConf())
-    compacted.write.mode("overwrite").parquet(tmp.toString)
+    replacement.write.mode("overwrite").parquet(tmp.toString)
     // the live dir is touched only AFTER the temp copy is complete
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
-        s"compact swap failed: $tmp survives as the recovery copy")
+        s"log swap failed: $tmp survives as the recovery copy")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,6 +242,49 @@ object ChatStore {
           lit(null).cast("string").as("content"))
       ChatStore.append(renames.unionByName(deletes), dir)
       chats(load(s, dir))
+    }),
+
+    // Retention under the hash gate: the q138 event history (creates +
+    // messages + the src1 rename + deletes of every source ending in
+    // '0') is PRUNED, and the gated frame is the surviving log's per-op
+    // row counts — dead epochs must be PHYSICALLY gone (deleted chats
+    // contribute zero creates/messages; the delete markers themselves
+    // vanish), which the folded listing alone could never prove (the
+    // folds read identically before and after by construction —
+    // `ChatStoreSpec` pins that half).
+    "q154_chat_prune_retention" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.sinks.SinkQueries.tmp(s, "q154_chatlog")
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val creates = docs.groupBy($"source")
+        .agg((min($"doc_id") * 10).as("seq"))
+        .select($"seq", lit("create").as("op"), $"source".as("chat_id"),
+          $"source".as("title"),
+          lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("content"))
+      val msgs = docs.select(($"doc_id" * 10 + 5).as("seq"),
+        lit("message").as("op"), $"source".as("chat_id"),
+        lit(null).cast("string").as("title"),
+        when($"doc_id" % 2 === 0, "user").otherwise("assistant").as("role"),
+        substring($"text", 1, 30).as("content"))
+      ChatStore.append(creates.unionByName(msgs), dir)
+      val maxSeq = docs.agg(max($"doc_id") * 10).as[Long].head()
+      val renames = s.range(1).select(lit(maxSeq + 6).as("seq"),
+        lit("rename").as("op"), lit("src1").as("chat_id"),
+        lit("src1-renamed").as("title"),
+        lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("content"))
+      val deletes = docs.select($"source").distinct()
+        .filter($"source".endsWith("0"))
+        .select(lit(maxSeq + 7).as("seq"), lit("delete").as("op"),
+          $"source".as("chat_id"),
+          lit(null).cast("string").as("title"),
+          lit(null).cast("string").as("role"),
+          lit(null).cast("string").as("content"))
+      ChatStore.append(renames.unionByName(deletes), dir)
+      prune(s, dir)
+      load(s, dir).groupBy($"op").agg(count(lit(1)).as("cnt"))
+        .orderBy($"op")
     })
   )
 
@@ -224,6 +307,20 @@ object ChatStore {
            CAST(n AS BIGINT) AS n_messages,
            CAST(mx * 10 + 5 AS BIGINT) AS last_seq
          FROM src WHERE source NOT LIKE '%0'
-         ORDER BY last_seq DESC, chat_id"""
+         ORDER BY last_seq DESC, chat_id""",
+    // surviving events after the prune, recomputed from `documents`:
+    // live chats (sources not ending in '0') keep their create + their
+    // messages + the src1 rename; dead epochs AND the delete markers
+    // are physically gone, so 'delete' contributes no row at all
+    "q154_chat_prune_retention" ->
+      """SELECT op, cnt FROM (
+           SELECT 'create' AS op, count(DISTINCT source) AS cnt
+           FROM documents WHERE source NOT LIKE '%0'
+           UNION ALL
+           SELECT 'message', count(*)
+           FROM documents WHERE source NOT LIKE '%0'
+           UNION ALL
+           SELECT 'rename', CAST(1 AS BIGINT)
+         ) t ORDER BY op"""
   )
 }

@@ -740,10 +740,12 @@ object EntityResolution {
     */
   private def mergeTombstones(s: SparkSession, standingMapping: DataFrame,
       allPairs: DataFrame,
-      isDel: Column => Column = c => c % 10 === 5): DataFrame = {
+      isDel: Column => Column = c => c % 10 === 5,
+      delRepsPre: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val delReps = standingMapping.filter(isDel($"vec_id"))
-      .select($"component").distinct()
+    val delReps = delRepsPre.getOrElse(
+      standingMapping.filter(isDel($"vec_id"))
+        .select($"component").distinct())
     val untouched =
       standingMapping.join(delReps, Seq("component"), "left_anti")
         .filter(!isDel($"vec_id")) // belt-and-braces: always true here
@@ -828,9 +830,17 @@ object EntityResolution {
     * by two semi-joins). This is the production daily-tombstone cost:
     * proportional to the dirty components, not the corpus. Result is
     * bit-equal to q146 (same oracle).
+    *
+    * ADAPTIVE since round 11: the serve path measures the dirty-row
+    * fraction first and above `dirtyFractionFallback` switches to a
+    * plain survivors-CC from the stored state (see the inline comment) —
+    * the split runs only at its design point (sparse tombstones, q153),
+    * never as overhead on a mostly-dirty batch (q150's dense fixture).
     */
   def tombstoneResolveServed(s: SparkSession, d: String,
-      prefix: String = "graft_q150"): DataFrame = {
+      prefix: String = "graft_q150",
+      isDel: Column => Column = c => c % 10 === 5,
+      dirtyFractionFallback: Double = 0.5): DataFrame = {
     import s.implicits._
     if (erServedFrom.get(prefix) != d)
       erServedFrom.compute(prefix, (_, prev) => {
@@ -851,9 +861,42 @@ object EntityResolution {
         }
         d
       })
-    mergeTombstones(s,
-      graft.graph.BucketedStore.table(s, s"${prefix}_mapping"),
-      graft.graph.BucketedStore.table(s, s"${prefix}_pairs"))
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    // ADJUDICATION (round-10 verdict item 1): the dirty-component split
+    // only wins while the dirty fraction is small — its semi-joins,
+    // component regrouping, and untouched-passthrough union all price
+    // against a plain CC over the survivors, and once ~every component
+    // is dirty (measured: the 10% random batch at the replica-dense
+    // 100× fixture dirties rows until dirty-CC ≈ full CC, serve 26.9 s
+    // vs inline 21.7–27.1 s) the split is pure overhead. So the serve
+    // path first measures the fraction of standing ROWS living in a
+    // dirty component (one scan of the stored mapping + one semi-join
+    // against the — persisted — dirty component ids), and above
+    // `dirtyFractionFallback` falls back to the reference's own
+    // force-recompute shape (`keyword_merger.py:134-144`) run from the
+    // STORED state: one CC over all survivors with the stored pair set
+    // restricted to survivor endpoints. Both paths are bit-equal to
+    // from-scratch ER on the post-delete corpus (same oracle); only the
+    // cost attribution changes.
+    val delReps = mapping.filter(isDel($"vec_id"))
+      .select($"component").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = mapping
+      .join(delReps.withColumn("dirty", lit(1)), Seq("component"), "left")
+      .agg(count(lit(1)).as("n"), count($"dirty").as("nd")).head()
+    val dirtyFraction =
+      stats.getLong(1).toDouble / math.max(1L, stats.getLong(0)).toDouble
+    if (dirtyFraction >= dirtyFractionFallback) {
+      val survivors = mapping.filter(!isDel($"vec_id")).select($"vec_id")
+      val survivorPairs = pairs
+        .join(survivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")
+        .join(survivors.withColumnRenamed("vec_id", "v"), Seq("v"), "left_semi")
+      connectedComponents(s, survivors, survivorPairs)
+        .select($"vec_id", $"component".as("rep_id"))
+        .orderBy($"vec_id")
+    } else
+      mergeTombstones(s, mapping, pairs, isDel, Some(delReps))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -865,8 +908,21 @@ object EntityResolution {
     "q146_er_tombstones" -> ((s, d) => tombstoneResolve(s, d)),
     // q146 with the standing-table build split out (the q143 pattern):
     // pairs+mapping build on the first call in a JVM; the gated/benched
-    // median is the tombstone merge alone. Same oracle as q146.
+    // median is the tombstone merge alone — which, since round 11,
+    // adjudicates the dirty fraction first and force-recomputes from the
+    // stored state when the batch dirties most rows. Same oracle as q146.
     "q150_er_tombstones_served" -> ((s, d) => tombstoneResolveServed(s, d)),
+    // The tombstone split at its DESIGN POINT (round-10 verdict item 1's
+    // sparse fixture): the batch deletes every replica family of 1 in
+    // 200 base ids ((vec_id % 10M) % 200 = 5 — replica ids are
+    // base + r·10M, so the predicate selects whole families), dirtying
+    // a small fraction of components; the adjudication keeps the
+    // dirty-component split, whose cost is proportional to the dirty
+    // set, not the corpus. Oracle: from-scratch ER over the post-delete
+    // corpus under the same pinned index.
+    "q153_er_tombstones_sparse" -> ((s, d) => tombstoneResolveServed(s, d,
+      prefix = "graft_q153",
+      isDel = c => c % 10000000L % 200 === 5)),
     // Update-batch ER: retract + re-insert composition over the pinned
     // index; oracle is from-scratch ER on the re-embedded corpus.
     "q151_er_updates" -> ((s, d) => updateResolve(s, d)),
@@ -1171,6 +1227,10 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // the serve split must be a pure cost-attribution change
     "q150_er_tombstones_served" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // sparse design point: same from-scratch truth, sparse predicate
+    "q153_er_tombstones_sparse" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("(vec_id % 10000000) % 200 <> 5")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     // from-scratch ER over the corpus with the update batch re-embedded
     // (reversed), index still pinned to the original standing rule

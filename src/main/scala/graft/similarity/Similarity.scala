@@ -432,6 +432,64 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** The ADAPTIVE-nprobe SemDeDup rung (round-10 verdict item 6): every
+    * vector probes its `lo` nearest cells unconditionally, and cells of
+    * rank lo+1..`hi` only while they sit within `margin` of the vector's
+    * BEST cell in signed-cos² key space — i.e. extra probes go exactly
+    * to the vectors parked near a cell boundary, where split
+    * neighborhoods (the pairs a uniform nprobe misses) live. Measured at
+    * sf0.1 (`tools/recall_boundary.py`, n=2000/k=40): lo=4 hi=6
+    * margin=0.1 reads pair recall 0.922 / drop recall 0.978 for 1.41M
+    * candidate pairs — past the ≥0.9 bar for 78% of uniform nprobe=6's
+    * pair work (0.956 @ 1.80M; uniform 5 reads 0.890 @ 1.25M, under the
+    * bar). sf0.001/sf0.01 both read 1.00/1.00.
+    *
+    * Mechanics: [[topCells]] (the codegen'd broadcast-centroid
+    * expression — never an n×k materialization) yields the `hi` nearest
+    * cells in oracle rank order; the margin test recomputes each probed
+    * cell's key IN THE DATAFRAME LAYER with the exact arithmetic the
+    * oracle uses (int64 dot, one double division, sign flip — bit-equal
+    * across engines), against a broadcast k-row centroid frame. Keys
+    * are rank-monotone, so the per-row filter equals the prototype's
+    * scan-until-break. The keep rule is [[semanticDedupNprobe]]'s
+    * left-semi short-circuit, unchanged.
+    */
+  private def semanticDedupBoundary(s: SparkSession, d: String,
+      lo: Int = 4, hi: Int = 6, margin: Double = 0.1): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val cents = kmeansCentroids(s, d, 2)
+    val centDf = cents.toDF("cid", "ce", "cnrm")
+    val keyed = quantized(s, d)
+      .select($"vec_id", $"e", $"nrm",
+        posexplode(topCells(s, cents, $"e", $"nrm", hi)).as(Seq("pos", "cid")))
+      .join(broadcast(centDf), "cid")
+      .withColumn("dot", dot($"e", $"ce"))
+      .withColumn("key",
+        ($"dot" * $"dot").cast("double") / ($"nrm" * $"cnrm").cast("double")
+          * when($"dot" < 0, -1).otherwise(1))
+    val w = Window.partitionBy($"vec_id")
+    val cell = keyed
+      .withColumn("key1", max($"key").over(w))
+      .filter($"pos" < lo || $"key1" - $"key" <= margin)
+      .select($"vec_id", $"e", $"nrm", $"cid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = cell.as("a")
+      .join(cell.as("b"),
+        $"a.cid" === $"b.cid" && $"b.vec_id" < $"a.vec_id" &&
+          dot($"a.e", $"b.e") > 0 &&
+          dot($"a.e", $"b.e") * dot($"a.e", $"b.e") * 8 >=
+            $"a.nrm" * $"b.nrm",
+        "left_semi")
+      .select($"vec_id").distinct()
+      .withColumn("dup", lit(1L))
+    cell.select($"vec_id").distinct()
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"dup".isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy($"vec_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for the first 10 query vectors.
     "q40_ann_bruteforce_topk" -> ((s, d) => {
@@ -675,6 +733,13 @@ object Similarity {
     // nprobe=4's (sf0.1: 798k → 1.25M), all cell-keyed — never
     // all-pairs; the left-semi short-circuit keeps the decision cheap.
     "q148_semantic_dedup_nprobe5" -> ((s, d) => semanticDedupNprobe(s, d, 5)),
+
+    // The boundary-adaptive rung (see [[semanticDedupBoundary]]): ≥0.9
+    // pair recall at every gated SF for less pair work than the uniform
+    // rung that clears it — extra probes spent only on vectors whose
+    // best-cell key is within 0.1 of further cells (the boundary set).
+    "q152_semantic_dedup_boundary" ->
+      ((s, d) => semanticDedupBoundary(s, d)),
 
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._
@@ -1038,6 +1103,41 @@ object Similarity {
     "q136_semantic_dedup_nprobe2" -> semanticDedupNprobeSql(2),
     "q139_semantic_dedup_nprobe4" -> semanticDedupNprobeSql(4),
     "q148_semantic_dedup_nprobe5" -> semanticDedupNprobeSql(5),
+    // adaptive rule: rank ≤ 4 always; ranks 5..6 while the signed-cos²
+    // key sits within 0.1 of the vector's best key (key1 is the max
+    // over the rank ≤ 6 subset = the global max, since rank 1 is in it)
+    "q152_semantic_dedup_boundary" ->
+      s"""WITH ${kmeansSql(2)},
+         apf AS (SELECT n.vec_id, c.cid,
+                 CAST(list_sum(list_transform(n.e, (x,j) -> x * c.ce[j])) AS BIGINT) AS dot,
+                 n.nrm, c.cnrm
+               FROM n CROSS JOIN c2 c),
+         rk AS (SELECT vec_id, cid,
+                 CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                   * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) AS key,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   CAST(dot*dot AS DOUBLE) / CAST(nrm*cnrm AS DOUBLE)
+                     * (CASE WHEN dot < 0 THEN -1 ELSE 1 END) DESC, cid) AS rn
+               FROM apf),
+         af AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid, key, rn,
+                   max(key) OVER (PARTITION BY vec_id) AS key1
+                 FROM rk WHERE rn <= 6) t
+               WHERE rn <= 4 OR key1 - key <= 0.1),
+         full0 AS (SELECT a.vec_id, a.cid, n.e, n.nrm
+                   FROM af a JOIN n ON a.vec_id = n.vec_id),
+         p AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+               FROM full0 a JOIN full0 b
+                 ON a.cid = b.cid AND b.vec_id < a.vec_id
+               WHERE list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) > 0
+                 AND 8 * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                       * CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT)
+                     >= a.nrm * b.nrm),
+         dup AS (SELECT DISTINCT va AS vec_id FROM p)
+         SELECT v.vec_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM n v LEFT JOIN dup d ON v.vec_id = d.vec_id
+         ORDER BY v.vec_id""",
     "q133_semantic_dedup" ->
       s"""WITH ${kmeansSql(2)},
          apf AS (SELECT n.vec_id, c.cid,

@@ -141,16 +141,26 @@ object ExactlyOnceSink {
       .drop("graft_rn", "batch_id")
     val tmp = table + "_fold"
     BucketedStore.writeBucketed(latest, tmp, key, buckets)
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    // DROP purges a MANAGED table's location, but a directory orphaned
-    // by a previous JVM (in-memory catalog forgot it, disk kept it)
-    // survives the no-op drop and fails the rename with
-    // LOCATION_ALREADY_EXISTS — clear it, same discipline as
-    // BucketedStore.writeBucketed.
-    val orphan = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val wfs = orphan.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (wfs.exists(orphan)) wfs.delete(orphan, true)
+    // drop + purge the old table (MANAGED-only, location read from the
+    // catalog — BucketedStore.dropManagedPurging; an orphaned managed dir
+    // left by a previous JVM is cleared too, else the rename fails with
+    // LOCATION_ALREADY_EXISTS), then swap the fully-written temp in.
+    //
+    // CONCURRENT-READER SEAM (pinned by `ExactlyOnceSinkSpec`): the swap
+    // is not atomic for a reader that resolved `table` to a plan BEFORE
+    // the fold — the drop deletes the files that plan points at, so a
+    // late action on the stale frame fails (or, on a cached plan, serves
+    // pre-fold rows); and a reader resolving strictly between the DROP
+    // and the RENAME sees TABLE_OR_VIEW_NOT_FOUND. The contract is
+    // therefore RESOLVE-PER-REQUEST: serve-path callers re-resolve the
+    // table name on every request (as `AnswerService.answer` does via
+    // `readBucketedBinding` → `s.table(name)`), which bounds the race to
+    // the sub-second drop→rename window and makes it a clean retryable
+    // error, never silent stale data. A metastore-backed deployment can
+    // close even that window with a versioned-name + view repoint swap;
+    // the local in-memory catalog has no atomic repoint, so the seam is
+    // documented and spec-pinned instead.
+    BucketedStore.dropManagedPurging(s, table)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 

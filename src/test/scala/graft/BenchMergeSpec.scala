@@ -8,19 +8,44 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchMergeSpec extends AnyFunSuite {
 
-  private def rec(qs: String, iter: Double, degraded: Option[Boolean]) = {
+  private def rec(qs: String, iter: Double, degraded: Option[Boolean],
+      served: String = "") = {
     val d = degraded.map(b => s""","boot_degraded":$b""").getOrElse("")
-    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"failed":[],"iter_control_ratio":$iter$d,"sf":"x"}"""
+    val sv = if (served.nonEmpty) s""","served":{$served}""" else ""
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$qs},"failed":[],"iter_control_ratio":$iter$d$sv,"sf":"x"}"""
   }
 
   test("healthy boots merge to per-query medians; degraded boots are excluded") {
     val b1 = BenchMerge.parse("r1", rec(""""q1":1.0,"q2":2.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":3.0,"q2":4.0""", 0.9, Some(false)))
     val b3 = BenchMerge.parse("r3", rec(""""q1":99.0,"q2":99.0""", 2.5, Some(true)))
-    val (med, excluded, degradedUsed) = BenchMerge.merge(Seq(b1, b2, b3))
+    val (med, excluded, degradedUsed, mixed) = BenchMerge.merge(Seq(b1, b2, b3))
     assert(med === Map("q1" -> 2.0, "q2" -> 3.0))
     assert(excluded.map(_.path) === Seq("r3"))
     assert(!degradedUsed)
+    assert(mixed.isEmpty)
+  }
+
+  test("mixed-generation served queries restrict to served-carrying boots") {
+    // r1 is a pre-r10-shaped record: q142's per-query value is
+    // build-INCLUSIVE (no served entry). r2/r3 are r10+ records whose
+    // per-query value is serve-only. The median must come from r2/r3
+    // only, and the restriction must be named.
+    val b1 = BenchMerge.parse("r1",
+      rec(""""q142":30.0,"q1":1.0""", 0.8, Some(false)))
+    val b2 = BenchMerge.parse("r2",
+      rec(""""q142":2.0,"q1":3.0""", 0.8, Some(false),
+        """"q142":{"build_sec":28.0,"serve_sec":2.0}"""))
+    val b3 = BenchMerge.parse("r3",
+      rec(""""q142":4.0,"q1":5.0""", 0.8, Some(false),
+        """"q142":{"build_sec":29.0,"serve_sec":4.0}"""))
+    val (med, _, _, mixed) = BenchMerge.merge(Seq(b1, b2, b3))
+    assert(mixed === Seq("q142"))
+    assert(med("q142") === 3.0, "median over r2/r3 only, never r1's 30.0")
+    assert(med("q1") === 3.0, "non-served queries keep the all-boot median")
+    // all-same-generation (all served): no restriction, nothing named
+    val (_, _, _, mixedNone) = BenchMerge.merge(Seq(b2, b3))
+    assert(mixedNone.isEmpty)
   }
 
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
@@ -33,13 +58,13 @@ class BenchMergeSpec extends AnyFunSuite {
   test("crash entries (negative) are dropped from the median; all-degraded still merges") {
     val b1 = BenchMerge.parse("r1", rec(""""q1":-3.0,"q2":1.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":7.0,"q2":2.0""", 0.8, Some(false)))
-    val (med, _, _) = BenchMerge.merge(Seq(b1, b2))
+    val (med, _, _, _) = BenchMerge.merge(Seq(b1, b2))
     assert(med === Map("q1" -> 7.0, "q2" -> 1.5))
     // every boot degraded: merge over all rather than nothing — flagged
     // as degraded_used, and NOT self-described as excluded (the record
     // must not claim healthy-boots-only medians)
     val bad = BenchMerge.parse("r3", rec(""""q1":9.0""", 3.0, Some(true)))
-    val (med2, excl2, degradedUsed2) = BenchMerge.merge(Seq(bad))
+    val (med2, excl2, degradedUsed2, _) = BenchMerge.merge(Seq(bad))
     assert(med2 === Map("q1" -> 9.0) && excl2.isEmpty && degradedUsed2)
   }
 }

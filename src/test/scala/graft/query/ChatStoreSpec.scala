@@ -79,6 +79,64 @@ class ChatStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".compact").exists())
   }
 
+  test("prune drops dead epochs physically; folds read identically; idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chatlog_prune").toString + "/log"
+    ChatStore.append(ev(Seq(
+      (1L, "create", "a", Some("First"), None, None),
+      (2L, "message", "a", None, Some("user"), Some("hi")),
+      (3L, "create", "b", Some("Doomed"), None, None),
+      (4L, "message", "b", None, Some("user"), Some("secret")),
+      (5L, "rename", "a", Some("Renamed"), None, None),
+      (6L, "delete", "b", None, None, None),
+      // b re-created after its delete: the NEW epoch must survive prune
+      (7L, "create", "b", None, None, None),
+      (8L, "message", "b", None, Some("user"), Some("fresh")))), dir)
+
+    val before = ChatStore.chats(ChatStore.load(spark, dir))
+      .as[(String, String, Long, Long)].collect().toSeq
+    ChatStore.prune(spark, dir)
+    val pruned = ChatStore.load(spark, dir)
+
+    // observable state identical (prune = materialize `effective`)
+    assert(ChatStore.chats(pruned)
+      .as[(String, String, Long, Long)].collect().toSeq === before)
+    assert(ChatStore.messages(pruned, "a")
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((2L, "user", "hi")))
+    assert(ChatStore.messages(pruned, "b")
+      .as[(Long, String, String)].collect().toSeq ===
+      Seq((8L, "user", "fresh")))
+
+    // the GDPR-shaped half the folds can't show: b's dead epoch —
+    // create, 'secret' message AND the delete marker — is gone from disk,
+    // while a's superseded-able events and b's new epoch survive verbatim
+    val ops = pruned.groupBy($"op").count()
+      .as[(String, Long)].collect().toMap
+    assert(ops === Map("create" -> 2L, "message" -> 2L, "rename" -> 1L))
+    assert(pruned.filter($"content" === "secret").isEmpty,
+      "dead-epoch content must be physically gone")
+
+    // idempotent: prune∘prune = prune (byte-identical surviving events)
+    val snap = pruned.as[(Long, String, String, String, String, String)]
+      .collect().toSet
+    ChatStore.prune(spark, dir)
+    assert(ChatStore.load(spark, dir)
+      .as[(Long, String, String, String, String, String)]
+      .collect().toSet === snap)
+
+    // a delete appended AFTER a prune still cascades (the fence logic
+    // needs no pruned history), and a re-create starts clean
+    ChatStore.append(ev(Seq(
+      (9L, "delete", "b", None, None, None),
+      (10L, "create", "b", None, None, None))), dir)
+    val log2 = ChatStore.load(spark, dir)
+    assert(ChatStore.messages(log2, "b").isEmpty)
+    assert(ChatStore.chats(log2)
+      .as[(String, String, Long, Long)].collect().toSeq.map(_._1)
+      === Seq("b", "a"))
+  }
+
   test("empty stored title is falsy like the reference's `row[1] or ...`") {
     import spark.implicits._
     val dir = Files.createTempDirectory("chatlog_empty").toString + "/log"

@@ -116,6 +116,57 @@ class IncrementalErSpec extends AnyFunSuite {
     assert(served1 === got && served2 === got)
   }
 
+  /** The round-11 adjudication (q150/q153): the served tombstone path
+    * picks split-vs-force-recompute by dirty-row fraction. Both forced
+    * extremes must be bit-equal to each other and to the inline result
+    * — the threshold is a pure cost decision — and the sparse predicate
+    * (q153's registered form) must equal from-scratch ER over its own
+    * post-delete corpus.
+    */
+  test("adaptive tombstone serving: both paths agree; sparse predicate gated") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Float] =
+      (0 until 6).map(j => if (j == i) 1.0f else 0.0f)
+    val bridge = Seq(0.7071f, 0.7071f, 0.0f, 0.0f, 0.0f, 0.0f)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> axis(5),
+      11L -> axis(0), 15L -> bridge, 21L -> axis(1),
+      5L -> axis(2), 6L -> axis(2), 7L -> axis(2),
+      13L -> axis(3), 14L -> axis(3),
+      25L -> axis(4))
+    val d = Files.createTempDirectory("adapt_er_fix").toString
+    rows.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val inline = EntityResolution.tombstoneResolve(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    // force threshold 0 → always the full survivors-CC from stored state
+    val forced = EntityResolution.tombstoneResolveServed(spark, d,
+      prefix = "graft_adapt_force", dirtyFractionFallback = 0.0)
+      .as[(Long, Long)].collect().toSeq
+    // threshold > 1 → always the dirty-component split
+    val split = EntityResolution.tombstoneResolveServed(spark, d,
+      prefix = "graft_adapt_split", dirtyFractionFallback = 1.1)
+      .as[(Long, Long)].collect().toSeq
+    assert(forced === inline, "force-recompute path diverged from inline")
+    assert(split === inline, "split path diverged from inline")
+
+    // sparse predicate (q153): only vec 5 matches (ids < 50) — the rep
+    // of C2 retires, everything else passes through; equals from-scratch
+    // ER over the post-delete corpus
+    val sparse = graft.SparkEntry
+      .queries("q153_er_tombstones_sparse")(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val postDir = Files.createTempDirectory("adapt_er_post").toString
+    rows.filterNot(_._1 == 5L).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$postDir/embeddings.parquet")
+    val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, postDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(sparse === scratch,
+      "sparse tombstone serving diverged from from-scratch post-delete ER")
+  }
+
   /** Update path (q151) on a fixture engineered for the migration hard
     * case, hand-derived: updating vector 17 (reverse(x0) = x5) must
     * REMOVE it from its old component {11,12,17} (which re-mins to

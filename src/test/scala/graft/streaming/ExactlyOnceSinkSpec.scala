@@ -93,7 +93,15 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
       .withColumn("props", map(lit("k"), $"text"))
     ExactlyOnceSink.landBatch(b0, 0L, dir)
     ExactlyOnceSink.landBatch(b1, 1L, dir)
-    // default tie-break would ORDER BY the map column → AnalysisException;
+    // default tie-break orders by EVERY non-key column → the map column
+    // fails analysis LOUDLY (the documented orderable-columns contract
+    // for the Nil default), never a silent wrong order
+    val e = intercept[Exception] {
+      ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_map", "doc_id", 8)
+    }
+    assert(e.getMessage.toLowerCase.contains("map") ||
+      e.getMessage.toLowerCase.contains("order"),
+      s"expected the unorderable-column analysis error, got: ${e.getMessage}")
     // the explicit deterministic column list avoids it
     ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_map", "doc_id", 8,
       tieBreak = Seq("text"))
@@ -101,6 +109,56 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
       .select($"doc_id", $"text", $"props"("k").as("p"))
       .as[(Long, String, String)].collect().toSet
     assert(got === Set((1L, "v1", "v1"), (2L, "v2", "v2")))
+  }
+
+  test("the swap refuses to purge a non-managed table's location") {
+    // ADVICE r10: orphan cleanup deleted warehouse/<table> between DROP
+    // and RENAME unconditionally — for an EXTERNAL table that directory
+    // convention could name data the DROP deliberately left behind. The
+    // swap now reads the location from the catalog and REFUSES
+    // non-managed targets instead of deleting what it does not own.
+    val dir = zone()
+    ExactlyOnceSink.landBatch(
+      Seq((1L, "v1")).toDF("doc_id", "text"), 0L, dir)
+    val extData = Files.createTempDirectory("eo_ext").toString
+    Seq((9L, "precious")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(extData)
+    spark.sql(s"CREATE TABLE eo_docs_ext (doc_id BIGINT, text STRING) " +
+      s"USING parquet LOCATION '$extData'")
+    val e = intercept[IllegalArgumentException] {
+      ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_ext", "doc_id", 8)
+    }
+    assert(e.getMessage.contains("eo_docs_ext"))
+    // the external data is untouched and still served
+    assert(spark.table("eo_docs_ext")
+      .as[(Long, String)].collect().toSet === Set((9L, "precious")))
+    spark.sql("DROP TABLE eo_docs_ext")
+  }
+
+  test("swap vs concurrent reader: stale plans fail, re-resolution serves post-fold state") {
+    // The CONCURRENT-READER SEAM documented at the fold's swap: a frame
+    // resolved BEFORE the fold points at files the swap deletes — its
+    // late action must FAIL (never silently serve stale rows from a
+    // half-deleted directory), and the documented mitigation
+    // (resolve-per-request, the AnswerService pattern) must observe the
+    // post-fold state.
+    val dir = zone()
+    ExactlyOnceSink.landBatch(
+      Seq((1L, "v1"), (2L, "v1")).toDF("doc_id", "text"), 0L, dir)
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_swap", "doc_id", 8)
+    val stale = spark.table("eo_docs_swap") // resolved pre-swap
+    assert(stale.count() === 2)
+    ExactlyOnceSink.landBatch(
+      Seq((2L, "v2"), (3L, "v1")).toDF("doc_id", "text"), 1L, dir)
+    ExactlyOnceSink.foldIntoBucketed(spark, dir, "eo_docs_swap", "doc_id", 8)
+    // the stale plan's files are gone (uncached scan): a late action
+    // throws rather than serving pre-fold rows
+    intercept[Exception] { stale.count() }
+    // re-resolving the name — what the serve path does per request —
+    // sees exactly the post-fold state
+    assert(spark.table("eo_docs_swap")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "v1"), (2L, "v2"), (3L, "v1")))
   }
 
   test("streaming near-dup verdicts land exactly-once and equal batch mode") {
