@@ -46,8 +46,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-query persisted frames between queries
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // release per-query persisted frames between queries — both the
+      // SQL cache and RDD-level blocks it never tracks (GraphX leftovers,
+      // localCheckpoint stores), same discipline as Bench: 146 queries in
+      // one JVM would otherwise accumulate storage pressure
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -833,14 +833,18 @@ object EntityResolution {
     *
     * ADAPTIVE since round 11: the serve path measures the dirty-row
     * fraction first and above `dirtyFractionFallback` switches to a
-    * plain survivors-CC from the stored state (see the inline comment) —
-    * the split runs only at its design point (sparse tombstones, q153),
-    * never as overhead on a mostly-dirty batch (q150's dense fixture).
+    * plain survivors-CC from the stored state — the reference's
+    * force_recompute shape. Measurement then set the default to 1.0:
+    * the split WINS at every measured dirtiness (2–3× at 0.40 AND 0.81
+    * dirty at 100× — this CC is Pregel-round-bound, so excluding clean
+    * components from the iteration matters more than their size; see
+    * the inline comment), and at fraction 1.0 the two paths' CCs
+    * coincide, so force is taken exactly where it cannot lose.
     */
   def tombstoneResolveServed(s: SparkSession, d: String,
       prefix: String = "graft_q150",
       isDel: Column => Column = c => c % 10 === 5,
-      dirtyFractionFallback: Double = 0.5): DataFrame = {
+      dirtyFractionFallback: Double = 1.0): DataFrame = {
     import s.implicits._
     if (erServedFrom.get(prefix) != d)
       erServedFrom.compute(prefix, (_, prev) => {
@@ -863,21 +867,30 @@ object EntityResolution {
       })
     val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
     val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
-    // ADJUDICATION (round-10 verdict item 1): the dirty-component split
-    // only wins while the dirty fraction is small — its semi-joins,
-    // component regrouping, and untouched-passthrough union all price
-    // against a plain CC over the survivors, and once ~every component
-    // is dirty (measured: the 10% random batch at the replica-dense
-    // 100× fixture dirties rows until dirty-CC ≈ full CC, serve 26.9 s
-    // vs inline 21.7–27.1 s) the split is pure overhead. So the serve
-    // path first measures the fraction of standing ROWS living in a
+    // ADJUDICATION (round-10 verdict item 1), resolved by measurement:
+    // the serve path computes the fraction of standing ROWS living in a
     // dirty component (one scan of the stored mapping + one semi-join
-    // against the — persisted — dirty component ids), and above
-    // `dirtyFractionFallback` falls back to the reference's own
+    // against the — persisted — dirty component ids) and above
+    // `dirtyFractionFallback` switches to the reference's
     // force-recompute shape (`keyword_merger.py:134-144`) run from the
-    // STORED state: one CC over all survivors with the stored pair set
-    // restricted to survivor endpoints. Both paths are bit-equal to
-    // from-scratch ER on the post-delete corpus (same oracle); only the
+    // STORED state: one CC over ALL survivors with the stored pair set
+    // restricted to survivor endpoints. Profiling both paths at the
+    // 100× fixture (ProfileTombstone, round 11) showed the premise
+    // behind a mid-range threshold was wrong: even at 0.81 dirty-row
+    // fraction the split reads 10–12 s vs force's 27–40 s on
+    // near-identical CC inputs (142k v/1.38M e vs 180k v/1.46M e),
+    // because this CC's cost is Pregel-ROUND-bound, not volume-bound —
+    // CC over just the 38k-vertex/86k-edge CLEAN graph costs 12 s on
+    // its own, so excluding clean components from the iteration (the
+    // passthrough) is worth far more than their row count suggests.
+    // (The r10 record's apparent dense-fixture serve loss, 26.9 s, was
+    // the bench harness's accumulated RDD-cache pressure, eliminated
+    // this round by the between-run purge — not the split's overhead.)
+    // Hence the default threshold 1.0: fall back only when EVERY row is
+    // in a dirty component, where split-CC ≡ force-CC by construction
+    // and force merely skips the empty-passthrough regroup joins. Both
+    // paths are bit-equal to from-scratch ER on the post-delete corpus
+    // (same oracle; IncrementalErSpec pins both extremes) — only the
     // cost attribution changes.
     val delReps = mapping.filter(isDel($"vec_id"))
       .select($"component").distinct()
@@ -909,8 +922,8 @@ object EntityResolution {
     // q146 with the standing-table build split out (the q143 pattern):
     // pairs+mapping build on the first call in a JVM; the gated/benched
     // median is the tombstone merge alone — which, since round 11,
-    // adjudicates the dirty fraction first and force-recomputes from the
-    // stored state when the batch dirties most rows. Same oracle as q146.
+    // adjudicates the dirty-row fraction first (force_recompute fallback
+    // at a provably-can't-lose 1.0 default). Same oracle as q146.
     "q150_er_tombstones_served" -> ((s, d) => tombstoneResolveServed(s, d)),
     // The tombstone split at its DESIGN POINT (round-10 verdict item 1's
     // sparse fixture): the batch deletes every replica family of 1 in

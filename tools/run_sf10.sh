@@ -9,11 +9,9 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r09.json')))
-          | {'q145_exactly_once_fold','q146_er_tombstones',
-             'q147_stream_to_serve','q148_semantic_dedup_nprobe5',
-             'q149_pii_scrub_ids','q150_er_tombstones_served',
-             'q151_er_updates'})
+qs=sorted(set(json.load(open('CORRECTNESS_r10.json')))
+          | {'q152_semantic_dedup_boundary','q153_er_tombstones_sparse',
+             'q154_chat_prune_retention'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
