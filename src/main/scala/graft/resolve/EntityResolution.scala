@@ -760,6 +760,85 @@ object EntityResolution {
       .orderBy($"vec_id")
   }
 
+  /** The new-embedding ε-pairs of an update batch: the re-embedded rows
+    * against the retraction survivors sharing a cell, plus each other.
+    * Shared by the inline (q151) and served (q155) update paths — the
+    * SURVIVOR side arrives as the caller's standing frame filtered by
+    * `!isUpd` (a filter, never a join: the served caller's stored
+    * assigned table keeps its cid-bucketed layout into this join).
+    */
+  private def updateTouchingPairs(survivors: DataFrame,
+      updBatch: DataFrame): DataFrame = {
+    val s = survivors.sparkSession
+    import s.implicits._
+    val all = survivors.select($"vec_id", $"cid", $"e", $"nrm")
+      .unionByName(updBatch.select($"vec_id", $"cid", $"e", $"nrm"))
+    updBatch.as("a")
+      .join(all.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id")
+      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+      .select(least($"a.vec_id", $"b.vec_id").as("u"),
+        greatest($"a.vec_id", $"b.vec_id").as("v"))
+      .distinct()
+  }
+
+  /** FUSED update merge — retraction and reinsertion in ONE connected-
+    * components pass (q151/q155). The naive composition retract ∘
+    * reinsert ([[mergeTombstones]] then [[mergeIncrement]]) runs TWO
+    * Pregel CCs, and on the 10%-batch fixture each one iterates over
+    * nearly the same dirty region twice: stage-profiling the served
+    * path at 100× read retract 34.8 s + reinsert 6.1 s vs 19.8 s for
+    * this fused form (ProfileUpdate, round 11) — CC cost here is
+    * Pregel-ROUND-bound, so the second full iteration is the single
+    * largest line in the query.
+    *
+    * One CC suffices because the affected-component set of the
+    * composition is computable up front:
+    *   affected = dirty (components with an updated member — retraction
+    *              can split them or retire their rep) ∪ touched
+    *              (components holding an endpoint of a new-embedding
+    *              pair — reinsertion can merge or extend them)
+    * A clean component has no updated member and no touching endpoint,
+    * so neither phase changes it: pass through. For affected
+    * components, from-scratch connectivity over the updated corpus is
+    * exactly (stored pairs with BOTH endpoints non-updated members of
+    * affected components) ∪ (touching pairs): survivor-survivor pairs
+    * are embedding-unchanged hence the stored subset (and never cross
+    * standing components), every pair with an updated endpoint died
+    * with the old embedding, and every new pair has a batch endpoint —
+    * the touching set by construction. Any touching endpoint's
+    * component is touched by definition, so the edge set is closed
+    * over the CC's vertex set (affected survivors ∪ batch).
+    */
+  private def mergeUpdate(s: SparkSession, standingMapping: DataFrame,
+      allPairs: DataFrame, updVerts: DataFrame, touching: DataFrame,
+      isUpd: Column => Column): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val dirtyReps = standingMapping.filter(isUpd($"vec_id"))
+      .select($"component").distinct()
+    val touchedReps = touching
+      .select(explode(array($"u", $"v")).as("vec_id"))
+      .join(standingMapping, "vec_id")
+      .select($"component").distinct()
+    val affReps = dirtyReps.unionByName(touchedReps).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val untouched = standingMapping.join(affReps, Seq("component"), "left_anti")
+    val affSurvivors = standingMapping.join(affReps, "component")
+      .filter(!isUpd($"vec_id")).select($"vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survPairs = allPairs
+      .join(affSurvivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")
+      .join(affSurvivors.withColumnRenamed("vec_id", "v"), Seq("v"), "left_semi")
+    val merged = connectedComponents(s,
+      affSurvivors.unionByName(updVerts), survPairs.unionByName(touching))
+    untouched.select($"vec_id", $"component".as("rep_id"))
+      .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
+      .orderBy($"vec_id")
+  }
+
   /** The UPDATE path of incremental ER (q151) — the third production
     * batch shape after inserts (q141/q143) and deletions (q146/q150):
     * a 10% batch of terms (`vec_id % 10 = 7`) is RE-EMBEDDED (the
@@ -767,23 +846,16 @@ object EntityResolution {
     * permutation, so the norm is exactly preserved and both engines
     * compute it bit-identically) and the standing state must converge
     * to from-scratch ER over the updated corpus without recomputing
-    * everything. An update is a retraction composed with an insertion,
-    * and both component algorithms are already exact, so the
-    * composition is too:
-    *
-    *  1. retract: [[mergeTombstones]] with the update predicate — dirty
-    *     components recompute over their survivors, the rest pass
-    *     through → the exact post-delete mapping.
-    *  2. re-insert: assign the UPDATED embeddings against the pinned
-    *     index, pair them against survivors and each other within
-    *     shared cells, and [[mergeIncrement]] over the post-delete
-    *     mapping (star edges reproduce its connectivity; only touched
-    *     components recompute).
+    * everything. An update is a retraction composed with an insertion;
+    * [[mergeUpdate]] computes the composition's affected-component set
+    * up front and runs it as ONE connected-components pass (see its
+    * scaladoc for the equivalence argument and the measured 2× over
+    * the two-phase form).
     *
     * The oracle is from-scratch blocked ER over the corpus with the
     * batch's embeddings replaced (`list_reverse`) under the SAME pinned
-    * index — a wrong dirty set in either phase, a stale representative,
-    * or a missed cross-phase pair hash-mismatches.
+    * index — a wrong affected set, a stale representative, or a missed
+    * cross-phase pair hash-mismatches.
     */
   def updateResolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -796,27 +868,79 @@ object EntityResolution {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standingMapping =
       connectedComponents(s, assigned.select($"vec_id"), allPairs)
-    val postDelete =
-      mergeTombstones(s, standingMapping, allPairs, isUpd)
-        .select($"vec_id", $"rep_id".as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     val updBatch = graft.similarity.Similarity
       .ivfAssignedPinnedReversedSubset(s, d, c => c % 10 =!= 9, isUpd)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val survivors =
-      assigned.join(postDelete.select($"vec_id"), "vec_id")
-    val all = survivors.select($"vec_id", $"cid", $"e", $"nrm")
-      .unionByName(updBatch.select($"vec_id", $"cid", $"e", $"nrm"))
-    val touching = updBatch.as("a")
-      .join(all.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id")
-      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-      .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-      .select(least($"a.vec_id", $"b.vec_id").as("u"),
-        greatest($"a.vec_id", $"b.vec_id").as("v"))
-      .distinct()
-    mergeIncrement(s, postDelete, updBatch.select($"vec_id"), touching)
+    val touching =
+      updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), updBatch)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    mergeUpdate(s, standingMapping, allPairs,
+      updBatch.select($"vec_id"), touching, isUpd)
+  }
+
+  /** Build-once/serve-many form of [[updateResolve]] (q155) — completes
+    * the served matrix: all three production batch shapes (inserts
+    * q143, deletions q150, updates here) now have a standing-state
+    * serve path. The standing ASSIGNED frame (bucketed by `cid` — the
+    * key the reinsert's touching join probes), the standing PAIR SET
+    * (bucketed by `u` — the retraction's semi-join key) and the
+    * standing MAPPING (bucketed by `vec_id`) are catalog tables built
+    * once per JVM+source; the serve path runs the FUSED composition
+    * from them:
+    *
+    *  1. assign ONLY the re-embedded batch against the per-JVM cached
+    *     pinned index and pair it ([[updateTouchingPairs]]) against the
+    *     stored assigned frame restricted to retraction survivors (a
+    *     FILTER on the cid-bucketed table — `!isUpd` — so the cell
+    *     join keeps the stored co-location) plus itself.
+    *  2. [[mergeUpdate]]: one CC over the dirty ∪ touched components'
+    *     survivors + the batch, with stored pairs restricted to those
+    *     survivors plus the touching pairs — retraction and
+    *     reinsertion in a single Pregel pass (zero ε-join work at
+    *     serve: post-update survivor pairs are a stored-set subset
+    *     under the pinned index).
+    *
+    * The standing corpus is scanned zero times at serve; cost is the
+    * affected components + the batch. Result is bit-equal to q151 (same
+    * oracle; `IncrementalErSpec` pins served ≡ inline).
+    */
+  def updateResolveServed(s: SparkSession, d: String,
+      prefix: String = "graft_q155"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val isUpd = (c: Column) => c % 10 === 7
+    val notBatch = (c: Column) => c % 10 =!= 9
+    if (erServedFrom.get(prefix) != d)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != d) {
+          val assigned = graft.similarity.Similarity
+            .ivfAssignedPinned(s, d, notBatch)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val pairs = epsCellPairsOrdered(assigned)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val mapping =
+            connectedComponents(s, assigned.select($"vec_id"), pairs)
+          graft.graph.BucketedStore.writeBucketed(
+            assigned, s"${prefix}_assigned", "cid", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            pairs, s"${prefix}_pairs", "u", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            mapping, s"${prefix}_mapping", "vec_id", 16)
+          pairs.unpersist(blocking = false)
+          assigned.unpersist(blocking = false)
+        }
+        d
+      })
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    val assigned = graft.graph.BucketedStore.table(s, s"${prefix}_assigned")
+    val updBatch = graft.similarity.Similarity
+      .ivfAssignedPinnedReversedSubsetCached(s, d, prefix, notBatch, isUpd)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touching =
+      updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), updBatch)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    mergeUpdate(s, mapping, pairs, updBatch.select($"vec_id"), touching, isUpd)
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
@@ -939,6 +1063,12 @@ object EntityResolution {
     // Update-batch ER: retract + re-insert composition over the pinned
     // index; oracle is from-scratch ER on the re-embedded corpus.
     "q151_er_updates" -> ((s, d) => updateResolve(s, d)),
+    // q151 with the standing-table build split out — the last cell of
+    // the served matrix (inserts q143 / deletes q150 / updates here):
+    // assigned+pairs+mapping build on the first call in a JVM; the
+    // gated/benched median is retract∘reinsert from stored state alone.
+    // Same oracle as q151.
+    "q155_er_updates_served" -> ((s, d) => updateResolveServed(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -1254,6 +1384,11 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // the serve split must be a pure cost-attribution change
     "q143_er_incremental_served" ->
       s"""WITH RECURSIVE $pinnedCcSql
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // the serve split must be a pure cost-attribution change
+    "q155_er_updates_served" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("TRUE",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     "q54_pagerank" ->
       s"""WITH RECURSIVE $blockedCcSql,

@@ -384,6 +384,23 @@ object Similarity {
     assignToCells(quantized(s, d).filter(rowSubset($"vec_id")), cents)
   }
 
+  /** [[ivfAssignedPinnedReversedSubset]] with the per-JVM centroid cache
+    * — the served update path's batch assignment (q155): only the
+    * re-embedded batch rows are read, against the cached pinned index.
+    */
+  private[graft] def ivfAssignedPinnedReversedSubsetCached(s: SparkSession,
+      d: String, tag: String, indexSubset: Column => Column,
+      rowSubset: Column => Column): DataFrame = {
+    import s.implicits._
+    val cents = pinnedCache.compute(tag, (_, prev) =>
+      if (prev != null && prev._1 == d) prev
+      else (d, pinnedCentroids(s, d, indexSubset)))._2
+    assignToCells(
+      quantized(s, d).filter(rowSubset($"vec_id"))
+        .withColumn("e", reverse($"e")),
+      cents)
+  }
+
   /** Shared body of the nprobe-generalized SemDeDup queries (q136 n=2,
     * q139 n=4): train (2 Lloyd rounds), assign each vector to its
     * `nprobe` nearest trained cells, form candidate pairs within ANY

@@ -206,6 +206,14 @@ class IncrementalErSpec extends AnyFunSuite {
     val scratch = graft.SparkEntry.queries("q52_er_blocked")(spark, postDir)
       .as[(Long, Long)].collect().toSeq
     assert(scratch === got)
+    // the served split (q155) agrees — and serving TWICE (the second
+    // call reads the standing assigned/pair/mapping tables) agrees too
+    val served1 = EntityResolution.updateResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val served2 = EntityResolution.updateResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(served1 === got && served2 === got,
+      "served update path diverged from inline")
   }
 
   /** Randomized equivalence for the whole delete/update family: on
