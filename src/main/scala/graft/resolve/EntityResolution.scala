@@ -785,13 +785,16 @@ object EntityResolution {
   }
 
   /** FUSED update merge — retraction and reinsertion in ONE connected-
-    * components pass (q151/q155). The naive composition retract ∘
-    * reinsert ([[mergeTombstones]] then [[mergeIncrement]]) runs TWO
-    * Pregel CCs, and on the 10%-batch fixture each one iterates over
-    * nearly the same dirty region twice: stage-profiling the served
-    * path at 100× read retract 34.8 s + reinsert 6.1 s vs 19.8 s for
-    * this fused form (ProfileUpdate, round 11) — CC cost here is
-    * Pregel-ROUND-bound, so the second full iteration is the single
+    * components pass (the q155 SERVE path; the inline q151 stays
+    * two-phase, see [[updateResolve]] for that trade). The naive
+    * composition retract ∘ reinsert ([[mergeTombstones]] then
+    * [[mergeIncrement]]) runs TWO Pregel CCs, and when each CC has to
+    * pull its inputs from the standing DISK tables — the serve path's
+    * shape — the same dirty region is read and iterated twice:
+    * stage-profiling the served path at 100× read retract 34.8 s +
+    * reinsert 6.1 s vs 19.8 s for this fused form (ProfileUpdate,
+    * round 11; the committed serve went 40.8 → 20.3 s) — CC cost here
+    * is Pregel-ROUND-bound, so the second full iteration is the single
     * largest line in the query.
     *
     * One CC suffices because the affected-component set of the
@@ -846,16 +849,32 @@ object EntityResolution {
     * permutation, so the norm is exactly preserved and both engines
     * compute it bit-identically) and the standing state must converge
     * to from-scratch ER over the updated corpus without recomputing
-    * everything. An update is a retraction composed with an insertion;
-    * [[mergeUpdate]] computes the composition's affected-component set
-    * up front and runs it as ONE connected-components pass (see its
-    * scaladoc for the equivalence argument and the measured 2× over
-    * the two-phase form).
+    * everything. An update is a retraction composed with an insertion,
+    * and both component algorithms are already exact, so the
+    * composition is too:
+    *
+    *  1. retract: [[mergeTombstones]] with the update predicate — dirty
+    *     components recompute over their survivors, the rest pass
+    *     through → the exact post-delete mapping.
+    *  2. re-insert: [[updateTouchingPairs]] for the re-embedded batch,
+    *     then [[mergeIncrement]] over the post-delete mapping (star
+    *     edges reproduce its connectivity; only touched components
+    *     recompute).
+    *
+    * The INLINE form deliberately stays two-phase while the served form
+    * (q155) runs the fused [[mergeUpdate]]: here both CCs consume
+    * frames this call just materialized in executor memory (`allPairs`,
+    * `postDelete` are persisted, and the reinsert CC iterates compact
+    * star edges), so the second Pregel pass is cheap — measured 3.6 s
+    * vs the fused form's 7.2 s at sf0.1, and parity at 100×, where the
+    * fused form's single pass only pays off when each CC would re-read
+    * standing state from disk tables (the serve path's shape; see
+    * [[mergeUpdate]] for that measurement).
     *
     * The oracle is from-scratch blocked ER over the corpus with the
     * batch's embeddings replaced (`list_reverse`) under the SAME pinned
-    * index — a wrong affected set, a stale representative, or a missed
-    * cross-phase pair hash-mismatches.
+    * index — a wrong dirty set in either phase, a stale representative,
+    * or a missed cross-phase pair hash-mismatches.
     */
   def updateResolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -868,14 +887,16 @@ object EntityResolution {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val standingMapping =
       connectedComponents(s, assigned.select($"vec_id"), allPairs)
+    val postDelete =
+      mergeTombstones(s, standingMapping, allPairs, isUpd)
+        .select($"vec_id", $"rep_id".as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val updBatch = graft.similarity.Similarity
       .ivfAssignedPinnedReversedSubset(s, d, c => c % 10 =!= 9, isUpd)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touching =
       updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), updBatch)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    mergeUpdate(s, standingMapping, allPairs,
-      updBatch.select($"vec_id"), touching, isUpd)
+    mergeIncrement(s, postDelete, updBatch.select($"vec_id"), touching)
   }
 
   /** Build-once/serve-many form of [[updateResolve]] (q155) — completes
