@@ -216,7 +216,7 @@ object Bench {
     val servedFamily = Set("q142_answer_served",
       "q143_er_incremental_served", "q147_stream_to_serve",
       "q150_er_tombstones_served", "q153_er_tombstones_sparse",
-      "q155_er_updates_served")
+      "q155_er_updates_served", "q156_er_updates_sparse")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -926,10 +926,10 @@ object EntityResolution {
     * oracle; `IncrementalErSpec` pins served ≡ inline).
     */
   def updateResolveServed(s: SparkSession, d: String,
-      prefix: String = "graft_q155"): DataFrame = {
+      prefix: String = "graft_q155",
+      isUpd: Column => Column = c => c % 10 === 7): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val isUpd = (c: Column) => c % 10 === 7
     val notBatch = (c: Column) => c % 10 =!= 9
     if (erServedFrom.get(prefix) != d)
       erServedFrom.compute(prefix, (_, prev) => {
@@ -1090,6 +1090,14 @@ object EntityResolution {
     // gated/benched median is retract∘reinsert from stored state alone.
     // Same oracle as q151.
     "q155_er_updates_served" -> ((s, d) => updateResolveServed(s, d)),
+    // The update serve at its SPARSE design point (q153's analog for
+    // updates): whole-family re-embeddings confined to (vec%10M)%200=7 —
+    // ~0.5% of rows — so the fused merge's affected set (dirty ∪
+    // touched components) is a small fraction of the corpus and the
+    // serve cost is proportional to it, not to the standing state.
+    "q156_er_updates_sparse" -> ((s, d) => updateResolveServed(s, d,
+      prefix = "graft_q156",
+      isUpd = c => c % 10000000L % 200 === 7)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -1410,6 +1418,10 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     "q155_er_updates_served" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("TRUE",
         "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    "q156_er_updates_sparse" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("TRUE",
+        "CASE WHEN (vec_id % 10000000) % 200 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     "q54_pagerank" ->
       s"""WITH RECURSIVE $blockedCcSql,
