@@ -216,52 +216,70 @@ object Bench {
     val servedFamily = Set("q142_answer_served",
       "q143_er_incremental_served", "q147_stream_to_serve",
       "q150_er_tombstones_served", "q153_er_tombstones_sparse",
-      "q155_er_updates_served", "q156_er_updates_sparse")
+      "q155_er_updates_served", "q156_er_updates_sparse",
+      "q157_tagged_er_updates_served")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop any frames the query persisted (candidate caches, CC
-        // outputs) so queries are measured independently instead of under
-        // the previous queries' accumulated storage pressure — BOTH
-        // levels: the SQL cache (DataFrame persists) and RDD-level
-        // blocks the SQL cache never tracks (GraphX internals that
-        // survive a failed unpersist, localCheckpoint block stores).
-        // The RDD purge is the round-10 q99 fix: each dump run leaves
-        // localCheckpoint blocks behind, and on a memory-pressured boot
-        // the accumulation read as monotone within-run growth
-        // (driver tail 4.5→9.3→13.6 s) that clearCache alone never
-        // released. Deliberate cross-query serve state is unaffected:
-        // standing tables live on disk in the catalog, pinned centroids
-        // in driver memory.
-        try {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        } catch { case _: Throwable => () }
-        if (ok) dt else -dt
-      }
-      // served family: one dedicated build pass before the measured runs.
-      // The recorded build_sec is the FIRST-CALL total — standing build
-      // plus one serve pass (and for q147 the land/fold/route) — not a
-      // pure build cost; the derived standing-build estimate is
-      // build_sec − serve_sec. On a failed build pass, retry ONCE before
-      // the measured runs (otherwise the first measured run silently
-      // re-pays the build and inflates the serve median); a build still
-      // failing after the retry is surfaced in `build_failed`.
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop any frames the query persisted (candidate caches, CC
+      // outputs) so queries are measured independently instead of under
+      // the previous queries' accumulated storage pressure — BOTH
+      // levels: the SQL cache (DataFrame persists) and RDD-level
+      // blocks the SQL cache never tracks (GraphX internals that
+      // survive a failed unpersist, localCheckpoint block stores).
+      // The RDD purge is the round-10 q99 fix: each dump run leaves
+      // localCheckpoint blocks behind, and on a memory-pressured boot
+      // the accumulation read as monotone within-run growth
+      // (driver tail 4.5→9.3→13.6 s) that clearCache alone never
+      // released. Deliberate cross-query serve state is unaffected:
+      // standing tables live on disk in the catalog, pinned centroids
+      // in driver memory.
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+      if (ok) dt else -dt
+    }
+    // Served family: ALL standing builds run up front, BEFORE the sweep
+    // (round-11 verdict item 6): previously each build ran immediately
+    // before its own measured runs, deep into the sweep, so the
+    // build-inclusive first call and the serve medians were both taken
+    // under ~100 queries of accumulated fixture/page-cache churn — the
+    // driver's served medians read up to 2× the builder's focused boots.
+    // Building first puts every standing table on disk while the boot is
+    // clean; each query's measured runs still execute at their sorted
+    // sweep position, so the SERVE medians keep the driver-shaped
+    // mid-sweep conditions while the recorded build_sec becomes
+    // comparable across rounds. The recorded build_sec is the FIRST-CALL
+    // total — standing build plus one serve pass (and for q147 the
+    // land/fold/route) — not a pure build cost; the derived
+    // standing-build estimate is build_sec − serve_sec. On a failed
+    // build pass, retry ONCE (otherwise the first measured run silently
+    // re-pays the build and inflates the serve median); the first
+    // attempt's time-to-failure is recorded in `build_retried` (ADVICE
+    // round 11, low 3 — a flaky build stays visible even when its retry
+    // succeeds, and the retried build_sec may under-report a cold build
+    // since the failed pass can leave some standing tables written). A
+    // build still failing after the retry is surfaced in `build_failed`.
+    selected.foreach { case (name, fn) =>
       if (servedFamily(name)) {
-        var b = once()
-        if (b < 0) b = once()
+        var b = runOnce(name, fn)
+        if (b < 0) { buildRetried(name) = b; b = runOnce(name, fn) }
         served(name) = b
       }
-      val times = (1 to runs).map(_ => once())
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map(_ => runOnce(name, fn))
       if (runs > 1) raw(name) = times
       val successes = times.filter(_ >= 0)
       // all-failed: keep the negative time-to-failure convention so a
@@ -340,17 +358,29 @@ object Bench {
     // have re-paid the build) and the record says so
     val buildFailed = served.collect { case (n, b) if b < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
+    // first-attempt failures whose retry then succeeded (ADVICE r11 low
+    // 3): negative time-to-failure of the first build pass, keyed by
+    // query — `served` carries the retry's (possibly warm) timing.
+    val buildRetriedJson = buildRetried
+      .map { case (n, b) => "\"" + n + "\":" + num(b, "%.4f") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
     // COMPACT SUMMARY, printed LAST (round-10 verdict item 2): the
-    // driver captures a bounded TAIL of stdout, and with 140+ queries ×
-    // n=3 raw arrays the full record starts before the capture window —
+    // driver captures a bounded TAIL of stdout (2000 chars in the
+    // committed BENCH_r* records), and with 140+ queries × n=3 raw
+    // arrays the full record starts before the capture window —
     // BENCH_r10.json carried `parsed: null` and per-query numbers for
     // roughly q55+ only. This line is a few hundred bytes at any
     // registry size, so the tail always contains at least one complete
     // parseable JSON record: headline total, counts, every boot-health
     // ratio, and the build/serve splits. The full per-query record
     // remains the line above (and the committed bench/ artifacts).
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"served":$servedJson,"runs":$runs,"sf":"$sfDir"}""")
+    // Metric name is "total" — the SAME key as the full record — since
+    // round 12: BENCH_r11's tail contained this line complete yet
+    // `parsed` stayed null, so the driver's parser keys on the exact
+    // metric name and "total_summary" never matched. `"summary":true`
+    // distinguishes the two records for human readers.
+    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

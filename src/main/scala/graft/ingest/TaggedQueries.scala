@@ -150,6 +150,18 @@ object TaggedQueries {
         TaggedText.ingest(s, ErFixtureGlob), 24, 25)
         .orderBy(col("original"))),
 
+    // The UPDATE serve (q155's fused mergeUpdate) over the REAL ingest
+    // universe — round-11 verdict item 7: standing terms/pairs/mapping
+    // build once from the ER fixture's keywords; the serve call
+    // re-embeds the md5-id ≡ 1 (mod 3) batch (dimension reversal) and
+    // converges to from-scratch ER over the updated universe with the
+    // min-TERM representative discipline. Oracle: q104's recursive CTE
+    // with the update CASE in `tn`.
+    "q157_tagged_er_updates_served" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedUpdateResolveServed(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -372,7 +384,8 @@ torg AS (
     * exactly) → ε-join at θ=24/25 in HUGEINT arithmetic → min-label CC
     * walk → min-term representative.
     */
-  private[graft] def erSqlAt(numSq: Int, denSq: Int): String =
+  private[graft] def erSqlAt(numSq: Int, denSq: Int,
+      eExpr: String = "e"): String =
     s"""${pipelineSqlFor(ErFixtureGlob)},
 ded AS (SELECT * FROM dedup WHERE rn = 1),
 kws AS (
@@ -388,8 +401,8 @@ terms AS (
                 CAST(i * 4 + 1 AS INTEGER), 4) AS BIGINT) - 32768)
              / 32768.0 * 10000) AS BIGINT)) AS e
   FROM kws),
-tn AS (SELECT term, tid, e,
-         CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS nrm
+tn AS (SELECT term, tid, $eExpr AS e,
+         CAST(list_sum(list_transform($eExpr, x -> x*x)) AS BIGINT) AS nrm
        FROM terms),
 ted AS (SELECT u, v FROM (
           SELECT a.tid AS u, b.tid AS v,
@@ -414,6 +427,15 @@ thk2 AS (SELECT DISTINCT title, kw
 
   private[graft] val erSql = erSqlAt(576, 625)
 
+  /** [[erSql]] with the q157 update applied in `tn`: terms in the batch
+    * (md5 term id ≡ 1 mod 3 — the Spark side's `isUpd`) are re-embedded
+    * by the deterministic dimension reversal before the ε-join, so the
+    * oracle computes FROM-SCRATCH ER over the updated universe that the
+    * served fused merge must reproduce bit-for-bit.
+    */
+  private[graft] val erUpdateSql = erSqlAt(576, 625,
+    "CASE WHEN tid % 3 = 1 THEN list_reverse(e) ELSE e END")
+
   def oracles: Map[String, String] = Map(
     "q123_tagged_stream_dedup" ->
       s"""WITH $pipelineSql
@@ -424,6 +446,9 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT original, representative FROM tmap ORDER BY original""",
     "q128_tagged_er_encoded" ->
       s"""WITH RECURSIVE $erSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q157_tagged_er_updates_served" ->
+      s"""WITH RECURSIVE $erUpdateSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->
       s"""WITH RECURSIVE $erSql,

@@ -349,6 +349,82 @@ object EntityResolution {
     out
   }
 
+  /** Ceiling on the adaptive CC's driver kernel: the probe collects at
+    * most this many vertices and edges (16 B/edge ⇒ ≤ ~64 MB driver
+    * transfer at the cap), and union-find over 2M edges runs in tens of
+    * milliseconds. Affected-set graphs of the incremental-ER serve paths
+    * sit far below it (the 100× dense fixture peaks near 1.4M edges);
+    * corpus-scale standing builds sit above and take Pregel.
+    */
+  val MaxDriverCcEdges: Int = 2000000
+
+  /** Adaptive CC for the incremental-merge serve paths. The merge
+    * algorithms bound their CC input to the AFFECTED components + batch
+    * — small by design ("serve cost proportional to the affected set")
+    * — yet GraphX Pregel carries a fixed multi-second floor (graph
+    * build, per-superstep job submission) that DOMINATED the sparse
+    * serve points: q156's 0.5%-batch serve cost within 10% of q155's
+    * 10%-batch serve at sf0.1 because both were paying the same Pregel
+    * overhead on near-empty graphs (round-11 verdict item 1). When the
+    * affected graph fits [[MaxDriverCcEdges]], collect it and run
+    * union-find with min-id labeling on the driver — bit-identical to
+    * GraphX's component = min reachable id, including GraphX's implicit
+    * promotion of edge endpoints missing from the vertex frame (the
+    * merge edge sets are closed over their vertex sets, so this is
+    * belt-and-braces parity, not a semantic difference). Larger affected
+    * sets fall back to the distributed [[connectedComponents]]; the
+    * limit-probed collect doubles as the size guard (the [[epsPairsOf]]
+    * discipline), and its cost on fallback is one extra materialization
+    * of a lineage Pregel was about to materialize several times anyway.
+    */
+  private[resolve] def connectedComponentsAdaptive(s: SparkSession,
+      vertices: DataFrame, pairs: DataFrame,
+      maxDriverEdges: Int = MaxDriverCcEdges): DataFrame = {
+    import s.implicits._
+    val vrows = vertices.select(col("vec_id").cast("long")).as[Long]
+      .limit(maxDriverEdges + 1).collect()
+    if (vrows.length > maxDriverEdges)
+      return connectedComponents(s, vertices, pairs)
+    val erows = pairs.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].limit(maxDriverEdges + 1).collect()
+    if (erows.length > maxDriverEdges)
+      return connectedComponents(s, vertices, pairs)
+    // index every id (vertex frame ∪ edge endpoints — GraphX parity)
+    val idx = new scala.collection.mutable.LongMap[Int](vrows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](vrows.length)
+    def intern(id: Long): Int =
+      idx.getOrElse(id, {
+        val i = ids.length; ids += id; idx.update(id, i); i
+      })
+    vrows.foreach(intern)
+    erows.foreach { case (u, v) => intern(u); intern(v) }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    erows.foreach { case (u, v) =>
+      val ru = find(idx(u)); val rv = find(idx(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    // min id per root, then one labeled row per distinct id
+    val minOf = new Array[Long](ids.length)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    s.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("vec_id", "component")
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Full resolution: ε-join → CC → (vec_id, component). */
   def resolve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -617,7 +693,7 @@ object EntityResolution {
       .select($"component".as("u"), $"vec_id".as("v"))
     val verts = affected.select($"vec_id").unionByName(batchVerts)
     val merged =
-      connectedComponents(s, verts, star.unionByName(touching))
+      connectedComponentsAdaptive(s, verts, star.unionByName(touching))
     untouched.select($"vec_id", $"component".as("rep_id"))
       .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
       .orderBy($"vec_id")
@@ -629,6 +705,42 @@ object EntityResolution {
     */
   private val erServedFrom =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Serve-scoped persisted frames (batch assignments, touching pairs,
+    * affected-set frames) registered by the q143/q150/q153/q155/q156
+    * serve paths. They are persisted because each is referenced by
+    * several downstream joins of ONE request's plan — but the request's
+    * caller is who materializes the result, so the functions themselves
+    * cannot safely unpersist them. A long-lived serve JVM reaps them via
+    * [[releaseServeCaches]] after each request's result is materialized;
+    * the Bench/Verify harnesses are covered anyway by their between-query
+    * persistent-RDD purge (ADVICE round 11, low 2 — previously these
+    * blocks accumulated per request and only the harness purge masked
+    * it).
+    */
+  private val serveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistServe(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    serveCaches.add(df)
+    df
+  }
+
+  /** Unpersist every serve-scoped frame registered since the last call.
+    * Contract: call AFTER the current request's result is materialized
+    * (collected or written) — the frames back that result's plan, so an
+    * earlier release just recomputes them, never corrupts. Safe to call
+    * from a single serving thread; concurrent requests should serialize
+    * releases or accept recomputation.
+    */
+  def releaseServeCaches(): Unit = {
+    var df = serveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = serveCaches.poll()
+    }
+  }
 
   /** Build-once/serve-many form of [[incrementalResolve]] — the q141
     * residual closed: the standing ASSIGNED frame (bucketed by cell id,
@@ -754,7 +866,7 @@ object EntityResolution {
     val survivorPairs = allPairs
       .join(survivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")
       .join(survivors.withColumnRenamed("vec_id", "v"), Seq("v"), "left_semi")
-    val merged = connectedComponents(s, survivors, survivorPairs)
+    val merged = connectedComponentsAdaptive(s, survivors, survivorPairs)
     untouched.select($"vec_id", $"component".as("rep_id"))
       .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
       .orderBy($"vec_id")
@@ -771,17 +883,33 @@ object EntityResolution {
       updBatch: DataFrame): DataFrame = {
     val s = survivors.sparkSession
     import s.implicits._
-    val all = survivors.select($"vec_id", $"cid", $"e", $"nrm")
-      .unionByName(updBatch.select($"vec_id", $"cid", $"e", $"nrm"))
-    updBatch.as("a")
-      .join(all.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id")
+    // TWO joins instead of one join against (survivors ∪ batch): the
+    // union would erase the survivor side's partitioning — for the
+    // served caller that side is the stored cid-bucketed catalog table,
+    // so the single-join form shuffled and re-sorted the STANDING CORPUS
+    // on every serve call (round-12 fix; the scaladoc's co-location
+    // claim only holds when the bucketed frame reaches the join
+    // unioned-with-nothing). Split, the batch×survivor join moves only
+    // the batch into the survivors' bucketing and the batch×batch
+    // self-join is batch-sized. The union of the two pair sets is the
+    // single join's output exactly: the a-side is always the batch and
+    // the b-side is either a survivor (disjoint ids — no a=b case, each
+    // pair once) or another batch row (ordered by `<`, each pair once),
+    // so the old `.distinct()` had nothing to remove and is dropped.
+    val eps = (p: DataFrame) => p
       .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
       .filter($"dot" > 0 &&
         $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
+    val bSurv = eps(updBatch.as("a")
+      .join(survivors.select($"vec_id", $"cid", $"e", $"nrm").as("b"),
+        $"a.cid" === $"b.cid"))
       .select(least($"a.vec_id", $"b.vec_id").as("u"),
         greatest($"a.vec_id", $"b.vec_id").as("v"))
-      .distinct()
+    val bBatch = eps(updBatch.as("a")
+      .join(updBatch.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id"))
+      .select($"a.vec_id".as("u"), $"b.vec_id".as("v"))
+    bSurv.unionByName(bBatch)
   }
 
   /** FUSED update merge — retraction and reinsertion in ONE connected-
@@ -819,23 +947,21 @@ object EntityResolution {
       allPairs: DataFrame, updVerts: DataFrame, touching: DataFrame,
       isUpd: Column => Column): DataFrame = {
     import s.implicits._
-    import org.apache.spark.storage.StorageLevel
     val dirtyReps = standingMapping.filter(isUpd($"vec_id"))
       .select($"component").distinct()
     val touchedReps = touching
       .select(explode(array($"u", $"v")).as("vec_id"))
       .join(standingMapping, "vec_id")
       .select($"component").distinct()
-    val affReps = dirtyReps.unionByName(touchedReps).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val affReps = persistServe(dirtyReps.unionByName(touchedReps).distinct())
     val untouched = standingMapping.join(affReps, Seq("component"), "left_anti")
-    val affSurvivors = standingMapping.join(affReps, "component")
-      .filter(!isUpd($"vec_id")).select($"vec_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val affSurvivors = persistServe(
+      standingMapping.join(affReps, "component")
+        .filter(!isUpd($"vec_id")).select($"vec_id"))
     val survPairs = allPairs
       .join(affSurvivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")
       .join(affSurvivors.withColumnRenamed("vec_id", "v"), Seq("v"), "left_semi")
-    val merged = connectedComponents(s,
+    val merged = connectedComponentsAdaptive(s,
       affSurvivors.unionByName(updVerts), survPairs.unionByName(touching))
     untouched.select($"vec_id", $"component".as("rep_id"))
       .unionByName(merged.select($"vec_id", $"component".as("rep_id")))
@@ -955,13 +1081,82 @@ object EntityResolution {
     val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
     val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
     val assigned = graft.graph.BucketedStore.table(s, s"${prefix}_assigned")
-    val updBatch = graft.similarity.Similarity
-      .ivfAssignedPinnedReversedSubsetCached(s, d, prefix, notBatch, isUpd)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val touching =
-      updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), updBatch)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    val updBatch = persistServe(graft.similarity.Similarity
+      .ivfAssignedPinnedReversedSubsetCached(s, d, prefix, notBatch, isUpd))
+    val touching = persistServe(
+      updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), updBatch))
     mergeUpdate(s, mapping, pairs, updBatch.select($"vec_id"), touching, isUpd)
+  }
+
+  /** Build-once/serve-many UPDATE resolution over an ingested TERM
+    * universe (q157 — the q155 update serve applied to the REAL tagged
+    * ingest, the round-11 verdict item 7): the standing state is the
+    * full §3.1 lifecycle over the ER fixture's keywords (A2 distinct
+    * values → encoder stub → EXACT ε-join → CC — the q104 lineage),
+    * stored as bucketed catalog tables (terms by vec_id, pairs by u,
+    * mapping by vec_id); a serve call re-embeds the batch (`isUpd` on
+    * the md5 term id; the deterministic re-embedding stand-in is the
+    * dimension reversal, as q151/q155) and runs the same FUSED
+    * [[mergeUpdate]] the synthetic path serves — then restores the
+    * reference's representative discipline (lexicographic MIN TERM,
+    * `keyword_merger.py:222`) over the merged components. The
+    * equivalence argument is cleaner than the IVF case: the standing
+    * pair set is the exact kernel's, so survivor-survivor pairs
+    * post-update are literally the stored subset — no pinned-index
+    * caveat. Oracle: from-scratch ER over the term universe with the
+    * batch's embeddings `list_reverse`d — the q104 recursive-CTE mirror
+    * with the update CASE applied in `tn`.
+    */
+  def ingestedUpdateResolveServed(s: SparkSession, ingested: () => DataFrame,
+      sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q157",
+      isUpd: Column => Column = c => c % 3 === 1): DataFrame = {
+    import s.implicits._
+    if (erServedFrom.get(prefix) != sourceKey)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != sourceKey) {
+          val terms = distinctValues(ingested(), Seq("keywords"))
+            .select(col("value").as("term"),
+              conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+                .as("vec_id"),
+              termEmbedding(col("value")).as("embedding"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val pairs = epsPairsOf(terms, num, den)
+          val mapping =
+            connectedComponents(s, terms.select($"vec_id"), pairs)
+          graft.graph.BucketedStore.writeBucketed(
+            terms, s"${prefix}_terms", "vec_id", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            pairs, s"${prefix}_pairs", "u", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            mapping, s"${prefix}_mapping", "vec_id", 16)
+          terms.unpersist(blocking = false)
+        }
+        sourceKey
+      })
+    val terms = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    val updBatch = persistServe(terms.filter(isUpd($"vec_id"))
+      .withColumn("embedding", reverse($"embedding")))
+    // Exact-kernel touching pairs: every ε-pair of the UPDATED universe
+    // with at least one batch endpoint (the new-embedding pair set —
+    // reversal preserves batch-batch dots, so formerly-linked batch
+    // members resurface here and stay merged). Term universes are
+    // entity-scale by contract (epsPairsOf's guard), so the exact pass
+    // is the right tool; the survivor side is one columnar read of the
+    // stored terms table.
+    val touching = persistServe(
+      epsPairsOf(terms.filter(!isUpd($"vec_id")).unionByName(updBatch),
+        num, den)
+        .filter(isUpd($"u") || isUpd($"v")))
+    val merged = mergeUpdate(s, mapping, pairs,
+      updBatch.select($"vec_id"), touching, isUpd)
+    val named = merged.join(terms.select($"vec_id", $"term"), "vec_id")
+    val reps = named.groupBy($"rep_id").agg(min($"term").as("representative"))
+    named.join(broadcast(reps), "rep_id")
+      .select($"term".as("original"), $"representative")
+      .orderBy($"original")
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
@@ -976,10 +1171,13 @@ object EntityResolution {
     * proportional to the dirty components, not the corpus. Result is
     * bit-equal to q146 (same oracle).
     *
-    * ADAPTIVE since round 11: the serve path measures the dirty-row
-    * fraction first and above `dirtyFractionFallback` switches to a
-    * plain survivors-CC from the stored state — the reference's
-    * force_recompute shape. Measurement then set the default to 1.0:
+    * ADAPTIVE since round 11: under a sub-1.0 `dirtyFractionFallback`
+    * the serve path measures the dirty-row fraction first and above the
+    * threshold switches to a plain survivors-CC from the stored state —
+    * the reference's force_recompute shape. (At the default 1.0 the
+    * measurement is SKIPPED entirely — round 12 — since the only
+    * reachable force point is fraction 1.0 where the two paths' CCs
+    * coincide.) Measurement originally set the default to 1.0:
     * the split WINS at every measured dirtiness (2–3× at 0.40 AND 0.81
     * dirty at 100× — this CC is Pregel-round-bound, so excluding clean
     * components from the iteration matters more than their size; see
@@ -1037,15 +1235,25 @@ object EntityResolution {
     // paths are bit-equal to from-scratch ER on the post-delete corpus
     // (same oracle; IncrementalErSpec pins both extremes) — only the
     // cost attribution changes.
-    val delReps = mapping.filter(isDel($"vec_id"))
-      .select($"component").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = mapping
-      .join(delReps.withColumn("dirty", lit(1)), Seq("component"), "left")
-      .agg(count(lit(1)).as("n"), count($"dirty").as("nd")).head()
-    val dirtyFraction =
-      stats.getLong(1).toDouble / math.max(1L, stats.getLong(0)).toDouble
-    if (dirtyFraction >= dirtyFractionFallback) {
+    //
+    // Round-12 guard (verdict item 3 / ADVICE low 1): the stats action
+    // below is an eager full-mapping scan + semi-join + head() on EVERY
+    // serve call, and at the default threshold 1.0 its only reachable
+    // force branch is fraction == 1.0 — where split ≡ force by the
+    // argument above, so the scan buys nothing. Compute it only when a
+    // caller opts into a sub-1.0 threshold; the default serve path pays
+    // zero adjudication overhead and `delReps` stays a lazy input of the
+    // split plan alone.
+    val delReps = persistServe(mapping.filter(isDel($"vec_id"))
+      .select($"component").distinct())
+    val forceRecompute = dirtyFractionFallback < 1.0 && {
+      val stats = mapping
+        .join(delReps.withColumn("dirty", lit(1)), Seq("component"), "left")
+        .agg(count(lit(1)).as("n"), count($"dirty").as("nd")).head()
+      stats.getLong(1).toDouble / math.max(1L, stats.getLong(0)).toDouble >=
+        dirtyFractionFallback
+    }
+    if (forceRecompute) {
       val survivors = mapping.filter(!isDel($"vec_id")).select($"vec_id")
       val survivorPairs = pairs
         .join(survivors.withColumnRenamed("vec_id", "u"), Seq("u"), "left_semi")

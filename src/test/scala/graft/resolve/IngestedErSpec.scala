@@ -32,4 +32,30 @@ class IngestedErSpec extends AnyFunSuite {
     // the variant — the expansion must surface BOTH
     assert(titles === Seq("ER Doc One", "ER Doc Two"))
   }
+
+  test("q157 served update merge equals from-scratch ER over the " +
+      "re-embedded universe (min-term reps)") {
+    import org.apache.spark.sql.functions._
+    val served = TaggedQueries.queries("q157_tagged_er_updates_served")(spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    // from-scratch: same term universe with the batch's embeddings
+    // reversed BEFORE the exact ε-join + CC + min-term representative
+    val terms = EntityResolution.distinctValues(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), Seq("keywords"))
+      .select(col("value").as("term"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("vec_id"),
+        EntityResolution.termEmbedding(col("value")).as("embedding"))
+      .withColumn("embedding",
+        when(col("vec_id") % 3 === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val scratch = EntityResolution.aliasMapping(terms, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    // the update batch is non-trivial on this fixture (at least one
+    // term is re-embedded), so the equality above exercises the merge
+    val nUpd = terms.filter(col("vec_id") % 3 === 1).count()
+    assert(nUpd > 0)
+  }
 }

@@ -9,9 +9,8 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r10.json')))
-          | {'q152_semantic_dedup_boundary','q153_er_tombstones_sparse',
-             'q154_chat_prune_retention'})
+qs=sorted(set(json.load(open('CORRECTNESS_r11.json')))
+          | {'q157_tagged_er_updates_served'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
