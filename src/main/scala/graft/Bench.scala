@@ -217,7 +217,7 @@ object Bench {
       "q143_er_incremental_served", "q147_stream_to_serve",
       "q150_er_tombstones_served", "q153_er_tombstones_sparse",
       "q155_er_updates_served", "q156_er_updates_sparse",
-      "q157_tagged_er_updates_served")
+      "q157_tagged_er_updates_served", "q158_tagged_er_tombstones_served")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -364,23 +364,27 @@ object Bench {
     val buildRetriedJson = buildRetried
       .map { case (n, b) => "\"" + n + "\":" + num(b, "%.4f") }
       .mkString("{", ",", "}")
+    // COMPACT SUMMARY (round-10 item 2, reordered round 13): the driver
+    // captures a bounded TAIL of stdout, and with 140+ queries × n=3 raw
+    // arrays the full record can start before the capture window. This
+    // line is a few hundred bytes at any registry size: headline total,
+    // counts, every boot-health ratio, and the build/serve splits.
+    // BENCH_r11/r12 both carried `parsed: null` even though this line sat
+    // complete in the captured tail (printed LAST, after the full
+    // record), so the remaining parser hypothesis is a first-match scan
+    // over a window larger than the committed 2000-char excerpt — where
+    // the first `{"metric":…` occurrence was the front-truncated FULL
+    // record. Print the compact line BOTH before and after the full
+    // record (round-12 verdict item 3): a first-match scan over a large
+    // window now hits this complete line first, a small window still
+    // ends with the trailing copy, and a still-null BENCH_r13 settles
+    // the item as driver-never-parses (retire per the verdict).
+    // Metric name is "total" — the SAME key as the full record;
+    // `"summary":true` distinguishes the records for human readers.
+    val summaryLine = s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"runs":$runs,"sf":"$sfDir"}"""
+    println(summaryLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson$rawJson,"sf":"$sfDir"}""")
-    // COMPACT SUMMARY, printed LAST (round-10 verdict item 2): the
-    // driver captures a bounded TAIL of stdout (2000 chars in the
-    // committed BENCH_r* records), and with 140+ queries × n=3 raw
-    // arrays the full record starts before the capture window —
-    // BENCH_r10.json carried `parsed: null` and per-query numbers for
-    // roughly q55+ only. This line is a few hundred bytes at any
-    // registry size, so the tail always contains at least one complete
-    // parseable JSON record: headline total, counts, every boot-health
-    // ratio, and the build/serve splits. The full per-query record
-    // remains the line above (and the committed bench/ artifacts).
-    // Metric name is "total" — the SAME key as the full record — since
-    // round 12: BENCH_r11's tail contained this line complete yet
-    // `parsed` stayed null, so the driver's parser keys on the exact
-    // metric name and "total_summary" never matched. `"summary":true`
-    // distinguishes the two records for human readers.
-    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(summaryLine)
     spark.stop()
   }
 }

@@ -162,6 +162,19 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // The DELETE serve over the same real-ingest universe (q150's
+    // tombstone shape; completes the real-ingest serve matrix next to
+    // q157's updates): standing terms/pairs/mapping build once; the
+    // serve call retracts the md5-id ≡ 2 (mod 3) batch with zero ε-join
+    // work — post-delete pairs are the stored exact-kernel subset — and
+    // converges to from-scratch ER over the surviving universe with the
+    // min-TERM representative discipline. Oracle: q104's recursive CTE
+    // with the batch removed in `tn`.
+    "q158_tagged_er_tombstones_served" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedTombstoneResolveServed(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -385,7 +398,7 @@ torg AS (
     * walk → min-term representative.
     */
   private[graft] def erSqlAt(numSq: Int, denSq: Int,
-      eExpr: String = "e"): String =
+      eExpr: String = "e", tnWhere: String = ""): String =
     s"""${pipelineSqlFor(ErFixtureGlob)},
 ded AS (SELECT * FROM dedup WHERE rn = 1),
 kws AS (
@@ -403,7 +416,7 @@ terms AS (
   FROM kws),
 tn AS (SELECT term, tid, $eExpr AS e,
          CAST(list_sum(list_transform($eExpr, x -> x*x)) AS BIGINT) AS nrm
-       FROM terms),
+       FROM terms $tnWhere),
 ted AS (SELECT u, v FROM (
           SELECT a.tid AS u, b.tid AS v,
             CAST(list_sum(list_transform(a.e, (x,i) -> x * b.e[i])) AS BIGINT) AS dot,
@@ -436,6 +449,15 @@ thk2 AS (SELECT DISTINCT title, kw
   private[graft] val erUpdateSql = erSqlAt(576, 625,
     "CASE WHEN tid % 3 = 1 THEN list_reverse(e) ELSE e END")
 
+  /** [[erSql]] with the q158 delete applied in `tn`: terms in the batch
+    * (md5 term id ≡ 2 mod 3 — the Spark side's `isDel`) are removed from
+    * the universe before the ε-join, so the oracle computes FROM-SCRATCH
+    * ER over the post-delete universe the served tombstone merge must
+    * reproduce bit-for-bit.
+    */
+  private[graft] val erDeleteSql = erSqlAt(576, 625,
+    tnWhere = "WHERE tid % 3 <> 2")
+
   def oracles: Map[String, String] = Map(
     "q123_tagged_stream_dedup" ->
       s"""WITH $pipelineSql
@@ -449,6 +471,9 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT original, representative FROM tmap ORDER BY original""",
     "q157_tagged_er_updates_served" ->
       s"""WITH RECURSIVE $erUpdateSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q158_tagged_er_tombstones_served" ->
+      s"""WITH RECURSIVE $erDeleteSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->
       s"""WITH RECURSIVE $erSql,

@@ -68,7 +68,15 @@ object AnswerService {
       .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(params.valuesIterator.toSeq.sorted)
     val df = Router.withFallback(g, family, params, terms)
-    val rendered = QueryText.renderRows(df).limit(maxRows + 1).collect()
+    val rendered =
+      try QueryText.renderRows(df).limit(maxRows + 1).collect()
+      // reap request-scoped serve caches once the result is materialized
+      // (EntityResolution.releaseServeCaches's contract): the request
+      // loop is the one place that knows materialization happened, so a
+      // long-lived serve JVM stops accumulating MEMORY_AND_DISK blocks
+      // per request (round-12 verdict item 4; ServeCacheReleaseSpec
+      // asserts the post-release block store is empty).
+      finally graft.resolve.EntityResolution.releaseServeCaches()
     val shown = rendered.take(maxRows)
     val suffix =
       if (rendered.length > maxRows) s"\n... (truncated at $maxRows rows)"

@@ -126,6 +126,75 @@ object EntityResolution {
     }.toDF("u", "v")
   }
 
+  /** Exact ε-pairs with one endpoint in `batch` and the other in `probe`
+    * (DISJOINT id sets by contract — the serve split of an update batch
+    * vs its retraction survivors): the BATCH is the collected/broadcast
+    * build side, so the driver transfer and the guard are sized by the
+    * batch, not the term universe, and the probe side streams through in
+    * one pass — for the serve callers a single columnar read of the
+    * stored survivors table. Emits each qualifying pair once, ordered
+    * (u, v) = (least, greatest). Batch×batch pairs are NOT emitted here;
+    * callers union [[epsPairsOf]] over the batch alone, and the two
+    * outputs together equal `epsPairsOf(probe ∪ batch)` restricted to
+    * pairs with a batch endpoint — at O(|probe|·|batch| + |batch|²)
+    * compares instead of O((|probe|+|batch|)²), which is what makes the
+    * serve cost proportional to the affected set (the round-12 verdict's
+    * q157 finding: the unioned form recomputed the full-universe kernel
+    * and collected the whole universe to the driver on EVERY serve
+    * call, inverting the build-once/serve-many premise).
+    */
+  private[resolve] def epsPairsAgainst(probe: DataFrame, batch: DataFrame,
+      num: Int, den: Int,
+      maxExactVectors: Long = MaxExactVectors): DataFrame = {
+    val s = probe.sparkSession
+    import s.implicits._
+    val quant = (df: DataFrame) => df
+      .select(col("vec_id").cast("long"),
+        VectorOps.quantize(col("embedding")).as("e"))
+      .as[(Long, Array[Long])]
+    // batch-sized guard + collect (the epsPairsOf discipline: one
+    // limit-probed collect is both); the probe side is never collected.
+    val cap = math.min(maxExactVectors, Int.MaxValue - 1L).toInt
+    val bRows = quant(batch).limit(cap + 1).collect()
+    require(bRows.length <= cap,
+      s"epsPairsAgainst broadcasts the BATCH side (exact kernel): batch " +
+        s"exceeds maxExactVectors=$maxExactVectors. Use blockedEpsPairs " +
+        "for corpus-scale batches.")
+    val side = s.sparkContext.broadcast(bRows)
+    val n2 = num.toLong * num
+    val d2 = den.toLong * den
+    // spread the probe when the per-row compare work is heavy (same
+    // threshold rationale as epsPairsOf: below it the whole loop is
+    // ≤ ~32M compares — subsecond on natural splits)
+    val spreadP =
+      if (bRows.length >= 8192)
+        quant(probe).repartition(s.sparkContext.defaultParallelism)
+      else quant(probe)
+    spreadP.mapPartitions { it =>
+      val all = side.value
+      val norms = all.map { case (_, w) =>
+        var s0 = 0L; var i = 0
+        while (i < w.length) { s0 += w(i) * w(i); i += 1 }
+        s0
+      }
+      it.flatMap { case (id, v) =>
+        var nv = 0L
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        all.indices.iterator.flatMap { j =>
+          val (bid, w) = all(j)
+          var dot = 0L
+          var k = 0
+          val len = math.min(v.length, w.length)
+          while (k < len) { dot += v(k) * w(k); k += 1 }
+          if (dot > 0 && cmpScaled(dot, d2, nv, n2, norms(j)) >= 0)
+            Some((math.min(id, bid), math.max(id, bid)))
+          else None
+        }
+      }
+    }.toDF("u", "v")
+  }
+
   /** Sign of dot²·d2 − nv·nw·n2, exact at ANY operand magnitude. Fast
     * path: when the pre-scaled factors (dot·d2, nv·n2) themselves fit in
     * a Long, [[cmp128]] compares the two 128-bit products with
@@ -778,6 +847,11 @@ object EntityResolution {
           graft.graph.BucketedStore.writeBucketed(
             mapping, s"${prefix}_mapping", "vec_id", 16)
           standing.unpersist(blocking = false)
+          // the CC output is persisted inside connectedComponents; once
+          // written to the catalog it has no further consumer — dropping
+          // it here keeps a long-lived serve JVM's block store empty
+          // after build (ServeCacheReleaseSpec pins this)
+          mapping.unpersist(blocking = false)
         }
         d
       })
@@ -1075,6 +1149,7 @@ object EntityResolution {
             mapping, s"${prefix}_mapping", "vec_id", 16)
           pairs.unpersist(blocking = false)
           assigned.unpersist(blocking = false)
+          mapping.unpersist(blocking = false) // CC-internal persist, written out
         }
         d
       })
@@ -1107,10 +1182,16 @@ object EntityResolution {
     * batch's embeddings `list_reverse`d — the q104 recursive-CTE mirror
     * with the update CASE applied in `tn`.
     */
-  def ingestedUpdateResolveServed(s: SparkSession, ingested: () => DataFrame,
-      sourceKey: String, num: Int, den: Int,
-      prefix: String = "graft_q157",
-      isUpd: Column => Column = c => c % 3 === 1): DataFrame = {
+  /** Standing-state build for the ingested-ER serve family (q157/q158):
+    * the §3.1 lifecycle over the ingested keywords — A2 distinct values
+    * → encoder stub → EXACT ε-join → CC — written once per JVM+source as
+    * bucketed catalog tables (terms by vec_id, pairs by u, mapping by
+    * vec_id). Same ordering discipline as the synthetic serve builds:
+    * the source key is recorded only after all three tables land.
+    */
+  private def ensureIngestedErTables(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String): Unit = {
     import s.implicits._
     if (erServedFrom.get(prefix) != sourceKey)
       erServedFrom.compute(prefix, (_, prev) => {
@@ -1131,9 +1212,33 @@ object EntityResolution {
           graft.graph.BucketedStore.writeBucketed(
             mapping, s"${prefix}_mapping", "vec_id", 16)
           terms.unpersist(blocking = false)
+          mapping.unpersist(blocking = false) // CC-internal persist, written out
         }
         sourceKey
       })
+  }
+
+  /** The reference's representative discipline (lexicographic MIN TERM,
+    * `keyword_merger.py:222`) over a merged (vec_id, rep_id) frame: name
+    * every member with its component's minimal term. The rep frame is
+    * one row per component — broadcast by construction.
+    */
+  private def minTermMapping(merged: DataFrame, terms: DataFrame): DataFrame = {
+    val s = merged.sparkSession
+    import s.implicits._
+    val named = merged.join(terms.select($"vec_id", $"term"), "vec_id")
+    val reps = named.groupBy($"rep_id").agg(min($"term").as("representative"))
+    named.join(broadcast(reps), "rep_id")
+      .select($"term".as("original"), $"representative")
+      .orderBy($"original")
+  }
+
+  def ingestedUpdateResolveServed(s: SparkSession, ingested: () => DataFrame,
+      sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q157",
+      isUpd: Column => Column = c => c % 3 === 1): DataFrame = {
+    import s.implicits._
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix)
     val terms = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
     val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
     val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
@@ -1142,21 +1247,51 @@ object EntityResolution {
     // Exact-kernel touching pairs: every ε-pair of the UPDATED universe
     // with at least one batch endpoint (the new-embedding pair set —
     // reversal preserves batch-batch dots, so formerly-linked batch
-    // members resurface here and stay merged). Term universes are
-    // entity-scale by contract (epsPairsOf's guard), so the exact pass
-    // is the right tool; the survivor side is one columnar read of the
-    // stored terms table.
+    // members resurface here and stay merged). SPLIT shape (round-12
+    // verdict item 1 — the updateTouchingPairs:882 discipline applied to
+    // the exact kernel): batch×survivors with the BATCH as the broadcast
+    // build side and the stored terms table streaming through once, plus
+    // a batch×batch pass — so the per-serve driver collect and the
+    // compare count are sized by the batch, never the term universe. The
+    // union is exactly the old `epsPairsOf(survivors ∪ batch)` filtered
+    // to batch-endpoint pairs: cross pairs have disjoint ids (each once,
+    // ordered least/greatest), batch pairs come u<v from epsPairsOf, and
+    // survivor×survivor pairs — ~44% of the old kernel's compares,
+    // computed only to be discarded — are never generated.
     val touching = persistServe(
-      epsPairsOf(terms.filter(!isUpd($"vec_id")).unionByName(updBatch),
-        num, den)
-        .filter(isUpd($"u") || isUpd($"v")))
+      epsPairsAgainst(terms.filter(!isUpd($"vec_id")), updBatch, num, den)
+        .unionByName(epsPairsOf(updBatch, num, den)))
     val merged = mergeUpdate(s, mapping, pairs,
       updBatch.select($"vec_id"), touching, isUpd)
-    val named = merged.join(terms.select($"vec_id", $"term"), "vec_id")
-    val reps = named.groupBy($"rep_id").agg(min($"term").as("representative"))
-    named.join(broadcast(reps), "rep_id")
-      .select($"term".as("original"), $"representative")
-      .orderBy($"original")
+    minTermMapping(merged, terms)
+  }
+
+  /** Build-once/serve-many DELETE resolution over an ingested TERM
+    * universe (q158 — q150's tombstone shape applied to the REAL tagged
+    * ingest; completes the real-ingest serve matrix the round-12 verdict
+    * item 8 asked for, alongside q157's updates). Standing state is the
+    * same terms/pairs/mapping build as q157 (own prefix, the q150/q153
+    * discipline); a serve call needs ZERO ε-join work — the standing
+    * pair set is the EXACT kernel's, so post-delete pairs are literally
+    * the stored subset restricted to survivor endpoints ([[mergeTombstones]]:
+    * dirty components recompute over their survivors, clean components
+    * pass through) — then restores the min-TERM representative over the
+    * surviving terms. Oracle: from-scratch ER over the term universe
+    * MINUS the batch — the q104 recursive-CTE mirror with the delete
+    * predicate applied in `tn`.
+    */
+  def ingestedTombstoneResolveServed(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q158",
+      isDel: Column => Column = c => c % 3 === 2): DataFrame = {
+    import s.implicits._
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix)
+    val terms = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    val pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    val merged = mergeTombstones(s, mapping, pairs, isDel)
+      .select($"vec_id", $"rep_id")
+    minTermMapping(merged, terms)
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
@@ -1205,6 +1340,7 @@ object EntityResolution {
             mapping, s"${prefix}_mapping", "vec_id", 16)
           pairs.unpersist(blocking = false)
           assigned.unpersist(blocking = false)
+          mapping.unpersist(blocking = false) // CC-internal persist, written out
         }
         d
       })

@@ -58,4 +58,29 @@ class IngestedErSpec extends AnyFunSuite {
     val nUpd = terms.filter(col("vec_id") % 3 === 1).count()
     assert(nUpd > 0)
   }
+
+  test("q158 served tombstone merge equals from-scratch ER over the " +
+      "post-delete universe (min-term reps)") {
+    import org.apache.spark.sql.functions._
+    val served = TaggedQueries.queries("q158_tagged_er_tombstones_served")(
+      spark, "").collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    // from-scratch: the term universe MINUS the delete batch through the
+    // exact ε-join + CC + min-term representative
+    val allTerms = EntityResolution.distinctValues(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), Seq("keywords"))
+      .select(col("value").as("term"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("vec_id"),
+        EntityResolution.termEmbedding(col("value")).as("embedding"))
+    val survivors = allTerms.filter(!(col("vec_id") % 3 === 2))
+    val scratch = EntityResolution.aliasMapping(survivors, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    // the delete batch is non-trivial on this fixture, so the equality
+    // above exercises the retraction (not a no-op passthrough)
+    val nDel = allTerms.filter(col("vec_id") % 3 === 2).count()
+    assert(nDel > 0)
+    assert(served.size.toLong === allTerms.count() - nDel)
+  }
 }
