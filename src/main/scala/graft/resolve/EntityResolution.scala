@@ -861,16 +861,20 @@ object EntityResolution {
       graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
     val batch = graft.similarity.Similarity
       .ivfAssignedPinnedSubsetCached(s, d, prefix, notBatch, isBatch)
-    val all = standingAssigned.unionByName(batch)
-    val touching = batch.as("a")
-      .join(all.as("b"),
-        $"a.cid" === $"b.cid" && $"a.vec_id" =!= $"b.vec_id")
-      .withColumn("dot", VectorOps.dot($"a.e", $"b.e"))
-      .filter($"dot" > 0 &&
-        $"dot" * $"dot" * 400 >= $"a.nrm" * $"b.nrm" * 49)
-      .select(least($"a.vec_id", $"b.vec_id").as("u"),
-        greatest($"a.vec_id", $"b.vec_id").as("v"))
-      .distinct()
+    // SPLIT touching join (round 13 — the updateTouchingPairs discipline
+    // applied to inserts): the previous single join probed
+    // `standingAssigned ∪ batch`, and the union erased the stored
+    // table's cid-bucketing, so every serve call re-shuffled and
+    // re-sorted the STANDING CORPUS — the exact defect round 12 fixed
+    // for updates, and after those fixes landed everywhere else this
+    // was the served family's most expensive row (100× serve ~15 s
+    // in the committed r13 sweeps). Insert ids are disjoint from
+    // standing ids, so the update split's shape applies verbatim:
+    // batch×standing keeps the stored bucketing (only the batch
+    // moves), batch×batch is batch-sized, and the old `.distinct()`
+    // (which deduped the self-join's double-oriented batch pairs)
+    // has nothing left to remove.
+    val touching = updateTouchingPairs(standingAssigned, batch)
     mergeIncrement(s, standingMapping, batch.select($"vec_id"), touching)
   }
 
@@ -946,12 +950,14 @@ object EntityResolution {
       .orderBy($"vec_id")
   }
 
-  /** The new-embedding ε-pairs of an update batch: the re-embedded rows
-    * against the retraction survivors sharing a cell, plus each other.
-    * Shared by the inline (q151) and served (q155) update paths — the
-    * SURVIVOR side arrives as the caller's standing frame filtered by
-    * `!isUpd` (a filter, never a join: the served caller's stored
-    * assigned table keeps its cid-bucketed layout into this join).
+  /** The new-embedding ε-pairs of a batch: the batch rows against the
+    * standing survivors sharing a cell, plus each other. Shared by the
+    * inline (q151) and served (q155) update paths — where the SURVIVOR
+    * side arrives as the caller's standing frame filtered by `!isUpd`
+    * (a filter, never a join: the served caller's stored assigned table
+    * keeps its cid-bucketed layout into this join) — and, since round
+    * 13, by the q143 insert serve, whose batch ids are likewise
+    * disjoint from the standing side.
     */
   private def updateTouchingPairs(survivors: DataFrame,
       updBatch: DataFrame): DataFrame = {

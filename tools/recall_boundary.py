@@ -117,3 +117,23 @@ for lo in (3, 4):
                         break
                 cells.append(cs)
             evaluate(f"margin lo={lo} hi={hi} delta={delta}", cells)
+
+# Extended grid (round 13): at the 10x replica the WHOLE family's
+# pair recall declines (k grows as sqrt(n); cross-cell pair spread
+# rises) — probe deeper hi rungs to document what a margin/hi retune
+# would buy before deciding whether q152's 4+margin point moves.
+for lo in (4,):
+    for hi in (8, 10):
+        for delta in (0.1, 0.2, 0.3):
+            cells = []
+            for i in range(n):
+                cs = list(order[i, :lo])
+                for r in range(lo, min(hi, order.shape[1])):
+                    if skey[i, 0] - skey[i, r] <= delta:
+                        cs.append(order[i, r])
+                    else:
+                        break
+                cells.append(cs)
+            evaluate(f"margin lo={lo} hi={hi} delta={delta}", cells)
+for npb in (8, 10):
+    evaluate(f"uniform nprobe={npb}", [order[i, :npb] for i in range(n)])
