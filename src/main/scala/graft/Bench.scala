@@ -217,7 +217,8 @@ object Bench {
       "q143_er_incremental_served", "q147_stream_to_serve",
       "q150_er_tombstones_served", "q153_er_tombstones_sparse",
       "q155_er_updates_served", "q156_er_updates_sparse",
-      "q157_tagged_er_updates_served", "q158_tagged_er_tombstones_served")
+      "q157_tagged_er_updates_served", "q158_tagged_er_tombstones_served",
+      "q159_tagged_er_inserts_served")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

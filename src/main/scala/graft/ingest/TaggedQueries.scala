@@ -175,6 +175,18 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // The INSERT serve — the real-ingest matrix's third cell (inserts
+    // here / deletes q158 / updates q157): standing state over the
+    // pre-insert (md5-id ≢ 1 mod 3) subset; the serve call embeds the
+    // arriving batch, pairs it with the batch-side exact kernel, and
+    // mergeIncrement converges to ER over the FULL universe — so the
+    // oracle is exactly q104's recursive CTE (a cross-path check
+    // against the q104/q128 gates).
+    "q159_tagged_er_inserts_served" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedInsertResolveServed(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -474,6 +486,9 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT original, representative FROM tmap ORDER BY original""",
     "q158_tagged_er_tombstones_served" ->
       s"""WITH RECURSIVE $erDeleteSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q159_tagged_er_inserts_served" ->
+      s"""WITH RECURSIVE $erSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->
       s"""WITH RECURSIVE $erSql,

@@ -1197,7 +1197,8 @@ object EntityResolution {
     */
   private def ensureIngestedErTables(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
-      prefix: String): Unit = {
+      prefix: String,
+      keep: Column => Column = _ => lit(true)): Unit = {
     import s.implicits._
     if (erServedFrom.get(prefix) != sourceKey)
       erServedFrom.compute(prefix, (_, prev) => {
@@ -1207,6 +1208,10 @@ object EntityResolution {
               conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
                 .as("vec_id"),
               termEmbedding(col("value")).as("embedding"))
+            // `keep`: the q159 insert serve builds its standing state
+            // over the PRE-INSERT subset of the universe; default keeps
+            // everything (q157/q158)
+            .filter(keep(col("vec_id")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val pairs = epsPairsOf(terms, num, den)
           val mapping =
@@ -1298,6 +1303,46 @@ object EntityResolution {
     val merged = mergeTombstones(s, mapping, pairs, isDel)
       .select($"vec_id", $"rep_id")
     minTermMapping(merged, terms)
+  }
+
+  /** Build-once/serve-many INSERT resolution over an ingested TERM
+    * universe (q159 — q143's insert shape applied to the REAL tagged
+    * ingest; the third cell of the real-ingest serve matrix, after
+    * updates q157 and deletes q158). Standing state is the q157 build
+    * over the PRE-INSERT subset (`!isNew`); a serve call embeds the
+    * ARRIVING batch (in a deployment, the new day's documents — here
+    * the fixture's `isNew` terms; the parse cost is the new documents,
+    * not the standing corpus), pairs it with the batch-side exact
+    * kernel ([[epsPairsAgainst]] + batch×batch), and merges via
+    * [[mergeIncrement]] (star edges reproduce standing connectivity;
+    * only touched components recompute). Since standing pairs ∪
+    * batch-endpoint pairs = ALL exact pairs of the full universe, the
+    * result converges to from-scratch ER over the whole universe —
+    * whose oracle is EXACTLY q104's recursive CTE, making q159 a
+    * cross-path check against the q104/q128 gates.
+    */
+  def ingestedInsertResolveServed(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q159",
+      isNew: Column => Column = c => c % 3 === 1): DataFrame = {
+    import s.implicits._
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+      keep = c => !isNew(c))
+    val standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    val batch = persistServe(distinctValues(ingested(), Seq("keywords"))
+      .select(col("value").as("term"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("vec_id"),
+        termEmbedding(col("value")).as("embedding"))
+      .filter(isNew($"vec_id")))
+    val touching = persistServe(
+      epsPairsAgainst(standing, batch, num, den)
+        .unionByName(epsPairsOf(batch, num, den)))
+    val merged = mergeIncrement(s, mapping, batch.select($"vec_id"), touching)
+    minTermMapping(merged.select($"vec_id", $"rep_id"),
+      standing.select($"vec_id", $"term")
+        .unionByName(batch.select($"vec_id", $"term")))
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143

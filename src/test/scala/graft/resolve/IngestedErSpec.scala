@@ -83,4 +83,23 @@ class IngestedErSpec extends AnyFunSuite {
     assert(nDel > 0)
     assert(served.size.toLong === allTerms.count() - nDel)
   }
+
+  test("q159 served insert merge equals from-scratch ER over the full " +
+      "universe (the q104 oracle, reached from pre-insert standing state)") {
+    import org.apache.spark.sql.functions._
+    val served = TaggedQueries.queries("q159_tagged_er_inserts_served")(
+      spark, "").collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val scratch = EntityResolution.ingestedKeywordMapping(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(served === scratch)
+    // the insert batch is non-trivial (at least one arriving term)
+    val nNew = EntityResolution.distinctValues(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), Seq("keywords"))
+      .select(conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+        .as("vec_id"))
+      .filter(col("vec_id") % 3 === 1).count()
+    assert(nNew > 0)
+    assert(served.size > nNew) // standing terms survive alongside the batch
+  }
 }

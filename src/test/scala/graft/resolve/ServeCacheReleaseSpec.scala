@@ -52,6 +52,10 @@ class ServeCacheReleaseSpec extends AnyFunSuite {
     serveReleaseLeavesNoBlocks("q157_tagged_er_updates_served")
   }
 
+  test("q159 tagged insert serve + release leaves the block store empty") {
+    serveReleaseLeavesNoBlocks("q159_tagged_er_inserts_served")
+  }
+
   test("AnswerService.answer releases serve caches after materialization") {
     // the request-loop wiring itself: route one answer over the serve
     // graph, then check the registry without calling release manually
