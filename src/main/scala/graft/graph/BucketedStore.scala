@@ -128,6 +128,25 @@ object BucketedStore {
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  /** Replace a bucketed table with a frame whose plan may READ the table
+    * being replaced (the standing-state advance: the day's merged mapping
+    * is computed FROM the current mapping table). An in-place Overwrite
+    * would fail Spark's cannot-overwrite-path-being-read check — so this
+    * is the compact/ChatStore swap applied to replacement: fully
+    * materialize `df` under a temp name first (the source table still
+    * exists while the plan runs), then drop + rename. Crash window is the
+    * same drop-done/rename-pending sliver, with the complete `_next`
+    * table as the recovery copy.
+    */
+  def replaceBucketed(df: DataFrame, table: String, key: String,
+                      buckets: Int = 16): Unit = {
+    val s = df.sparkSession
+    val tmp = table + "_next"
+    writeBucketed(df, tmp, key, buckets)
+    dropManagedPurging(s, table)
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Hive-style partitioned layout — the OTHER write-time pruning lever:
     * one directory per `keys` value combination, so an equality filter on
     * a partition column is resolved from directory listings and the scan

@@ -187,6 +187,18 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // The MULTI-DAY insert lifecycle (q159's production sequel): day-1
+    // batch served against the day-0 (md5-id ≡ 0 mod 3) standing state,
+    // then FOLDED IN (mapping swap + bucket-aligned pair/term appends +
+    // final compaction); day-2 (≡ 2 mod 3) serves against the ADVANCED
+    // state. Converges to ER over the full universe — q104's recursive
+    // CTE again, so the advance machinery is gated by the same oracle
+    // that gates the from-scratch, encoded, and single-day insert paths.
+    "q160_tagged_er_multiday" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedMultidayInsertServed(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -488,6 +500,9 @@ thk2 AS (SELECT DISTINCT title, kw
       s"""WITH RECURSIVE $erDeleteSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q159_tagged_er_inserts_served" ->
+      s"""WITH RECURSIVE $erSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q160_tagged_er_multiday" ->
       s"""WITH RECURSIVE $erSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->

@@ -1195,6 +1195,17 @@ object EntityResolution {
     * vec_id). Same ordering discipline as the synthetic serve builds:
     * the source key is recorded only after all three tables land.
     */
+  /** The ingested ER term universe in serve shape: one row per distinct
+    * keyword with its md5-derived vec_id and quantized embedding — the
+    * frame every real-ingest build and batch construction starts from.
+    */
+  private[resolve] def embedTermUniverse(ingested: DataFrame): DataFrame =
+    distinctValues(ingested, Seq("keywords"))
+      .select(col("value").as("term"),
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
+          .as("vec_id"),
+        termEmbedding(col("value")).as("embedding"))
+
   private def ensureIngestedErTables(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
       prefix: String,
@@ -1203,11 +1214,7 @@ object EntityResolution {
     if (erServedFrom.get(prefix) != sourceKey)
       erServedFrom.compute(prefix, (_, prev) => {
         if (prev != sourceKey) {
-          val terms = distinctValues(ingested(), Seq("keywords"))
-            .select(col("value").as("term"),
-              conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
-                .as("vec_id"),
-              termEmbedding(col("value")).as("embedding"))
+          val terms = embedTermUniverse(ingested())
             // `keep`: the q159 insert serve builds its standing state
             // over the PRE-INSERT subset of the universe; default keeps
             // everything (q157/q158)
@@ -1234,7 +1241,7 @@ object EntityResolution {
     * every member with its component's minimal term. The rep frame is
     * one row per component — broadcast by construction.
     */
-  private def minTermMapping(merged: DataFrame, terms: DataFrame): DataFrame = {
+  private[resolve] def minTermMapping(merged: DataFrame, terms: DataFrame): DataFrame = {
     val s = merged.sparkSession
     import s.implicits._
     val named = merged.join(terms.select($"vec_id", $"term"), "vec_id")
@@ -1330,12 +1337,8 @@ object EntityResolution {
       keep = c => !isNew(c))
     val standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
     val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
-    val batch = persistServe(distinctValues(ingested(), Seq("keywords"))
-      .select(col("value").as("term"),
-        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long")
-          .as("vec_id"),
-        termEmbedding(col("value")).as("embedding"))
-      .filter(isNew($"vec_id")))
+    val batch = persistServe(
+      embedTermUniverse(ingested()).filter(isNew($"vec_id")))
     val touching = persistServe(
       epsPairsAgainst(standing, batch, num, den)
         .unionByName(epsPairsOf(batch, num, den)))
@@ -1343,6 +1346,71 @@ object EntityResolution {
     minTermMapping(merged.select($"vec_id", $"rep_id"),
       standing.select($"vec_id", $"term")
         .unionByName(batch.select($"vec_id", $"term")))
+  }
+
+  /** MULTI-DAY insert lifecycle over the ingested term universe (q160):
+    * q159 serves every batch against frozen day-0 state — this is the
+    * production sequel, where each day's served batch is FOLDED INTO the
+    * standing tables so the next day's batch serves against the advanced
+    * state. Per day: embed the arriving batch, pair it with the
+    * batch-side exact kernel ([[epsPairsAgainst]] + batch×batch — cost
+    * sized by the batch), merge via [[mergeIncrement]], then ADVANCE:
+    *
+    *  1. swap in the merged mapping (`BucketedStore.replaceBucketed` —
+    *     fully materialized under `_next` BEFORE the old mapping is
+    *     dropped, since the merge plan reads it);
+    *  2. append the touching pairs into the standing pair set
+    *     (bucket-aligned append — write cost is the batch's pairs, not
+    *     the corpus; this must precede step 3 because the touching plan
+    *     scans the terms table);
+    *  3. append the batch terms into the standing terms table.
+    *
+    * The advance maintains the serve-matrix invariant: stored pairs =
+    * the exact ε-kernel over the stored terms (standing pairs ∪
+    * batch-endpoint pairs = all pairs of the advanced universe), so
+    * every later serve — the NEXT insert day here, or a delete/update
+    * against the advanced prefix — stays correct without rebuilding.
+    * After the last day the append-grown tables are compacted back to
+    * one sorted file per bucket ([[graft.graph.BucketedStore.compactBucketed]]).
+    *
+    * A lifecycle query mutates its standing state, so each call REPLAYS
+    * the whole sequence from a fresh day-0 build (the per-JVM guard is
+    * cleared first) — unlike the build-once/serve-many q157-q159, whose
+    * state is immutable. Converges to from-scratch ER over the full
+    * universe: the oracle is exactly q104's recursive CTE, and the
+    * day-boundary states are pinned by `IngestedErSpec`.
+    */
+  def ingestedMultidayInsertServed(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q160",
+      day: Column => Column = c => c % 3,
+      days: Seq[Int] = Seq(1, 2)): DataFrame = {
+    import s.implicits._
+    erServedFrom.remove(prefix)
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+      keep = c => day(c) === 0)
+    val universe = persistServe(embedTermUniverse(ingested()))
+    days.foreach { d =>
+      val standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+      val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+      val batch = persistServe(universe.filter(day($"vec_id") === d))
+      val touching = persistServe(
+        epsPairsAgainst(standing, batch, num, den)
+          .unionByName(epsPairsOf(batch, num, den)))
+      val merged = mergeIncrement(s, mapping, batch.select($"vec_id"), touching)
+      graft.graph.BucketedStore.replaceBucketed(
+        merged.select($"vec_id", $"rep_id".as("component")),
+        s"${prefix}_mapping", "vec_id", 16)
+      graft.graph.BucketedStore.appendBucketed(
+        touching, s"${prefix}_pairs", "u", 16)
+      graft.graph.BucketedStore.appendBucketed(
+        batch, s"${prefix}_terms", "vec_id", 16)
+    }
+    graft.graph.BucketedStore.compactBucketed(s, s"${prefix}_terms", "vec_id")
+    graft.graph.BucketedStore.compactBucketed(s, s"${prefix}_pairs", "u")
+    val terms = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+    val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")), terms)
   }
 
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143

@@ -102,4 +102,45 @@ class IngestedErSpec extends AnyFunSuite {
     assert(nNew > 0)
     assert(served.size > nNew) // standing terms survive alongside the batch
   }
+
+  test("q160 multi-day lifecycle: final advanced state equals from-scratch " +
+      "ER over the full universe, and a re-run replays identically") {
+    val run1 = TaggedQueries.queries("q160_tagged_er_multiday")(spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val scratch = EntityResolution.ingestedKeywordMapping(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob), 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(run1 === scratch)
+    // the lifecycle mutates its standing tables; a second call must
+    // replay from a fresh day-0 build and land on the same state
+    val run2 = TaggedQueries.queries("q160_tagged_er_multiday")(spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(run2 === run1)
+  }
+
+  test("q160 day-1 boundary: stopping after the first advance equals " +
+      "from-scratch ER over the day-0 ∪ day-1 subset") {
+    import org.apache.spark.sql.functions._
+    val oneDay = EntityResolution.ingestedMultidayInsertServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q160_day1", days = Seq(1))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    // the day-2 terms are absent: the advanced state is exactly the ER
+    // of the day-0 ∪ day-1 subset — a state NO shared-oracle path
+    // produces, so this pins the advance itself, not just convergence
+    val subset = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .filter(col("vec_id") % 3 =!= 2)
+    val scratch = EntityResolution.aliasMapping(subset, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(oneDay === scratch)
+    assert(oneDay.nonEmpty)
+    // both the standing and the day-1 side are non-trivial
+    val byDay = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .groupBy((col("vec_id") % 3).as("day")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDay.getOrElse(0L, 0L) > 0 && byDay.getOrElse(1L, 0L) > 0)
+  }
 }

@@ -11,7 +11,8 @@ ONLY=$(python3 -c "
 import json
 qs=sorted(set(json.load(open('CORRECTNESS_r12.json')))
           | {'q158_tagged_er_tombstones_served',
-             'q159_tagged_er_inserts_served'})
+             'q159_tagged_er_inserts_served',
+             'q160_tagged_er_multiday'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
