@@ -199,6 +199,18 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // The MIXED-CRUD lifecycle (q160 generalized): day 1 INSERTS the
+    // md5-id ≡ 1 (mod 3) class, day 2 UPDATES the ≡ 2 class (dimension
+    // reversal), day 3 DELETES the ≡ 0 class — each day folded into the
+    // standing state, so later days serve against the advanced tables.
+    // Final state = ER over classes {1, 2-reversed}; the oracle is
+    // q104's recursive CTE with the update CASE and delete predicate
+    // in `tn`.
+    "q161_tagged_er_crud_lifecycle" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedMultidayCrudServed(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -482,6 +494,16 @@ thk2 AS (SELECT DISTINCT title, kw
   private[graft] val erDeleteSql = erSqlAt(576, 625,
     tnWhere = "WHERE tid % 3 <> 2")
 
+  /** [[erSql]] with the q161 lifecycle's NET effect applied in `tn`:
+    * the ≡ 0 (mod 3) class deleted, the ≡ 2 class re-embedded by the
+    * dimension reversal, the ≡ 1 class inserted verbatim — so the
+    * oracle computes from-scratch ER over the post-lifecycle universe
+    * that the three folded advances must converge to bit-for-bit.
+    */
+  private[graft] val erCrudSql = erSqlAt(576, 625,
+    "CASE WHEN tid % 3 = 2 THEN list_reverse(e) ELSE e END",
+    tnWhere = "WHERE tid % 3 <> 0")
+
   def oracles: Map[String, String] = Map(
     "q123_tagged_stream_dedup" ->
       s"""WITH $pipelineSql
@@ -504,6 +526,9 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT original, representative FROM tmap ORDER BY original""",
     "q160_tagged_er_multiday" ->
       s"""WITH RECURSIVE $erSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    "q161_tagged_er_crud_lifecycle" ->
+      s"""WITH RECURSIVE $erCrudSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->
       s"""WITH RECURSIVE $erSql,

@@ -1413,6 +1413,133 @@ object EntityResolution {
     minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")), terms)
   }
 
+  /** MIXED-CRUD multi-day lifecycle over the ingested term universe
+    * (q161): the capstone of the serve matrix. q160 proves the advance
+    * for a stream of INSERT days; a production corpus also retracts and
+    * re-embeds — so here day 1 INSERTS a class of terms, day 2 UPDATES a
+    * class (deterministic re-embedding: dimension reversal, the q151/
+    * q155/q157 stand-in), and day 3 DELETES a class, each folding into
+    * the standing tables so every day serves against the advanced state.
+    *
+    * Per day, the COMPUTE is the corresponding serve kernel — cost
+    * proportional to the batch/affected set, never the corpus:
+    *  - insert: batch-side exact kernel ([[epsPairsAgainst]] +
+    *    batch×batch) + [[mergeIncrement]] (q159/q160's shape);
+    *  - update: new-embedding kernel against the non-updated survivors +
+    *    the fused [[mergeUpdate]] (q157's shape);
+    *  - delete: ZERO ε-join work — [[mergeTombstones]] restricts the
+    *    stored pair set to survivor endpoints (q158's shape).
+    *
+    * The ADVANCE differs by operation. Inserts append (write cost =
+    * the batch, as in q160). Updates and deletes must REMOVE rows —
+    * every stored pair with an updated/deleted endpoint is dead — so
+    * those days rewrite the pair and term stores via
+    * [[graft.graph.BucketedStore.replaceBucketed]]: merge-on-write, one
+    * bucketed corpus write with the same shape and cost as the
+    * `compactBucketed` maintenance q160 already schedules (at a 100 TB
+    * deployment where update/delete days dominate, the lever is
+    * merge-on-read instead — append tombstone/delta sidecars beside the
+    * bucketed files and fold them at read, compacting on a schedule;
+    * the day's COMPUTE is identical either way, so the choice here is
+    * the simpler write path, documented as such). Every advance
+    * maintains the invariant stored-pairs = exact-kernel-over-stored-
+    * terms:
+    *  - insert: standing pairs ∪ batch-endpoint pairs = all pairs of
+    *    the grown universe;
+    *  - update: pairs with both endpoints non-updated are embedding-
+    *    unchanged (kept), pairs with an updated endpoint died with the
+    *    old embedding (dropped), and every new-embedding pair has a
+    *    batch endpoint (the touching set — added);
+    *  - delete: the post-delete kernel is literally the stored subset
+    *    with both endpoints surviving.
+    *
+    * Like q160, a lifecycle query mutates its state, so each call
+    * replays from a fresh day-0 build. The final state is ER over
+    * (day-0 ∪ inserted) terms minus the deleted class, with the updated
+    * class re-embedded — order-independent because the three classes
+    * are disjoint, so the oracle is q104's recursive CTE with the
+    * update CASE and the delete predicate applied in `tn`. The
+    * day-boundary states (which no shared-oracle path produces) are
+    * pinned by `IngestedErSpec` via the `ops` prefix parameter.
+    *
+    * `ops`: the day sequence as (operation, id-class) pairs over
+    * `cls(vec_id)`; day 0 builds over every class NOT later inserted.
+    */
+  def ingestedMultidayCrudServed(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q161",
+      cls: Column => Column = c => c % 3,
+      ops: Seq[(String, Int)] =
+        Seq(("insert", 1), ("update", 2), ("delete", 0))): DataFrame = {
+    import s.implicits._
+    val inserted = ops.collect { case ("insert", k) => k }.toSet
+    erServedFrom.remove(prefix)
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+      keep = c => !inserted.map(k => cls(c) === k)
+        .foldLeft(lit(false))(_ || _))
+    val universe = persistServe(embedTermUniverse(ingested()))
+    // fresh catalog reads each day — the tables advance under these names
+    def standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
+    def mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    def pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    def swapMapping(merged: DataFrame): Unit =
+      graft.graph.BucketedStore.replaceBucketed(
+        merged.select($"vec_id", $"rep_id".as("component")),
+        s"${prefix}_mapping", "vec_id", 16)
+    ops.foreach {
+      case ("insert", k) =>
+        val batch = persistServe(universe.filter(cls($"vec_id") === k))
+        val touching = persistServe(
+          epsPairsAgainst(standing, batch, num, den)
+            .unionByName(epsPairsOf(batch, num, den)))
+        swapMapping(
+          mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
+        graft.graph.BucketedStore.appendBucketed(
+          touching, s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.appendBucketed(
+          batch, s"${prefix}_terms", "vec_id", 16)
+      case ("update", k) =>
+        val isUpd = (c: Column) => cls(c) === k
+        // the batch derives from `universe` (plan reads the ingest),
+        // NOT from the terms table: a memory-pressure recompute after
+        // this day's table swap would otherwise read back the already-
+        // reversed embeddings and reverse them again. Identical rows —
+        // classes are disjoint, so class k is table-resident verbatim.
+        val batch = persistServe(universe.filter(isUpd($"vec_id"))
+          .withColumn("embedding", reverse($"embedding")))
+        val touching = persistServe(
+          epsPairsAgainst(standing.filter(!isUpd($"vec_id")), batch,
+            num, den)
+            .unionByName(epsPairsOf(batch, num, den)))
+        swapMapping(mergeUpdate(s, mapping, pairs,
+          batch.select($"vec_id"), touching, isUpd))
+        // old-embedding pairs die with an updated endpoint; the swap
+        // order (pairs before terms) keeps the touching plan's term
+        // scan valid until nothing reads it anymore
+        graft.graph.BucketedStore.replaceBucketed(
+          pairs.filter(!isUpd($"u") && !isUpd($"v"))
+            .unionByName(touching),
+          s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.replaceBucketed(
+          standing.filter(!isUpd($"vec_id")).unionByName(batch),
+          s"${prefix}_terms", "vec_id", 16)
+      case ("delete", k) =>
+        val isDel = (c: Column) => cls(c) === k
+        swapMapping(mergeTombstones(s, mapping, pairs, isDel)
+          .select($"vec_id", $"rep_id"))
+        graft.graph.BucketedStore.replaceBucketed(
+          pairs.filter(!isDel($"u") && !isDel($"v")),
+          s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.replaceBucketed(
+          standing.filter(!isDel($"vec_id")),
+          s"${prefix}_terms", "vec_id", 16)
+      case (op, _) =>
+        throw new IllegalArgumentException(s"unknown lifecycle op: $op")
+    }
+    minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")),
+      standing)
+  }
+
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
     * pattern applied to deletions): the standing PAIR SET (bucketed by
     * `u` — the key both survivor semi-joins probe) and the standing

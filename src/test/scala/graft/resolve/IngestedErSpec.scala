@@ -143,4 +143,80 @@ class IngestedErSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDay.getOrElse(0L, 0L) > 0 && byDay.getOrElse(1L, 0L) > 0)
   }
+
+  // the q161 lifecycle's net universe: class 0 deleted, class 2
+  // re-embedded by the dimension reversal, class 1 inserted verbatim
+  private def crudNetUniverse = {
+    import org.apache.spark.sql.functions._
+    EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .filter(col("vec_id") % 3 =!= 0)
+      .withColumn("embedding",
+        when(col("vec_id") % 3 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+  }
+
+  test("q161 mixed-CRUD lifecycle: insert, update, and delete days " +
+      "folded in sequence converge to from-scratch ER over the net " +
+      "universe, and a re-run replays identically") {
+    val run1 = TaggedQueries.queries("q161_tagged_er_crud_lifecycle")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val scratch = EntityResolution.aliasMapping(crudNetUniverse, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(run1 === scratch)
+    assert(run1.nonEmpty)
+    val run2 = TaggedQueries.queries("q161_tagged_er_crud_lifecycle")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(run2 === run1)
+  }
+
+  test("q161 update-day boundary: stopping before the delete day equals " +
+      "from-scratch ER over the full universe with class 2 re-embedded") {
+    import org.apache.spark.sql.functions._
+    // insert + update folded, delete not yet applied — a state no
+    // shared-oracle path produces, pinning the UPDATE advance (pair
+    // retract + touching append + term swap) in isolation
+    val twoDays = EntityResolution.ingestedMultidayCrudServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q161_upd",
+      ops = Seq(("insert", 1), ("update", 2)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val subset = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .withColumn("embedding",
+        when(col("vec_id") % 3 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val scratch = EntityResolution.aliasMapping(subset, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(twoDays === scratch)
+    // all three classes are populated, so each day did real work
+    val byCls = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .groupBy((col("vec_id") % 3).as("cls")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(c => byCls.getOrElse(c, 0L) > 0))
+  }
+
+  test("q161 update day splits a component the insert day merged") {
+    import org.apache.spark.sql.functions._
+    // 深度学习 (cls 2) pairs with the day-1 insert 深度学习 (DL) (cls 1,
+    // identical paren-stripped embedding); the day-2 reversal breaks
+    // that pair — so the lifecycle exercises merge-then-split, not just
+    // monotone growth. Verify the net mapping separates them.
+    val net = TaggedQueries.queries("q161_tagged_er_crud_lifecycle")(
+      spark, "").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(net.contains("深度学习") && net.contains("深度学习 (DL)"))
+    assert(net("深度学习") !== net("深度学习 (DL)"))
+    // while on the insert-only boundary they share a representative
+    val merged = EntityResolution.ingestedMultidayCrudServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q161_ins", ops = Seq(("insert", 1)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged("深度学习") === merged("深度学习 (DL)"))
+  }
 }
