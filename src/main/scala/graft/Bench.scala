@@ -218,7 +218,13 @@ object Bench {
       "q150_er_tombstones_served", "q153_er_tombstones_sparse",
       "q155_er_updates_served", "q156_er_updates_sparse",
       "q157_tagged_er_updates_served", "q158_tagged_er_tombstones_served",
-      "q159_tagged_er_inserts_served")
+      "q159_tagged_er_inserts_served",
+      // the snapshot-reset lifecycle: day-0 base tables build once per
+      // JVM (the dedicated build pass); every measured call pays only
+      // the reset + three-day replay. q160/q161 are NOT here — their
+      // lifecycle deliberately rebuilds day 0 per call (no snapshot),
+      // so the build IS the replay cost.
+      "q162_er_crud_lifecycle")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1540,6 +1540,133 @@ object EntityResolution {
       standing)
   }
 
+  /** SYNTHETIC mixed-CRUD lifecycle over the embeddings table (q162):
+    * q161's scale twin. The real-ingest lifecycle runs on a fixed
+    * 7-term fixture, so its 10×/100× sweep cells are flat — this one
+    * folds insert/update/delete days into standing state over the
+    * SF-scaled corpus under the pinned IVF index, so the sweeps measure
+    * the advance machinery where the data actually grows.
+    *
+    * Day 0 is an immutable SNAPSHOT (built once per JVM+source, the
+    * q155 build shape over the pre-insert subset: blocked ε-pairs + CC,
+    * stored as `_base_*` bucketed tables). Each lifecycle call RESETS
+    * the working tables from the snapshot — three bucketed copies, no
+    * ε-join and no CC — then replays the days:
+    *
+    *  - day 1 INSERT (`vec_id % 10 = 9`): q143's serve kernel (cached
+    *    pinned-index batch assignment + [[updateTouchingPairs]] +
+    *    [[mergeIncrement]]), advance by bucket-aligned APPEND — write
+    *    cost is the batch;
+    *  - day 2 UPDATE (`% 10 = 7`): q155's serve kernel (re-embedded
+    *    batch assignment + fused [[mergeUpdate]]), advance by
+    *    merge-on-write REWRITE of the pair/assigned stores (every
+    *    stored pair with an updated endpoint died with the old
+    *    embedding/cell);
+    *  - day 3 DELETE (`% 10 = 5`): q158's zero-ε-join serve
+    *    ([[mergeTombstones]] over the stored pair set), advance by
+    *    rewrite minus the tombstoned rows.
+    *
+    * Every advance maintains stored-pairs = blocked-kernel-over-stored-
+    * assigned (same induction as [[ingestedMultidayCrudServed]], under
+    * the pinned index), so the final mapping equals from-scratch
+    * blocked ER over the net corpus — class 5 deleted, class 7
+    * reversed — with the index still pinned to the pre-insert rule.
+    * That is exactly the q155 oracle with the q150 delete predicate:
+    * `pinnedCcSqlWhere("vec_id % 10 <> 5", CASE ... list_reverse)`.
+    * Cross-path pins in `IncrementalErSpec`: stopping after day 1
+    * reproduces q143's served mapping bit-for-bit, and after day 2
+    * q155's — the lifecycle is the serve matrix composed, so each
+    * boundary state has an independently-gated twin.
+    */
+  def multidayCrudResolveServed(s: SparkSession, d: String,
+      prefix: String = "graft_q162",
+      ops: Seq[(String, Int)] =
+        Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val notBatch = (c: Column) => c % 10 =!= 9 // index pin + day-0 members
+    if (erServedFrom.get(prefix) != d)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != d) {
+          val assigned = graft.similarity.Similarity
+            .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val pairs = epsCellPairsOrdered(assigned)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val mapping =
+            connectedComponents(s, assigned.select($"vec_id"), pairs)
+          graft.graph.BucketedStore.writeBucketed(
+            assigned, s"${prefix}_base_assigned", "cid", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            pairs, s"${prefix}_base_pairs", "u", 16)
+          graft.graph.BucketedStore.writeBucketed(
+            mapping, s"${prefix}_base_mapping", "vec_id", 16)
+          pairs.unpersist(blocking = false)
+          assigned.unpersist(blocking = false)
+          mapping.unpersist(blocking = false) // CC-internal, written out
+        }
+        d
+      })
+    // reset the working tables from the snapshot — the lifecycle
+    // mutates them, so each call replays from day 0 without re-running
+    // the ε-join or the CC
+    Seq(("assigned", "cid"), ("pairs", "u"), ("mapping", "vec_id"))
+      .foreach { case (t, k) =>
+        graft.graph.BucketedStore.replaceBucketed(
+          graft.graph.BucketedStore.table(s, s"${prefix}_base_$t"),
+          s"${prefix}_$t", k, 16)
+      }
+    def assigned = graft.graph.BucketedStore.table(s, s"${prefix}_assigned")
+    def mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
+    def pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    def swapMapping(m: DataFrame): Unit =
+      graft.graph.BucketedStore.replaceBucketed(
+        m.select($"vec_id", $"rep_id".as("component")),
+        s"${prefix}_mapping", "vec_id", 16)
+    ops.foreach {
+      case ("insert", k) =>
+        val batch = persistServe(graft.similarity.Similarity
+          .ivfAssignedPinnedSubsetCached(s, d, prefix, notBatch,
+            c => c % 10 === k))
+        val touching = persistServe(updateTouchingPairs(assigned, batch))
+        swapMapping(
+          mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
+        graft.graph.BucketedStore.appendBucketed(
+          touching, s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.appendBucketed(
+          batch, s"${prefix}_assigned", "cid", 16)
+      case ("update", k) =>
+        val isUpd = (c: Column) => c % 10 === k
+        val batch = persistServe(graft.similarity.Similarity
+          .ivfAssignedPinnedReversedSubsetCached(s, d, prefix, notBatch,
+            isUpd))
+        val touching = persistServe(
+          updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), batch))
+        swapMapping(mergeUpdate(s, mapping, pairs,
+          batch.select($"vec_id"), touching, isUpd))
+        graft.graph.BucketedStore.replaceBucketed(
+          pairs.filter(!isUpd($"u") && !isUpd($"v"))
+            .unionByName(touching),
+          s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.replaceBucketed(
+          assigned.filter(!isUpd($"vec_id")).unionByName(batch),
+          s"${prefix}_assigned", "cid", 16)
+      case ("delete", k) =>
+        val isDel = (c: Column) => c % 10 === k
+        swapMapping(mergeTombstones(s, mapping, pairs, isDel)
+          .select($"vec_id", $"rep_id"))
+        graft.graph.BucketedStore.replaceBucketed(
+          pairs.filter(!isDel($"u") && !isDel($"v")),
+          s"${prefix}_pairs", "u", 16)
+        graft.graph.BucketedStore.replaceBucketed(
+          assigned.filter(!isDel($"vec_id")),
+          s"${prefix}_assigned", "cid", 16)
+      case (op, _) =>
+        throw new IllegalArgumentException(s"unknown lifecycle op: $op")
+    }
+    mapping.select($"vec_id", $"component".as("rep_id")).orderBy($"vec_id")
+  }
+
   /** Build-once/serve-many form of [[tombstoneResolve]] (the q143
     * pattern applied to deletions): the standing PAIR SET (bucketed by
     * `u` — the key both survivor semi-joins probe) and the standing
@@ -1688,6 +1815,14 @@ object EntityResolution {
     "q156_er_updates_sparse" -> ((s, d) => updateResolveServed(s, d,
       prefix = "graft_q156",
       isUpd = c => c % 10000000L % 200 === 7)),
+
+    // The SYNTHETIC mixed-CRUD lifecycle (q161's scale twin): insert,
+    // update, and delete days folded into standing state over the
+    // SF-scaled corpus under the pinned index — the sweeps' measure of
+    // the advance machinery where the data actually grows. Oracle:
+    // from-scratch blocked ER over the net corpus (class 5 deleted,
+    // class 7 reversed), index pinned to the pre-insert rule.
+    "q162_er_crud_lifecycle" -> ((s, d) => multidayCrudResolveServed(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -2012,6 +2147,12 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     "q156_er_updates_sparse" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("TRUE",
         "CASE WHEN (vec_id % 10000000) % 200 = 7 THEN list_reverse(e) ELSE e END")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // the lifecycle's NET effect: class 5 deleted, class 7 re-embedded,
+    // class 9 inserted (present) — index pinned to the pre-insert rule
+    "q162_er_crud_lifecycle" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     "q54_pagerank" ->
       s"""WITH RECURSIVE $blockedCcSql,

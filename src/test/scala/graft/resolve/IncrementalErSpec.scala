@@ -264,4 +264,43 @@ class IncrementalErSpec extends AnyFunSuite {
       assert(upd === scratch(reEmbedded), s"update diverged at seed $seed")
     }
   }
+
+  /** The q162 lifecycle is the serve matrix COMPOSED, so each boundary
+    * state has an independently-gated twin: stopping after the insert
+    * day must reproduce q143's served merge bit-for-bit (same standing
+    * state, same kernel — only the advance machinery differs), and
+    * stopping after the update day must reproduce q155's served merge
+    * over the full corpus (after day 1 the advanced tables hold exactly
+    * q155's standing state: full-corpus assignment + blocked kernel
+    * under the pre-insert pin). The full three-day state is gated by
+    * the DuckDB oracle; here we pin replay idempotence (the working
+    * tables reset from the immutable snapshot every call).
+    */
+  test("q162 lifecycle boundaries reproduce the served matrix; replay is idempotent") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val day1 = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q162_d1", ops = Seq(("insert", 9)))
+      .as[(Long, Long)].collect().toSeq
+    val q143 = EntityResolution.incrementalResolveServed(spark, d,
+      prefix = "graft_q162_q143ref")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(day1 === q143)
+    val day2 = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q162_d2", ops = Seq(("insert", 9), ("update", 7)))
+      .as[(Long, Long)].collect().toSeq
+    val q155 = EntityResolution.updateResolveServed(spark, d,
+      prefix = "graft_q162_q155ref")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(day2 === q155)
+    val full1 = EntityResolution.multidayCrudResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val full2 = EntityResolution.multidayCrudResolveServed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(full1 === full2)
+    assert(full1.nonEmpty)
+    // the delete day actually removed its class and kept the others
+    assert(full1.forall(_._1 % 10 != 5))
+    assert(full1.exists(_._1 % 10 == 9) && full1.exists(_._1 % 10 == 7))
+  }
 }

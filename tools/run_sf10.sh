@@ -13,7 +13,8 @@ qs=sorted(set(json.load(open('CORRECTNESS_r12.json')))
           | {'q158_tagged_er_tombstones_served',
              'q159_tagged_er_inserts_served',
              'q160_tagged_er_multiday',
-             'q161_tagged_er_crud_lifecycle'})
+             'q161_tagged_er_crud_lifecycle',
+             'q162_er_crud_lifecycle'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
