@@ -1607,18 +1607,32 @@ object EntityResolution {
         }
         d
       })
-    // reset the working tables from the snapshot — the lifecycle
-    // mutates them, so each call replays from day 0 without re-running
-    // the ε-join or the CC
-    Seq(("assigned", "cid"), ("pairs", "u"), ("mapping", "vec_id"))
-      .foreach { case (t, k) =>
-        graft.graph.BucketedStore.replaceBucketed(
-          graft.graph.BucketedStore.table(s, s"${prefix}_base_$t"),
-          s"${prefix}_$t", k, 16)
-      }
-    def assigned = graft.graph.BucketedStore.table(s, s"${prefix}_assigned")
-    def mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
-    def pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    // COPY-ON-ADVANCE reset: a naive replay would copy all three base
+    // tables into working names up front — but the mapping copy is pure
+    // waste (the first day's swap overwrites it) and the pairs/assigned
+    // copies can fuse with the first day's advance (base ∪ delta is one
+    // write, vs copy-the-corpus THEN append). So the working tables are
+    // dropped here and reads fall back to the immutable base snapshot
+    // until a day's advance materializes the working name. Removes
+    // three corpus-sized writes per call; MEASURED NEUTRAL at the 100×
+    // fixture (replay 40.2 → 41.7 s, within noise) because the replay
+    // there is dominated by the three serve kernels themselves
+    // (≈ q143's 16 s + q155's 8 s + q150's 4.5 s at 100×) plus the
+    // advance swaps — the write saving only matters once the corpus
+    // bytes outgrow the fixed job overhead, which an 8-dim 200k-row
+    // fixture never does. Kept for the asymptotics, like the q143
+    // split.
+    Seq("assigned", "pairs", "mapping").foreach { t =>
+      graft.graph.BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
+    }
+    def live(t: String): Boolean =
+      s.catalog.tableExists(s"${prefix}_$t")
+    def read(t: String): DataFrame =
+      graft.graph.BucketedStore.table(s,
+        if (live(t)) s"${prefix}_$t" else s"${prefix}_base_$t")
+    def assigned = read("assigned")
+    def mapping = read("mapping")
+    def pairs = read("pairs")
     def swapMapping(m: DataFrame): Unit =
       graft.graph.BucketedStore.replaceBucketed(
         m.select($"vec_id", $"rep_id".as("component")),
@@ -1631,10 +1645,22 @@ object EntityResolution {
         val touching = persistServe(updateTouchingPairs(assigned, batch))
         swapMapping(
           mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
-        graft.graph.BucketedStore.appendBucketed(
-          touching, s"${prefix}_pairs", "u", 16)
-        graft.graph.BucketedStore.appendBucketed(
-          batch, s"${prefix}_assigned", "cid", 16)
+        // bucket-aligned append once the working table exists; on the
+        // first day the append fuses with the base copy (base ∪ delta,
+        // one write) — see the copy-on-advance note above
+        if (live("pairs"))
+          graft.graph.BucketedStore.appendBucketed(
+            touching, s"${prefix}_pairs", "u", 16)
+        else
+          graft.graph.BucketedStore.writeBucketed(
+            read("pairs").unionByName(touching), s"${prefix}_pairs", "u", 16)
+        if (live("assigned"))
+          graft.graph.BucketedStore.appendBucketed(
+            batch, s"${prefix}_assigned", "cid", 16)
+        else
+          graft.graph.BucketedStore.writeBucketed(
+            read("assigned").unionByName(batch),
+            s"${prefix}_assigned", "cid", 16)
       case ("update", k) =>
         val isUpd = (c: Column) => c % 10 === k
         val batch = persistServe(graft.similarity.Similarity
