@@ -56,6 +56,16 @@ class ServeCacheReleaseSpec extends AnyFunSuite {
     serveReleaseLeavesNoBlocks("q159_tagged_er_inserts_served")
   }
 
+  test("q161 mixed-CRUD lifecycle + release leaves the block store empty") {
+    // the lifecycle persists per-day batch/touching frames across three
+    // advances — all request-scoped, so one release must reap them all
+    serveReleaseLeavesNoBlocks("q161_tagged_er_crud_lifecycle")
+  }
+
+  test("q162 synthetic CRUD lifecycle + release leaves the block store empty") {
+    serveReleaseLeavesNoBlocks("q162_er_crud_lifecycle")
+  }
+
   test("AnswerService.answer releases serve caches after materialization") {
     // the request-loop wiring itself: route one answer over the serve
     // graph, then check the registry without calling release manually
