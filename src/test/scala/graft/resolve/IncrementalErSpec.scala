@@ -265,6 +265,58 @@ class IncrementalErSpec extends AnyFunSuite {
     }
   }
 
+  /** Order-independence of the CRUD lifecycle: with disjoint day
+    * classes the net corpus is the same whichever order the insert,
+    * update, and delete days arrive in — so EVERY permutation must land
+    * on from-scratch blocked ER over the net corpus (class 5 absent,
+    * class 7 reversed, class 9 present). This is the property a
+    * production fold pipeline actually relies on (days are scheduled,
+    * not canonical), and it exercises compositions the fixed-order
+    * gates never reach: an insert serving against already-reversed
+    * survivors, a delete running before anything was inserted. The
+    * permutations of one seed share the immutable base snapshot (the
+    * per-JVM guard reuses it), so base reuse is exercised too.
+    */
+  test("random corpora: the CRUD lifecycle equals from-scratch ER under every day order") {
+    import spark.implicits._
+    def axis(i: Int): Seq[Float] =
+      (0 until 6).map(j => if (j == i) 1.0f else 0.0f)
+    def bridge(i: Int, j: Int): Seq[Float] =
+      (0 until 6).map(k => if (k == i || k == j) 0.7071f else 0.0f)
+    val allOps = Seq(("insert", 9), ("update", 7), ("delete", 5))
+    Seq(7L, 21L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ids = 0L +: rnd.shuffle((1L until 50L).toList).take(20)
+      val rows: Seq[(Long, Seq[Float])] = ids.map { id =>
+        id -> (if (rnd.nextInt(3) == 0)
+          bridge(rnd.nextInt(6), rnd.nextInt(6))
+        else axis(rnd.nextInt(6)))
+      }
+      def write(rs: Seq[(Long, Seq[Float])]): String = {
+        val d = java.nio.file.Files
+          .createTempDirectory(s"er_crud$seed").toString
+        rs.toDF("vec_id", "embedding")
+          .selectExpr("vec_id", "embedding", "CAST(0 AS INT) AS label")
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
+      }
+      val d = write(rows)
+      val net = rows.filterNot(_._1 % 10 == 5).map { case (id, e) =>
+        (id, if (id % 10 == 7) e.reverse else e)
+      }
+      val want = graft.SparkEntry.queries("q52_er_blocked")(spark, write(net))
+        .as[(Long, Long)].collect().toSeq
+      (Seq(allOps, allOps.reverse) :+ rnd.shuffle(allOps)).distinct
+        .foreach { ops =>
+          val got = EntityResolution.multidayCrudResolveServed(spark, d,
+            prefix = "graft_q162_prop", ops = ops)
+            .as[(Long, Long)].collect().toSeq
+          assert(got === want,
+            s"lifecycle diverged at seed $seed, order ${ops.map(_._1)}")
+        }
+    }
+  }
+
   /** The q162 lifecycle is the serve matrix COMPOSED, so each boundary
     * state has an independently-gated twin: stopping after the insert
     * day must reproduce q143's served merge bit-for-bit (same standing
