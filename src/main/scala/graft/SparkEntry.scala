@@ -40,7 +40,13 @@ object SparkEntry {
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles)
   )
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** The full oracle-gated registry: every SURVEY.md §2 operator has at
+    * least one entry, and most have several (a direct gate plus the
+    * composed queries that ride it — e.g. the ER serve matrix gates one
+    * kernel per CRUD shape AND the multi-day lifecycles composed from
+    * them), so the registry is larger than the operator inventory by
+    * design: 150+ gates over the ~59-operator surface.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.iterator.map(_._1).reduce(_ ++ _)
 

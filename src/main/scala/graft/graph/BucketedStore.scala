@@ -147,6 +147,123 @@ object BucketedStore {
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  // ---------------------------------------------------------------------
+  // MERGE-ON-READ sidecars (round-13 verdict item 4) — the update/delete
+  // advance alternative to [[replaceBucketed]]'s merge-on-write rewrite.
+  //
+  // replaceBucketed is correct but its write cost is the CORPUS: a 100 TB
+  // tenant whose days are update/delete-dominant rewrites the standing
+  // pair/term stores daily. The merge-on-read layout defers that cost to
+  // scheduled compaction (the Hudi/Iceberg MOR shape, rebuilt here on
+  // plain bucketed parquet + the session catalog):
+  //
+  //  - the BASE table stays immutable (implicit epoch 0);
+  //  - each day APPENDS a `_delta` sidecar (new/re-embedded rows, tagged
+  //    with the day's epoch — bucket-aligned append, write cost = the
+  //    batch) and/or a `_tomb` sidecar (the day's dead ENDPOINT ids +
+  //    epoch — batch-sized);
+  //  - [[readMor]] folds them: (base ∪ deltas) minus every row one of
+  //    whose endpoint ids carries a tombstone with a STRICTLY NEWER
+  //    epoch. Strict comparison is what makes an update one atomic op:
+  //    day d tombstones the updated ids (killing their epoch-0/older
+  //    rows) and appends their re-embedded rows AT epoch d — which the
+  //    d-epoch tombstone does not cover.
+  //
+  // The trade, stated for the planner: the merged view is a union + one
+  // broadcast anti-join per endpoint column, so it no longer advertises
+  // the base's bucketed HashPartitioning — joins against the view
+  // shuffle until [[compactMor]] folds the sidecars back into a fresh
+  // bucketed base (one corpus write on the compaction schedule, not per
+  // day). Tombstones are day-batch-sized by contract, hence the
+  // broadcast: the anti-joins never shuffle the corpus side.
+  // ---------------------------------------------------------------------
+
+  /** Append a day's new/re-embedded rows to `base`'s delta sidecar,
+    * tagged with the day's `epoch` (> 0; the base is epoch 0). The
+    * sidecar is bucketed like the base so compaction stays co-located.
+    */
+  def appendDeltaSidecar(df: DataFrame, base: String, key: String,
+                         epoch: Int, buckets: Int = 16): Unit = {
+    require(epoch > 0, s"delta epoch must be > 0 (base is epoch 0): $epoch")
+    appendBucketed(
+      df.withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch)),
+      s"${base}_delta", key, buckets)
+  }
+
+  /** Append a day's dead endpoint ids to `base`'s tombstone sidecar. A
+    * tombstone (id, epoch) kills every row with that id in ANY endpoint
+    * column and a strictly OLDER epoch — so an update day appends both
+    * this (killing the old rows) and a same-epoch delta (the new rows,
+    * which survive). `ids` must be single-column; tombstones are
+    * day-batch-sized by contract (they are broadcast at read).
+    */
+  def appendTombstoneSidecar(ids: DataFrame, base: String,
+                             epoch: Int): Unit = {
+    require(epoch > 0, s"tombstone epoch must be > 0 (base is epoch 0): $epoch")
+    require(ids.columns.length == 1,
+      s"tombstone frame must be a single id column, got: ${ids.columns.mkString(",")}")
+    ids.toDF("id")
+      .withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch))
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${base}_tomb")
+  }
+
+  /** The merged MOR view of `base` + its sidecars: (base ∪ deltas) minus
+    * every row one of whose `endpoints` ids is tombstoned at a strictly
+    * newer epoch. Missing sidecars fold to the base alone, so callers
+    * read through this unconditionally.
+    */
+  def readMor(s: SparkSession, base: String,
+              endpoints: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val b = s.table(base).withColumn("_epoch", lit(0))
+    val withDelta =
+      if (s.catalog.tableExists(s"${base}_delta"))
+        b.unionByName(s.table(s"${base}_delta"))
+      else b
+    val merged =
+      if (s.catalog.tableExists(s"${base}_tomb")) {
+        endpoints.foldLeft(withDelta) { (acc, ep) =>
+          val tomb = s.table(s"${base}_tomb")
+          acc.join(broadcast(tomb),
+            acc(ep) === tomb("id") && tomb("_epoch") > acc("_epoch"),
+            "left_anti")
+        }
+      } else withDelta
+    merged.drop("_epoch")
+  }
+
+  /** Drop `base`'s sidecars (not the base). A lifecycle replay calls
+    * this at reset; compaction calls it after folding. Unconditional
+    * [[dropManagedPurging]] — NOT gated on `tableExists` — because a
+    * previous JVM's sidecars survive on disk while the in-memory
+    * catalog forgets them; a gated drop would skip the orphaned
+    * directories and the next create-on-append would fail
+    * LOCATION_ALREADY_EXISTS (the same orphan case writeBucketed
+    * handles).
+    */
+  def dropSidecars(s: SparkSession, base: String): Unit =
+    Seq("_delta", "_tomb").foreach(suf => dropManagedPurging(s, base + suf))
+
+  /** Scheduled MOR maintenance: materialize [[readMor]] as a fresh
+    * bucketed+sorted base (temp-write + drop + rename — the merged plan
+    * reads the base being replaced, same discipline as
+    * [[replaceBucketed]]), then drop the folded sidecars. One corpus
+    * write per compaction cycle instead of per update/delete day; after
+    * it, reads are plain bucketed scans again (co-located joins).
+    */
+  def compactMor(s: SparkSession, base: String, key: String,
+                 endpoints: Seq[String], buckets: Int = 16): Unit = {
+    val tmp = base + "_mor_next"
+    writeBucketed(
+      readMor(s, base, endpoints)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      tmp, key, buckets)
+    dropSidecars(s, base)
+    dropManagedPurging(s, base)
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
+  }
+
   /** Hive-style partitioned layout — the OTHER write-time pruning lever:
     * one directory per `keys` value combination, so an equality filter on
     * a partition column is resolved from directory listings and the scan

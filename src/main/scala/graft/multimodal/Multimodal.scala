@@ -78,6 +78,64 @@ object Multimodal {
     s.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** Per-bit ±1 sign table for the 16-bucket perceptual SimHash: bucket
+    * `b`'s contribution to bit `p` is +1 iff the p-th hex digit of
+    * md5(b.toString) is >= '8' — the exact convention of the text
+    * SimHash ([[graft.functions.TextHashes.simhash16]] and the shared
+    * DuckDB mirror), so the q164 oracle reproduces it with its own md5.
+    */
+  private lazy val PhashSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { b =>
+      val hex = md.digest(b.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 16).map(p => if (hex(p) >= '8') 1 else -1).toArray
+    }.toArray
+  }
+
+  /** STUB DECODE → PERCEPTUAL HASH, one batched pass (round-13 verdict
+    * item 8 — the dedup × multimodal composition): a 16-bucket byte
+    * histogram of the payload (the finer-grained sibling of
+    * [[stubDecodeFeatures]]'s 4 buckets — stands in for decoded image
+    * features) is folded into a 16-bit SimHash *inside* the same
+    * `mapPartitions` batch, exactly where a real pipeline computes
+    * pHash/aHash during decode: bit p = sign of the histogram-weighted
+    * ±1 vote over [[PhashSigns]]. Deterministic; swapping in a real
+    * decoder + DCT changes only the loop body, never the operator
+    * shape, schema, or the downstream banded join.
+    */
+  def stubPerceptualHash(assets: DataFrame): DataFrame = {
+    val s = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", StringType)))
+    val signs = PhashSigns // driver-computed constant, ships in the closure
+    val rdd = assets.select(col("doc_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < payload.length) {
+            hist((payload(i) & 0xff) % 16) += 1L
+            i += 1
+          }
+          val bits = new StringBuilder(16)
+          var p = 0
+          while (p < 16) {
+            var acc = 0L
+            var b = 0
+            while (b < 16) { acc += hist(b) * signs(b)(p); b += 1 }
+            bits.append(if (acc > 0) '1' else '0')
+            p += 1
+          }
+          Row(id, bits.toString)
+        }
+      }
+    s.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th byte is a
     * "frame", emitted as (doc_id, frame_idx, frame_byte) — the Spark
     * shape of video frame extraction (explode of a per-asset sample), as
@@ -124,6 +182,47 @@ object Multimodal {
     "q87_mm_frames" -> ((s, d) => {
       import s.implicits._
       sampleFrames(assets(s, d), 64, 4).orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // PERCEPTUAL near-dup for image assets (q37's banded-hamming shape
+    // applied to the decoded-feature hash instead of the token hash):
+    // 16-bit perceptual SimHash from the decode pass, banded into two
+    // 8-bit halves, capped bucket join (MaxBucket — no degenerate band
+    // value can go quadratic), exact hamming <= 3 verified on
+    // candidates only. Scale: the decode pass is embarrassingly
+    // parallel; the join is an equi shuffle on (band, bits) over the
+    // image subset.
+    "q164_mm_perceptual_neardup" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val images = assets(s, d).filter($"meta.kind" === "image")
+      val banded = stubPerceptualHash(images)
+        .select($"doc_id", $"phash",
+          posexplode(array(substring($"phash", 1, 8),
+            substring($"phash", 9, 8))).as(Seq("band", "bits")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ok = banded.groupBy($"band", $"bits")
+        .agg(count(lit(1)).as("bsz"))
+        .filter($"bsz" <= graft.dedup.Dedup.MaxBucket)
+        .select($"band", $"bits")
+      val capped = banded.join(ok, Seq("band", "bits"))
+      val cand = capped.as("a").join(capped.as("b"),
+          $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.phash".as("sa"), $"b.phash".as("sb"))
+        .distinct()
+      val ham = (1 to 16).map(i =>
+        when(substring($"sa", i, 1) === substring($"sb", i, 1), 0)
+          .otherwise(1)).reduce(_ + _)
+      val out = cand.withColumn("hamming", ham.cast("int"))
+        .filter($"hamming" <= 3)
+        .select($"d1", $"d2", $"hamming")
+        .orderBy($"d1", $"d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize, then release the banded signatures
+      banded.unpersist(blocking = false)
+      out
     })
   )
 
@@ -148,6 +247,46 @@ object Multimodal {
                    i -> ascii(text[CAST(i + 1 AS INTEGER)])) AS codes
                FROM documents) t
          ORDER BY doc_id""",
+    // ASCII corpus: the byte histogram the stub "decodes" equals the
+    // character-code histogram, so the full perceptual pipeline —
+    // hist → weighted-majority SimHash (same md5-digit convention as
+    // the text simhashSql) → banded candidates → exact hamming — is
+    // reproduced in SQL.
+    "q164_mm_perceptual_neardup" ->
+      s"""WITH codes AS (
+           SELECT doc_id, list_transform(range(length(text)),
+             i -> ascii(text[CAST(i + 1 AS INTEGER)])) AS cs
+           FROM documents WHERE doc_id % 3 = 0),
+         ph AS (
+           SELECT doc_id,
+             list_aggregate(list_transform(range(1, 17), p ->
+               CASE WHEN list_sum(list_transform(range(0, 16), b ->
+                 CAST(len(list_filter(cs, c -> c % 16 = b)) AS BIGINT) *
+                 (CASE WHEN substring(md5(CAST(b AS VARCHAR)), CAST(p AS INTEGER), 1) >= '8'
+                       THEN 1 ELSE -1 END))) > 0
+               THEN '1' ELSE '0' END), 'string_agg', '') AS sh
+           FROM codes),
+         banded AS (
+           SELECT doc_id, sh, b,
+             CASE WHEN b = 0 THEN substring(sh, 1, 8)
+                  ELSE substring(sh, 9, 8) END AS bits
+           FROM (SELECT doc_id, sh, unnest([0, 1]) AS b FROM ph) t),
+         ok AS (SELECT b, bits FROM banded
+                GROUP BY b, bits HAVING count(*) <= ${graft.dedup.Dedup.MaxBucket}),
+         capped AS (SELECT bd.doc_id, bd.sh, bd.b, bd.bits
+                    FROM banded bd JOIN ok USING (b, bits)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+                           a.sh AS sa, b2.sh AS sb
+           FROM capped a JOIN capped b2
+             ON a.b = b2.b AND a.bits = b2.bits AND a.doc_id < b2.doc_id),
+         h AS (
+           SELECT d1, d2,
+             CAST(list_sum(list_transform(range(1, 17), p ->
+               CASE WHEN substring(sa, p, 1) = substring(sb, p, 1)
+                    THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+           FROM cand)
+         SELECT d1, d2, hamming FROM h WHERE hamming <= 3 ORDER BY d1, d2""",
     "q87_mm_frames" ->
       """SELECT doc_id, frame_idx,
            CAST(ascii(text[CAST(frame_idx * 64 + 1 AS INTEGER)]) AS BIGINT) AS frame_byte

@@ -56,6 +56,20 @@ object AnswerService {
     * the same LLM output), render at most `maxRows` JSON rows into the
     * answer text. Empty result → the reference's no-data phrasing stays
     * caller-visible rather than an empty string.
+    *
+    * CONCURRENCY CONTRACT — single serving thread, stated here at the
+    * entry point (not only in the EntityResolution scaladoc): the
+    * `finally` below drains ONE GLOBAL serve-cache queue, and the
+    * lifecycle queries (q160–q163) drop/replace their shared working
+    * catalog tables per call. Under concurrent requests the cache drain
+    * is merely recompute-only (benign), but two concurrent LIFECYCLE
+    * replays on the same table prefix would drop working tables out
+    * from under each other and return a WRONG mapping, not an error. A
+    * caller that serves concurrently must serialize requests that reach
+    * the lifecycle families (one serving thread, or a per-prefix lock
+    * around `answer`); the reference's FastAPI frame runs one asyncio
+    * event loop (`api_server.py:70-102`), which satisfies this by
+    * construction.
     */
   def answer(g: DocGraph, req: AnswerRequest,
              planner: QueryPlanner = DirectivePlanner,

@@ -1317,9 +1317,7 @@ object EntityResolution {
     * ingest; the third cell of the real-ingest serve matrix, after
     * updates q157 and deletes q158). Standing state is the q157 build
     * over the PRE-INSERT subset (`!isNew`); a serve call embeds the
-    * ARRIVING batch (in a deployment, the new day's documents — here
-    * the fixture's `isNew` terms; the parse cost is the new documents,
-    * not the standing corpus), pairs it with the batch-side exact
+    * ARRIVING batch and pairs it with the batch-side exact
     * kernel ([[epsPairsAgainst]] + batch×batch), and merges via
     * [[mergeIncrement]] (star edges reproduce standing connectivity;
     * only touched components recompute). Since standing pairs ∪
@@ -1327,6 +1325,18 @@ object EntityResolution {
     * result converges to from-scratch ER over the whole universe —
     * whose oracle is EXACTLY q104's recursive CTE, making q159 a
     * cross-path check against the q104/q128 gates.
+    *
+    * SERVE-COST caveat (round-13 ADVICE): the batch here derives from
+    * `embedTermUniverse(ingested()).filter(isNew)` — the `isNew` filter
+    * is applied AFTER the full fixture parse/distinct/embed, so each
+    * serve call's parse cost is the whole (7-term) fixture corpus, not
+    * just the batch. That is a fixture convenience: the gate needs the
+    * batch and the standing subset to come from one deterministic
+    * universe. The deployment analogue passes an already-scoped
+    * `ingested` thunk (the new day's documents only — an arriving-batch
+    * directory or stream offset range), at which point the parse cost
+    * IS the batch; the ε-join and merge below are batch-proportional
+    * either way. Same pattern in the q160/q161 lifecycles' `universe`.
     */
   def ingestedInsertResolveServed(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
@@ -1584,10 +1594,24 @@ object EntityResolution {
         Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    val notBatch = (c: Column) => c % 10 =!= 9 // index pin + day-0 members
-    if (erServedFrom.get(prefix) != d)
+    // Index pin + day-0 membership DERIVED from `ops` (round-13 ADVICE):
+    // day 0 holds every class not later inserted, and the pinned index
+    // trains on exactly that subset — hardwiring class 9 here while
+    // `ops` is a parameter would let an insert op with a different class
+    // silently violate the disjoint-id contract epsPairsAgainst /
+    // updateTouchingPairs / mergeIncrement rely on (batch×survivor
+    // self-pairs, duplicated assigned rows). The guard key and the
+    // pinned-centroid cache tag carry the inserted-class set too, so a
+    // same-prefix call with different ops rebuilds the base snapshot
+    // instead of reusing one built under another pin.
+    val insertedCls = ops.collect { case ("insert", k) => k }.toSet
+    val notBatch = (c: Column) =>
+      insertedCls.map(k => c % 10 =!= k).foldLeft(lit(true))(_ && _)
+    val pinTag = s"$prefix|ins=${insertedCls.toSeq.sorted.mkString(",")}"
+    val snapKey = s"$d|ins=${insertedCls.toSeq.sorted.mkString(",")}"
+    if (erServedFrom.get(prefix) != snapKey)
       erServedFrom.compute(prefix, (_, prev) => {
-        if (prev != d) {
+        if (prev != snapKey) {
           val assigned = graft.similarity.Similarity
             .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1605,7 +1629,7 @@ object EntityResolution {
           assigned.unpersist(blocking = false)
           mapping.unpersist(blocking = false) // CC-internal, written out
         }
-        d
+        snapKey
       })
     // COPY-ON-ADVANCE reset: a naive replay would copy all three base
     // tables into working names up front — but the mapping copy is pure
@@ -1640,7 +1664,7 @@ object EntityResolution {
     ops.foreach {
       case ("insert", k) =>
         val batch = persistServe(graft.similarity.Similarity
-          .ivfAssignedPinnedSubsetCached(s, d, prefix, notBatch,
+          .ivfAssignedPinnedSubsetCached(s, d, pinTag, notBatch,
             c => c % 10 === k))
         val touching = persistServe(updateTouchingPairs(assigned, batch))
         swapMapping(
@@ -1664,7 +1688,7 @@ object EntityResolution {
       case ("update", k) =>
         val isUpd = (c: Column) => c % 10 === k
         val batch = persistServe(graft.similarity.Similarity
-          .ivfAssignedPinnedReversedSubsetCached(s, d, prefix, notBatch,
+          .ivfAssignedPinnedReversedSubsetCached(s, d, pinTag, notBatch,
             isUpd))
         val touching = persistServe(
           updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), batch))
@@ -1688,6 +1712,159 @@ object EntityResolution {
           assigned.filter(!isDel($"vec_id")),
           s"${prefix}_assigned", "cid", 16)
       case (op, _) =>
+        throw new IllegalArgumentException(s"unknown lifecycle op: $op")
+    }
+    mapping.select($"vec_id", $"component".as("rep_id")).orderBy($"vec_id")
+  }
+
+  /** q162 with MERGE-ON-READ advances (q163; round-13 verdict item 4 —
+    * the alternative the q161 scaladoc documented, now implemented):
+    * identical day KERNELS (q143's insert merge, q155's fused update,
+    * q150's zero-ε-join tombstone fold — compute is batch/affected-set-
+    * proportional either way), but the pair/assigned ADVANCE never
+    * rewrites the corpus. Update and delete days append
+    * [[graft.graph.BucketedStore.appendTombstoneSidecar]] rows (the
+    * day's dead ids + epoch) and insert/update days append
+    * [[graft.graph.BucketedStore.appendDeltaSidecar]] rows (the day's
+    * new pairs/assignments + epoch); every read goes through
+    * [[graft.graph.BucketedStore.readMor]], which folds
+    * (base ∪ deltas) minus strictly-newer-epoch tombstoned endpoints.
+    * So each day's WRITE cost is the day's batch — where q162's
+    * update/delete days pay a corpus-sized [[graft.graph.BucketedStore
+    * .replaceBucketed]] rewrite of the pair and assigned stores. The
+    * mapping swap stays merge-on-write in both variants (the day's
+    * result — one narrow corpus write), so a q162-vs-q163 cell isolates
+    * exactly the pair/assigned advance.
+    *
+    * The trade, paid at READ: the merged view is a union + one
+    * broadcast anti-join per endpoint, which erases the base's bucketed
+    * partitioning — the next day's kernels shuffle where q162's reads
+    * were exchange-free — and tombstones must stay broadcast-sized
+    * between compactions ([[graft.graph.BucketedStore.compactMor]] on a
+    * schedule restores the plain bucketed base; a tenant retracting a
+    * corpus-scale fraction in one day compacts immediately instead).
+    * Merge-on-read therefore wins exactly when days are update/delete-
+    * dominant and the corpus:batch ratio is large — the 100 TB shape
+    * the verdict named — and loses at small corpora where the rewrite
+    * was cheap anyway.
+    *
+    * Invariant (same induction as q162, through the MOR view): at every
+    * day boundary, readMor(pairs) = the blocked exact kernel over
+    * readMor(assigned) under the pinned index — inserts append exactly
+    * the batch-endpoint pairs; updates tombstone every old-embedding
+    * pair (an updated endpoint at a strictly older epoch) and append
+    * the new-embedding touching set at the tombstone's own epoch (which
+    * the strict comparison spares); deletes tombstone both stores. So
+    * the final mapping equals q162's bit-for-bit: same oracle
+    * (from-scratch pinned-index ER with class 5 deleted and class 7
+    * reversed), and `IncrementalErSpec` pins q163 ≡ q162 cross-path.
+    * Replays drop the sidecars and working mapping, never the immutable
+    * `_base_*` snapshot (built once per JVM+source, shared shape with
+    * q162's — but under its own prefix so the two lifecycles stay
+    * order-independent in a sweep).
+    */
+  def multidayCrudResolveServedMor(s: SparkSession, d: String,
+      prefix: String = "graft_q163",
+      ops: Seq[(String, Int)] =
+        Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.storage.StorageLevel
+    import graft.graph.BucketedStore
+    // same ops-derived pin/day-0 contract as q162 (round-13 ADVICE)
+    val insertedCls = ops.collect { case ("insert", k) => k }.toSet
+    val notBatch = (c: Column) =>
+      insertedCls.map(k => c % 10 =!= k).foldLeft(lit(true))(_ && _)
+    val pinTag = s"$prefix|ins=${insertedCls.toSeq.sorted.mkString(",")}"
+    val snapKey = s"$d|ins=${insertedCls.toSeq.sorted.mkString(",")}"
+    if (erServedFrom.get(prefix) != snapKey)
+      erServedFrom.compute(prefix, (_, prev) => {
+        if (prev != snapKey) {
+          val assigned = graft.similarity.Similarity
+            .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val pairs = epsCellPairsOrdered(assigned)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val mapping =
+            connectedComponents(s, assigned.select($"vec_id"), pairs)
+          BucketedStore.writeBucketed(
+            assigned, s"${prefix}_base_assigned", "cid", 16)
+          BucketedStore.writeBucketed(
+            pairs, s"${prefix}_base_pairs", "u", 16)
+          BucketedStore.writeBucketed(
+            mapping, s"${prefix}_base_mapping", "vec_id", 16)
+          pairs.unpersist(blocking = false)
+          assigned.unpersist(blocking = false)
+          mapping.unpersist(blocking = false) // CC-internal, written out
+        }
+        snapKey
+      })
+    // replay reset: sidecars + working mapping go; the base snapshot is
+    // immutable (readMor falls back to it alone when no sidecars exist)
+    BucketedStore.dropSidecars(s, s"${prefix}_base_assigned")
+    BucketedStore.dropSidecars(s, s"${prefix}_base_pairs")
+    BucketedStore.dropManagedPurging(s, s"${prefix}_mapping")
+    def assigned = BucketedStore.readMor(s,
+      s"${prefix}_base_assigned", Seq("vec_id"))
+    def pairs = BucketedStore.readMor(s,
+      s"${prefix}_base_pairs", Seq("u", "v"))
+    def mapping = BucketedStore.table(s,
+      if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
+      else s"${prefix}_base_mapping")
+    def swapMapping(m: DataFrame): Unit =
+      BucketedStore.replaceBucketed(
+        m.select($"vec_id", $"rep_id".as("component")),
+        s"${prefix}_mapping", "vec_id", 16)
+    ops.zipWithIndex.foreach {
+      case (("insert", k), i) =>
+        val epoch = i + 1
+        val batch = persistServe(graft.similarity.Similarity
+          .ivfAssignedPinnedSubsetCached(s, d, pinTag, notBatch,
+            c => c % 10 === k))
+        val touching = persistServe(updateTouchingPairs(assigned, batch))
+        swapMapping(
+          mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
+        BucketedStore.appendDeltaSidecar(
+          touching, s"${prefix}_base_pairs", "u", epoch)
+        BucketedStore.appendDeltaSidecar(
+          batch, s"${prefix}_base_assigned", "cid", epoch)
+      case (("update", k), i) =>
+        val epoch = i + 1
+        val isUpd = (c: Column) => c % 10 === k
+        val batch = persistServe(graft.similarity.Similarity
+          .ivfAssignedPinnedReversedSubsetCached(s, d, pinTag, notBatch,
+            isUpd))
+        val touching = persistServe(
+          updateTouchingPairs(assigned.filter(!isUpd($"vec_id")), batch))
+        swapMapping(mergeUpdate(s, mapping, pairs,
+          batch.select($"vec_id"), touching, isUpd))
+        // one atomic op in MOR terms: the epoch-e tombstone kills every
+        // OLD-embedding row (epoch < e) with an updated endpoint; the
+        // same-epoch deltas carry the new rows, which it spares
+        BucketedStore.appendTombstoneSidecar(
+          batch.select($"vec_id"), s"${prefix}_base_pairs", epoch)
+        BucketedStore.appendTombstoneSidecar(
+          batch.select($"vec_id"), s"${prefix}_base_assigned", epoch)
+        BucketedStore.appendDeltaSidecar(
+          touching, s"${prefix}_base_pairs", "u", epoch)
+        BucketedStore.appendDeltaSidecar(
+          batch, s"${prefix}_base_assigned", "cid", epoch)
+      case (("delete", k), i) =>
+        val epoch = i + 1
+        val isDel = (c: Column) => c % 10 === k
+        swapMapping(mergeTombstones(s, mapping, pairs, isDel)
+          .select($"vec_id", $"rep_id"))
+        val dead = assigned.filter(isDel($"vec_id")).select($"vec_id")
+        BucketedStore.appendTombstoneSidecar(
+          dead, s"${prefix}_base_pairs", epoch)
+        // the second sidecar reads the FIRST one's just-written rows:
+        // `dead`'s own plan scans the assigned MOR view — including
+        // `_base_assigned_tomb` — so appending it to that same table
+        // would write a table its plan is reading
+        BucketedStore.appendTombstoneSidecar(
+          s.table(s"${prefix}_base_pairs_tomb")
+            .filter($"_epoch" === epoch).select($"id"),
+          s"${prefix}_base_assigned", epoch)
+      case ((op, _), _) =>
         throw new IllegalArgumentException(s"unknown lifecycle op: $op")
     }
     mapping.select($"vec_id", $"component".as("rep_id")).orderBy($"vec_id")
@@ -1849,6 +2026,13 @@ object EntityResolution {
     // from-scratch blocked ER over the net corpus (class 5 deleted,
     // class 7 reversed), index pinned to the pre-insert rule.
     "q162_er_crud_lifecycle" -> ((s, d) => multidayCrudResolveServed(s, d)),
+    // q162 with MERGE-ON-READ advances: identical day kernels, but
+    // update/delete days append tombstone/delta sidecars instead of
+    // rewriting the corpus-sized pair/assigned stores — the
+    // update-dominant 100 TB advance shape. Same oracle as q162 (the
+    // advance layout must be invisible in the mapping).
+    "q163_er_crud_lifecycle_mor" ->
+      ((s, d) => multidayCrudResolveServedMor(s, d)),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -2177,6 +2361,11 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // the lifecycle's NET effect: class 5 deleted, class 7 re-embedded,
     // class 9 inserted (present) — index pinned to the pre-insert rule
     "q162_er_crud_lifecycle" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // merge-on-read advance layout: same net state, same oracle as q162
+    "q163_er_crud_lifecycle_mor" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
         "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",

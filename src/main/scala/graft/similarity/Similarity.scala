@@ -49,6 +49,23 @@ object Similarity {
   private[graft] val HierThresholdConf = "spark.graft.ivf.hierThreshold"
   private val HierThresholdDefault = 256
 
+  /** Boundary-adaptive SemDeDup probe knobs as RUNTIME conf (round-13
+    * verdict item 5): `lo` cells are probed unconditionally, ranks
+    * lo+1..`hi` only within `margin` of the vector's best cell in
+    * signed-cos² key space. Compile-time defaults (4 / 6 / 0.1) are the
+    * shipped design point every oracle gate and committed number was
+    * taken at — the q152 DuckDB mirror interpolates EXACTLY these, so
+    * like [[SpacingConf]] these must never be set under the correctness
+    * gate. A 100 TB deployment tunes recall against its own embedding
+    * geometry instead of recompiling: the committed retune grid
+    * (`bench/r13_recall_boundary_sf1_ext.txt`) maps the frontier — e.g.
+    * lo=4 hi=10 margin=0.2 reads 0.939 pair / 0.998 drop recall at 10×
+    * for ~3.5× the candidate work of the default point.
+    */
+  private[graft] val SemLoConf = "spark.graft.semdedup.lo"
+  private[graft] val SemHiConf = "spark.graft.semdedup.hi"
+  private[graft] val SemMarginConf = "spark.graft.semdedup.margin"
+
   /** Centroid spacing: every `m`-th vector is a centroid, with
     * m = max(50, floor(sqrt(n))). At the oracle SFs (n ≤ 2500) this is
     * exactly the fixed 50 of rounds 1–5, so gated results are unchanged;
@@ -475,6 +492,10 @@ object Similarity {
       lo: Int = 4, hi: Int = 6, margin: Double = 0.1): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
+    require(lo >= 1 && hi >= lo && margin >= 0,
+      s"semdedup knobs out of range: lo=$lo hi=$hi margin=$margin " +
+        s"(need 1 <= lo <= hi, margin >= 0; set via $SemLoConf/" +
+        s"$SemHiConf/$SemMarginConf)")
     val cents = kmeansCentroids(s, d, 2)
     val centDf = cents.toDF("cid", "ce", "cnrm")
     val keyed = quantized(s, d)
@@ -755,8 +776,11 @@ object Similarity {
     // pair recall at every gated SF for less pair work than the uniform
     // rung that clears it — extra probes spent only on vectors whose
     // best-cell key is within 0.1 of further cells (the boundary set).
-    "q152_semantic_dedup_boundary" ->
-      ((s, d) => semanticDedupBoundary(s, d)),
+    "q152_semantic_dedup_boundary" -> ((s, d) => semanticDedupBoundary(s, d,
+      lo = s.conf.getOption(SemLoConf).map(_.toInt).getOrElse(4),
+      hi = s.conf.getOption(SemHiConf).map(_.toInt).getOrElse(6),
+      margin = s.conf.getOption(SemMarginConf).map(_.toDouble)
+        .getOrElse(0.1))),
 
     "q133_semantic_dedup" -> ((s, d) => {
       import s.implicits._

@@ -72,6 +72,68 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("authored_app_compact"))
   }
 
+  /** Merge-on-read sidecars (round-13 verdict item 4): the epoch fold
+    * rules — delta rows visible, a tombstone kills strictly-OLDER rows
+    * of its id in any endpoint column (so an update's same-epoch delta
+    * survives its own tombstone), later tombstones kill earlier deltas,
+    * missing sidecars fold to the base alone — and compaction: the
+    * folded base equals the merged view, the sidecars are gone, and
+    * joins against it are exchange-free again.
+    */
+  test("merge-on-read sidecars: epoch fold rules and compaction") {
+    // pair-shaped base with two endpoint columns, keyed by u
+    val base = Seq((1L, 2L, "a"), (3L, 4L, "b"), (5L, 6L, "c"))
+      .toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_pairs", "u", buckets = 4)
+
+    def view() = BucketedStore.readMor(spark, "mor_pairs", Seq("u", "v"))
+      .as[(Long, Long, String)].collect().toSet
+
+    // no sidecars → the base alone
+    assert(view() === base.as[(Long, Long, String)].collect().toSet)
+
+    // epoch 1: delete id 4 (kills base row (3,4) via endpoint v), and
+    // an UPDATE of id 2 — tombstone 2 + same-epoch delta (1,2,"a2"):
+    // the strict comparison must kill the epoch-0 (1,2,"a") and keep
+    // the epoch-1 replacement
+    BucketedStore.appendTombstoneSidecar(
+      Seq(4L, 2L).toDF("id"), "mor_pairs", epoch = 1)
+    BucketedStore.appendDeltaSidecar(
+      Seq((1L, 2L, "a2")).toDF("u", "v", "tag"), "mor_pairs", "u", epoch = 1)
+    assert(view() === Set((1L, 2L, "a2"), (5L, 6L, "c")))
+
+    // epoch 2: a later tombstone kills the earlier delta too
+    BucketedStore.appendTombstoneSidecar(
+      Seq(1L).toDF("id"), "mor_pairs", epoch = 2)
+    val afterE2 = Set((5L, 6L, "c"))
+    assert(view() === afterE2)
+
+    // invalid sidecar appends fail loudly
+    intercept[IllegalArgumentException] {
+      BucketedStore.appendDeltaSidecar(base, "mor_pairs", "u", epoch = 0)
+    }
+    intercept[IllegalArgumentException] {
+      BucketedStore.appendTombstoneSidecar(
+        Seq((1L, 2L)).toDF("a", "b"), "mor_pairs", epoch = 3)
+    }
+
+    // compaction folds the sidecars into a fresh bucketed base…
+    BucketedStore.compactMor(spark, "mor_pairs", "u", Seq("u", "v"),
+      buckets = 4)
+    assert(view() === afterE2, "compaction must not change the merged view")
+    assert(!spark.catalog.tableExists("mor_pairs_delta") &&
+      !spark.catalog.tableExists("mor_pairs_tomb") &&
+      !spark.catalog.tableExists("mor_pairs_mor_next"))
+    // …whose self-join is exchange-free again (the MOR view's union +
+    // anti-joins erase the advertised bucketing; the folded base
+    // restores it)
+    val t = BucketedStore.table(spark, "mor_pairs")
+    val plan = t.as("a").join(t.as("b"), Seq("u"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"post-compact MOR base join shuffles:\n$plan")
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("partstore").toString

@@ -46,4 +46,29 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(max($"count")).as[Long].head()
     assert(counts <= 4)
   }
+
+  test("perceptual near-dup: identical payloads pair at hamming 0; partitioning preserved") {
+    // two image-kind assets (doc_id % 3 == 0) with byte-identical
+    // payloads MUST share a perceptual hash and surface as a hamming-0
+    // pair; a third, byte-disjoint payload must not pair with them
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "XXXXXXYYYYYYZZZZZZ")).toDF("doc_id", "text")
+    val assets = rows.select($"doc_id",
+      encode($"text", "UTF-8").as("payload"),
+      struct(lit("image").as("kind"),
+        octet_length(encode($"text", "UTF-8")).as("n_bytes"),
+        lit(1L).as("width"), lit(1L).as("height")).as("meta"))
+    val ph = Multimodal.stubPerceptualHash(assets.repartition(5))
+    assert(ph.rdd.getNumPartitions === 5)
+    val hashes = ph.as[(Long, String)].collect().toMap
+    assert(hashes(0L) === hashes(3L),
+      "identical payloads must hash identically")
+    assert(hashes.values.forall(h => h.length == 16 &&
+      h.forall(c => c == '0' || c == '1')))
+    // determinism: a second pass produces the same hashes
+    assert(Multimodal.stubPerceptualHash(assets)
+      .as[(Long, String)].collect().toMap === hashes)
+  }
 }

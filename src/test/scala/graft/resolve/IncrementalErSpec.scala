@@ -313,6 +313,13 @@ class IncrementalErSpec extends AnyFunSuite {
             .as[(Long, Long)].collect().toSeq
           assert(got === want,
             s"lifecycle diverged at seed $seed, order ${ops.map(_._1)}")
+          // the MOR-advance twin must agree under every order too — the
+          // sidecar fold is the only thing that differs
+          val gotMor = EntityResolution.multidayCrudResolveServedMor(spark,
+            d, prefix = "graft_q163_prop", ops = ops)
+            .as[(Long, Long)].collect().toSeq
+          assert(gotMor === want,
+            s"MOR lifecycle diverged at seed $seed, order ${ops.map(_._1)}")
         }
     }
   }
@@ -345,14 +352,33 @@ class IncrementalErSpec extends AnyFunSuite {
       prefix = "graft_q162_q155ref")
       .orderBy("vec_id").as[(Long, Long)].collect().toSeq
     assert(day2 === q155)
-    val full1 = EntityResolution.multidayCrudResolveServed(spark, d)
+    // own prefix, NOT the registry default: suites run in parallel on
+    // the shared session, and ServeCacheReleaseSpec replays the q162
+    // registry entry (prefix graft_q162) concurrently — a lifecycle
+    // replay mutates its working tables, so two replays on one prefix
+    // race (the documented single-serving-thread contract; in a sweep
+    // each query runs alone, in the suite each test keeps its own
+    // prefix)
+    val full1 = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q162_full")
       .as[(Long, Long)].collect().toSeq
-    val full2 = EntityResolution.multidayCrudResolveServed(spark, d)
+    val full2 = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q162_full")
       .as[(Long, Long)].collect().toSeq
     assert(full1 === full2)
     assert(full1.nonEmpty)
     // the delete day actually removed its class and kept the others
     assert(full1.forall(_._1 % 10 != 5))
     assert(full1.exists(_._1 % 10 == 9) && full1.exists(_._1 % 10 == 7))
+    // the MOR-advance twin (q163) produces the identical mapping — the
+    // sidecar fold must be invisible in the result — and replays
+    // idempotently off its immutable base + dropped sidecars
+    val mor1 = EntityResolution.multidayCrudResolveServedMor(spark, d,
+      prefix = "graft_q163_full")
+      .as[(Long, Long)].collect().toSeq
+    val mor2 = EntityResolution.multidayCrudResolveServedMor(spark, d,
+      prefix = "graft_q163_full")
+      .as[(Long, Long)].collect().toSeq
+    assert(mor1 === full1 && mor2 === full1)
   }
 }

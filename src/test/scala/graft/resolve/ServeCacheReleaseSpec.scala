@@ -66,6 +66,10 @@ class ServeCacheReleaseSpec extends AnyFunSuite {
     serveReleaseLeavesNoBlocks("q162_er_crud_lifecycle")
   }
 
+  test("q163 MOR CRUD lifecycle + release leaves the block store empty") {
+    serveReleaseLeavesNoBlocks("q163_er_crud_lifecycle_mor")
+  }
+
   test("AnswerService.answer releases serve caches after materialization") {
     // the request-loop wiring itself: route one answer over the serve
     // graph, then check the registry without calling release manually
