@@ -27,8 +27,11 @@ object BenchMerge {
   private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
   private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
   private val DegradedRe = """"boot_degraded":(true|false)""".r
+  // trailing [,}] instead of } alone: round-14 records append the
+  // pre-serve probe readings (pre_cached_mb/pre_heap_mb/pre_micro_sec)
+  // inside the same object; pre-r14 records close immediately
   private val ServedRe =
-    """"([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)\}""".r
+    """"([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)[,}]""".r
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

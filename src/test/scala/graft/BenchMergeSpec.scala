@@ -48,6 +48,17 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(mixedNone.isEmpty)
   }
 
+  test("r14 served records with probe fields still parse the build/serve split") {
+    // round-14 records append the pre-serve probe readings inside the
+    // served object; the split extraction must not require the object
+    // to close right after serve_sec
+    val b = BenchMerge.parse("r14",
+      rec(""""q142":2.0""", 0.8, Some(false),
+        """"q142":{"build_sec":28.0,"serve_sec":2.0,""" +
+          """"pre_cached_mb":0.0,"pre_heap_mb":1947,"pre_micro_sec":0.2766}"""))
+    assert(b.served === Map("q142" -> (28.0, 2.0)))
+  }
+
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
     val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
     assert(old.degraded)

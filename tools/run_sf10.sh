@@ -9,12 +9,9 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r12.json')))
-          | {'q158_tagged_er_tombstones_served',
-             'q159_tagged_er_inserts_served',
-             'q160_tagged_er_multiday',
-             'q161_tagged_er_crud_lifecycle',
-             'q162_er_crud_lifecycle'})
+qs=sorted(set(json.load(open('CORRECTNESS_r13.json')))
+          | {'q163_er_crud_lifecycle_mor',
+             'q164_mm_perceptual_neardup'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
