@@ -1480,13 +1480,27 @@ object EntityResolution {
       prefix: String = "graft_q161",
       cls: Column => Column = c => c % 3,
       ops: Seq[(String, Int)] =
-        Seq(("insert", 1), ("update", 2), ("delete", 0))): DataFrame = {
+        Seq(("insert", 1), ("update", 2), ("delete", 0)),
+      // per-phase wall-time hook for profiling (ProfileTaggedLifecycle):
+      // called with ("day0"|"<op><i>", seconds) as each phase completes.
+      // Differencing whole replays is too noisy for per-day pricing —
+      // the repeated day-0 build's variance swamps the day costs — so
+      // the instrument lives inside one replay. No-op by default.
+      onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(tag, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val inserted = ops.collect { case ("insert", k) => k }.toSet
     erServedFrom.remove(prefix)
-    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
-      keep = c => !inserted.map(k => cls(c) === k)
-        .foldLeft(lit(false))(_ || _))
+    timed("day0") {
+      ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+        keep = c => !inserted.map(k => cls(c) === k)
+          .foldLeft(lit(false))(_ || _))
+    }
     val universe = persistServe(embedTermUniverse(ingested()))
     // fresh catalog reads each day — the tables advance under these names
     def standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
@@ -1496,7 +1510,8 @@ object EntityResolution {
       graft.graph.BucketedStore.replaceBucketed(
         merged.select($"vec_id", $"rep_id".as("component")),
         s"${prefix}_mapping", "vec_id", 16)
-    ops.foreach {
+    ops.zipWithIndex.foreach { case (op, opIdx) =>
+      timed(s"${op._1}${opIdx + 1}")(op match {
       case ("insert", k) =>
         val batch = persistServe(universe.filter(cls($"vec_id") === k))
         val touching = persistServe(
@@ -1543,8 +1558,9 @@ object EntityResolution {
         graft.graph.BucketedStore.replaceBucketed(
           standing.filter(!isDel($"vec_id")),
           s"${prefix}_terms", "vec_id", 16)
-      case (op, _) =>
-        throw new IllegalArgumentException(s"unknown lifecycle op: $op")
+      case (o, _) =>
+        throw new IllegalArgumentException(s"unknown lifecycle op: $o")
+      })
     }
     minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")),
       standing)
