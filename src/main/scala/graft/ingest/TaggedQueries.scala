@@ -211,6 +211,14 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // q161 with merge-on-read advances (the q163 layout applied to the
+    // real-ingest term/pair stores). Same oracle — the advance layout
+    // must be invisible in the mapping.
+    "q165_tagged_er_crud_lifecycle_mor" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedMultidayCrudServedMor(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25)),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -528,6 +536,10 @@ thk2 AS (SELECT DISTINCT title, kw
       s"""WITH RECURSIVE $erSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q161_tagged_er_crud_lifecycle" ->
+      s"""WITH RECURSIVE $erCrudSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    // merge-on-read advance layout: same net state, same oracle as q161
+    "q165_tagged_er_crud_lifecycle_mor" ->
       s"""WITH RECURSIVE $erCrudSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->

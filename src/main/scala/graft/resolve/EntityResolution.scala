@@ -1566,6 +1566,108 @@ object EntityResolution {
       standing)
   }
 
+  /** q161 with MERGE-ON-READ advances (q165 — the real-ingest twin of
+    * [[multidayCrudResolveServedMor]], completing MOR symmetry across
+    * both lifecycle families): identical day kernels over the tagged
+    * ingest's term universe, but update/delete days append epoch-tagged
+    * tombstone/delta sidecars to the term and pair stores instead of
+    * rewriting them ([[graft.graph.BucketedStore.appendTombstoneSidecar]]
+    * / [[graft.graph.BucketedStore.appendDeltaSidecar]]), with every
+    * standing read through [[graft.graph.BucketedStore.readMor]]. The
+    * mapping swap stays merge-on-write in both variants (the day's
+    * result), so a q161-vs-q165 cell isolates the term/pair advance —
+    * the same comparison q162-vs-q163 makes at the SF-scaled corpus,
+    * here over the production ingest path (where a real deployment's
+    * update/delete days would otherwise rewrite the term store its
+    * whole corpus wide). Replays rebuild day 0 like q161 (no snapshot —
+    * the guard is cleared first) and drop the sidecars at reset. Same
+    * oracle as q161; `IngestedErSpec` pins q165 ≡ q161 bit-for-bit.
+    */
+  def ingestedMultidayCrudServedMor(s: SparkSession,
+      ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
+      prefix: String = "graft_q165",
+      cls: Column => Column = c => c % 3,
+      ops: Seq[(String, Int)] =
+        Seq(("insert", 1), ("update", 2), ("delete", 0))): DataFrame = {
+    import s.implicits._
+    import graft.graph.BucketedStore
+    val inserted = ops.collect { case ("insert", k) => k }.toSet
+    erServedFrom.remove(prefix)
+    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+      keep = c => !inserted.map(k => cls(c) === k)
+        .foldLeft(lit(false))(_ || _))
+    BucketedStore.dropSidecars(s, s"${prefix}_terms")
+    BucketedStore.dropSidecars(s, s"${prefix}_pairs")
+    val universe = persistServe(embedTermUniverse(ingested()))
+    def standing = BucketedStore.readMor(s, s"${prefix}_terms",
+      Seq("vec_id"))
+    def pairs = BucketedStore.readMor(s, s"${prefix}_pairs", Seq("u", "v"))
+    def mapping = BucketedStore.table(s, s"${prefix}_mapping")
+    def swapMapping(merged: DataFrame): Unit =
+      BucketedStore.replaceBucketed(
+        merged.select($"vec_id", $"rep_id".as("component")),
+        s"${prefix}_mapping", "vec_id", 16)
+    ops.zipWithIndex.foreach { case (op, opIdx) =>
+      val epoch = opIdx + 1
+      op match {
+        case ("insert", k) =>
+          val batch = persistServe(universe.filter(cls($"vec_id") === k))
+          val touching = persistServe(
+            epsPairsAgainst(standing, batch, num, den)
+              .unionByName(epsPairsOf(batch, num, den)))
+          swapMapping(
+            mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
+          BucketedStore.appendDeltaSidecar(
+            touching, s"${prefix}_pairs", "u", epoch)
+          BucketedStore.appendDeltaSidecar(
+            batch, s"${prefix}_terms", "vec_id", epoch)
+        case ("update", k) =>
+          val isUpd = (c: Column) => cls(c) === k
+          // batch derives from the ingest, never the terms store (the
+          // q161 recompute-safety rationale applies unchanged)
+          val batch = persistServe(universe.filter(isUpd($"vec_id"))
+            .withColumn("embedding", reverse($"embedding")))
+          val touching = persistServe(
+            epsPairsAgainst(standing.filter(!isUpd($"vec_id")), batch,
+              num, den)
+              .unionByName(epsPairsOf(batch, num, den)))
+          swapMapping(mergeUpdate(s, mapping, pairs,
+            batch.select($"vec_id"), touching, isUpd))
+          // tombstones kill the old-embedding rows (epoch < e); the
+          // same-epoch deltas carry the new rows, which they spare.
+          // batch's plan reads only the ingest, so appending its ids to
+          // the stores' own tombstone tables is conflict-free
+          BucketedStore.appendTombstoneSidecar(
+            batch.select($"vec_id"), s"${prefix}_pairs", epoch)
+          BucketedStore.appendTombstoneSidecar(
+            batch.select($"vec_id"), s"${prefix}_terms", epoch)
+          BucketedStore.appendDeltaSidecar(
+            touching, s"${prefix}_pairs", "u", epoch)
+          BucketedStore.appendDeltaSidecar(
+            batch, s"${prefix}_terms", "vec_id", epoch)
+        case ("delete", k) =>
+          val isDel = (c: Column) => cls(c) === k
+          swapMapping(mergeTombstones(s, mapping, pairs, isDel)
+            .select($"vec_id", $"rep_id"))
+          val dead = standing.filter(isDel($"vec_id")).select($"vec_id")
+          BucketedStore.appendTombstoneSidecar(
+            dead, s"${prefix}_pairs", epoch)
+          // second sidecar reads the first one's just-written rows:
+          // `dead`'s plan scans the terms MOR view — including
+          // `_terms_tomb` — so appending it there directly would write
+          // a table its plan is reading (the q163 discipline)
+          BucketedStore.appendTombstoneSidecar(
+            s.table(s"${prefix}_pairs_tomb")
+              .filter($"_epoch" === epoch).select($"id"),
+            s"${prefix}_terms", epoch)
+        case (o, _) =>
+          throw new IllegalArgumentException(s"unknown lifecycle op: $o")
+      }
+    }
+    minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")),
+      standing)
+  }
+
   /** SYNTHETIC mixed-CRUD lifecycle over the embeddings table (q162):
     * q161's scale twin. The real-ingest lifecycle runs on a fixed
     * 7-term fixture, so its 10×/100× sweep cells are flat — this one

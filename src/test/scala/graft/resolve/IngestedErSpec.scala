@@ -170,6 +170,16 @@ class IngestedErSpec extends AnyFunSuite {
       spark, "")
       .collect().map(r => r.getString(0) -> r.getString(1)).toSet
     assert(run2 === run1)
+    // the MERGE-ON-READ twin (q165): identical mapping — the sidecar
+    // advance layout must be invisible in the result — and replay
+    // idempotence over the dropped-sidecar reset
+    val mor1 = TaggedQueries.queries("q165_tagged_er_crud_lifecycle_mor")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val mor2 = TaggedQueries.queries("q165_tagged_er_crud_lifecycle_mor")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(mor1 === run1 && mor2 === run1)
   }
 
   test("q161 update-day boundary: stopping before the delete day equals " +

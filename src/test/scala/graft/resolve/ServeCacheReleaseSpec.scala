@@ -70,6 +70,10 @@ class ServeCacheReleaseSpec extends AnyFunSuite {
     serveReleaseLeavesNoBlocks("q163_er_crud_lifecycle_mor")
   }
 
+  test("q165 tagged MOR lifecycle + release leaves the block store empty") {
+    serveReleaseLeavesNoBlocks("q165_tagged_er_crud_lifecycle_mor")
+  }
+
   test("AnswerService.answer releases serve caches after materialization") {
     // the request-loop wiring itself: route one answer over the serve
     // graph, then check the registry without calling release manually
