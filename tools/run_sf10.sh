@@ -11,7 +11,8 @@ ONLY=$(python3 -c "
 import json
 qs=sorted(set(json.load(open('CORRECTNESS_r13.json')))
           | {'q163_er_crud_lifecycle_mor',
-             'q164_mm_perceptual_neardup'})
+             'q164_mm_perceptual_neardup',
+             'q165_tagged_er_crud_lifecycle_mor'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
