@@ -268,9 +268,13 @@ object Bench {
       "q159_tagged_er_inserts_served",
       // the snapshot-reset lifecycles: day-0 base tables build once per
       // JVM (the dedicated build pass); every measured call pays only
-      // the reset + three-day replay. q160/q161 are NOT here — their
-      // lifecycle deliberately rebuilds day 0 per call (no snapshot),
-      // so the build IS the replay cost.
+      // the reset + three-day replay. Since round 15 the TAGGED
+      // lifecycles q161/q165 snapshot too (round-14 verdict item 5), so
+      // their serve medians measure the replay, not day-0 rebuild
+      // variance. q160 alone keeps the rebuild-per-call shape (its
+      // end-of-life compaction mutates the standing tables to the full
+      // universe, so a snapshot would be rebuilt every call anyway).
+      "q161_tagged_er_crud_lifecycle", "q165_tagged_er_crud_lifecycle_mor",
       "q162_er_crud_lifecycle", "q163_er_crud_lifecycle_mor")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -343,6 +347,13 @@ object Bench {
     // stays slow on a clean probe is the query's own cost.
     val servedPosition =
       sys.env.getOrElse("SPARK_GRAFT_SERVED_POSITION", "sorted")
+    // validated (round-14 ADVICE 3): any other value — 'First',
+    // 'served-first', a typo — would silently measure the default sorted
+    // order while stamping the raw string into `served_position`, i.e.
+    // record the wrong cell as if it were intentional. Fail the boot.
+    require(servedPosition == "sorted" || servedPosition == "first",
+      s"SPARK_GRAFT_SERVED_POSITION must be 'sorted' or 'first', " +
+        s"got: '$servedPosition'")
     val ordered =
       if (servedPosition == "first")
         selected.filter(p => servedFamily(p._1)) ++

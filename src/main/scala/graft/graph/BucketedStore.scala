@@ -208,10 +208,30 @@ object BucketedStore {
       .saveAsTable(s"${base}_tomb")
   }
 
+  /** Conf'd cap on the tombstone rows [[readMor]] will broadcast
+    * (default comfortably above any fixture). "Tombstones are
+    * day-batch-sized by contract" was previously unenforced — a tenant
+    * that accumulates tombstones past broadcast size got an executor
+    * OOM instead of a message (round-14 ADVICE 2). Over the cap the
+    * anti-joins switch to a shuffle join (slow but correct) and a
+    * warning names [[compactMor]] as the fix; the `MaxExactVectors`
+    * discipline applied to this layer.
+    */
+  val MaxTombstoneRowsConf = "spark.graft.mor.maxTombstoneRows"
+  val MaxTombstoneRowsDefault = 4000000L
+
   /** The merged MOR view of `base` + its sidecars: (base ∪ deltas) minus
     * every row one of whose `endpoints` ids is tombstoned at a strictly
     * newer epoch. Missing sidecars fold to the base alone, so callers
     * read through this unconditionally.
+    *
+    * When a tombstone sidecar exists, its row count is probed once per
+    * call (a zero-column parquet scan — milliseconds at the batch sizes
+    * the contract allows): at or under [[MaxTombstoneRowsConf]] the
+    * anti-joins broadcast the tombstones (the corpus side never
+    * shuffles); over it they fall back to a shuffle anti-join with a
+    * loud warning naming [[compactMor]] — correct at any size, never a
+    * driver/executor OOM.
     */
   def readMor(s: SparkSession, base: String,
               endpoints: Seq[String]): DataFrame = {
@@ -223,9 +243,22 @@ object BucketedStore {
       else b
     val merged =
       if (s.catalog.tableExists(s"${base}_tomb")) {
+        val cap = s.conf.getOption(MaxTombstoneRowsConf)
+          .map(_.toLong).getOrElse(MaxTombstoneRowsDefault)
+        val tombRows = s.table(s"${base}_tomb").count()
+        val hint: DataFrame => DataFrame =
+          if (tombRows <= cap) broadcast
+          else {
+            org.apache.log4j.Logger.getLogger(getClass)
+              .warn(s"readMor($base): tombstone sidecar has $tombRows rows " +
+                s"> $MaxTombstoneRowsConf=$cap — anti-joins fall back to a " +
+                "shuffle join. Run BucketedStore.compactMor to fold the " +
+                "sidecars and restore broadcast-sized tombstones.")
+            identity
+          }
         endpoints.foldLeft(withDelta) { (acc, ep) =>
           val tomb = s.table(s"${base}_tomb")
-          acc.join(broadcast(tomb),
+          acc.join(hint(tomb),
             acc(ep) === tomb("id") && tomb("_epoch") > acc("_epoch"),
             "left_anti")
         }
@@ -248,9 +281,20 @@ object BucketedStore {
   /** Scheduled MOR maintenance: materialize [[readMor]] as a fresh
     * bucketed+sorted base (temp-write + drop + rename — the merged plan
     * reads the base being replaced, same discipline as
-    * [[replaceBucketed]]), then drop the folded sidecars. One corpus
+    * [[replaceBucketed]]), then retire the folded sidecars. One corpus
     * write per compaction cycle instead of per update/delete day; after
     * it, reads are plain bucketed scans again (co-located joins).
+    *
+    * Crash discipline (round-14 ADVICE 1): the sidecars are RENAMED
+    * aside (a cheap catalog/directory move) before the base swap and
+    * deleted only after the `ALTER TABLE ... RENAME` lands — a crash in
+    * the swap window previously left the old pre-fold base live and
+    * readable with the day's advances silently gone (the sidecar data
+    * had already been purged). Now every window fails loud-or-
+    * recoverable: pre-swap the original base+sidecars are intact;
+    * between base-drop and rename the reader fails on a missing table
+    * while BOTH the folded `_mor_next` copy and the `_folded` sidecars
+    * survive as recovery copies.
     */
   def compactMor(s: SparkSession, base: String, key: String,
                  endpoints: Seq[String], buckets: Int = 16): Unit = {
@@ -259,9 +303,52 @@ object BucketedStore {
       readMor(s, base, endpoints)
         .repartition(buckets, org.apache.spark.sql.functions.col(key)),
       tmp, key, buckets)
-    dropSidecars(s, base)
+    val aside = setSidecarsAside(s, base)
     dropManagedPurging(s, base)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
+    aside.foreach(t => dropManagedPurging(s, t))
+  }
+
+  /** Move `base`'s sidecars to `*_folded` names (catalog rename — no
+    * data rewrite), returning the names to delete once the compaction
+    * swap has landed. A sidecar absent from the catalog but orphaned on
+    * disk (previous JVM) is purged directly — it was never part of this
+    * compaction's input.
+    */
+  private def setSidecarsAside(s: SparkSession, base: String): Seq[String] =
+    Seq("_delta", "_tomb").flatMap { suf =>
+      val t = base + suf
+      if (s.catalog.tableExists(t)) {
+        // clear any stale folded copy (or its orphaned dir) so the
+        // rename cannot collide
+        dropManagedPurging(s, t + "_folded")
+        s.sql(s"ALTER TABLE `$t` RENAME TO `${t}_folded`")
+        Some(t + "_folded")
+      } else {
+        dropManagedPurging(s, t) // orphaned-dir-only case
+        None
+      }
+    }
+
+  /** [[compactMor]] variant that folds the merged view into a NEW base
+    * table, leaving the original base untouched (its sidecars are still
+    * retired). This is the mid-lifecycle compaction shape for callers
+    * whose base is an immutable shared snapshot (the q163/q165 replay
+    * fixtures): the fold lands under a working name, subsequent sidecar
+    * appends attach to THAT name, and the snapshot stays pristine for
+    * the next replay's reset. No swap window at all — the write is to a
+    * fresh name.
+    */
+  def compactMorInto(s: SparkSession, base: String, into: String,
+                     key: String, endpoints: Seq[String],
+                     buckets: Int = 16): Unit = {
+    require(into != base,
+      s"compactMorInto: use compactMor for an in-place fold of `$base`")
+    writeBucketed(
+      readMor(s, base, endpoints)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key)),
+      into, key, buckets)
+    dropSidecars(s, base)
   }
 
   /** Hive-style partitioned layout — the OTHER write-time pruning lever:

@@ -123,7 +123,9 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(view() === afterE2, "compaction must not change the merged view")
     assert(!spark.catalog.tableExists("mor_pairs_delta") &&
       !spark.catalog.tableExists("mor_pairs_tomb") &&
-      !spark.catalog.tableExists("mor_pairs_mor_next"))
+      !spark.catalog.tableExists("mor_pairs_mor_next") &&
+      !spark.catalog.tableExists("mor_pairs_delta_folded") &&
+      !spark.catalog.tableExists("mor_pairs_tomb_folded"))
     // …whose self-join is exchange-free again (the MOR view's union +
     // anti-joins erase the advertised bucketing; the folded base
     // restores it)
@@ -132,6 +134,81 @@ class BucketedStoreSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"post-compact MOR base join shuffles:\n$plan")
+  }
+
+  /** Round-14 ADVICE 2: the "tombstones are day-batch-sized" contract is
+    * now enforced — under the conf'd cap the anti-joins broadcast the
+    * tombstone table; over it they fall back to a shuffle anti-join
+    * (identical rows, never an OOM). Auto-broadcast is disabled inside
+    * the over-cap assertion so the plan shape reflects the hint alone.
+    */
+  test("readMor tombstone cap: broadcast under, shuffle fallback over") {
+    val base = Seq((1L, 2L, "a"), (3L, 4L, "b"), (5L, 6L, "c"))
+      .toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_cap", "u", buckets = 4)
+    BucketedStore.appendTombstoneSidecar(
+      Seq(4L, 2L).toDF("id"), "mor_cap", epoch = 1)
+    val want = Set((5L, 6L, "c"))
+    def view() = BucketedStore.readMor(spark, "mor_cap", Seq("u", "v"))
+    def rows() = view().as[(Long, Long, String)].collect().toSet
+    val auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // isolate the explicit hint from Spark's size-based auto-broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // under the cap (default): hinted broadcast anti-join
+      val under = view().queryExecution.executedPlan.toString
+      assert(under.contains("BroadcastHashJoin") ||
+        under.contains("BroadcastNestedLoopJoin"),
+        s"under-cap tombstone anti-join did not broadcast:\n$under")
+      assert(rows() === want)
+      // over the cap: the hint is dropped → shuffle anti-join, same rows
+      spark.conf.set(BucketedStore.MaxTombstoneRowsConf, "1")
+      val over = view().queryExecution.executedPlan.toString
+      assert(!over.contains("BroadcastHashJoin"),
+        s"over-cap tombstone anti-join still broadcasts:\n$over")
+      assert(rows() === want)
+    } finally {
+      spark.conf.unset(BucketedStore.MaxTombstoneRowsConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+    }
+  }
+
+  /** compactMorInto (the mid-lifecycle shape): folds the merged view
+    * under a NEW name, retires the sidecars, and leaves the original
+    * base byte-identical — the immutable-snapshot contract the q166
+    * lifecycle compaction relies on.
+    */
+  test("compactMorInto folds into a working name, snapshot untouched") {
+    val base = Seq((1L, 2L, "a"), (3L, 4L, "b"), (5L, 6L, "c"))
+      .toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_snap", "u", buckets = 4)
+    BucketedStore.appendTombstoneSidecar(
+      Seq(4L).toDF("id"), "mor_snap", epoch = 1)
+    BucketedStore.appendDeltaSidecar(
+      Seq((7L, 8L, "d")).toDF("u", "v", "tag"), "mor_snap", "u", epoch = 1)
+    val merged = BucketedStore.readMor(spark, "mor_snap", Seq("u", "v"))
+      .as[(Long, Long, String)].collect().toSet
+    intercept[IllegalArgumentException] {
+      BucketedStore.compactMorInto(spark, "mor_snap", "mor_snap",
+        "u", Seq("u", "v"), buckets = 4)
+    }
+    BucketedStore.compactMorInto(spark, "mor_snap", "mor_snap_work",
+      "u", Seq("u", "v"), buckets = 4)
+    // the fold landed under the working name and equals the merged view
+    assert(BucketedStore.readMor(spark, "mor_snap_work", Seq("u", "v"))
+      .as[(Long, Long, String)].collect().toSet === merged)
+    // sidecars retired; the snapshot base reads as its original self
+    assert(!spark.catalog.tableExists("mor_snap_delta") &&
+      !spark.catalog.tableExists("mor_snap_tomb"))
+    assert(BucketedStore.readMor(spark, "mor_snap", Seq("u", "v"))
+      .as[(Long, Long, String)].collect().toSet ===
+      base.as[(Long, Long, String)].collect().toSet)
+    // and the working base is plainly bucketed (exchange-free self-join)
+    val t = BucketedStore.table(spark, "mor_snap_work")
+    val plan = t.as("a").join(t.as("b"), Seq("u"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"compactMorInto result join shuffles:\n$plan")
   }
 
   test("partitioned write prunes non-matching partitions at the scan") {
