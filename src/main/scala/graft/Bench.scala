@@ -275,7 +275,8 @@ object Bench {
       // end-of-life compaction mutates the standing tables to the full
       // universe, so a snapshot would be rebuilt every call anyway).
       "q161_tagged_er_crud_lifecycle", "q165_tagged_er_crud_lifecycle_mor",
-      "q162_er_crud_lifecycle", "q163_er_crud_lifecycle_mor")
+      "q162_er_crud_lifecycle", "q163_er_crud_lifecycle_mor",
+      "q166_er_crud_lifecycle_mor_compact")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

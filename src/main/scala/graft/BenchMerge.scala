@@ -27,11 +27,28 @@ object BenchMerge {
   private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
   private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
   private val DegradedRe = """"boot_degraded":(true|false)""".r
-  // trailing [,}] instead of } alone: round-14 records append the
-  // pre-serve probe readings (pre_cached_mb/pre_heap_mb/pre_micro_sec)
-  // inside the same object; pre-r14 records close immediately
+  // round-14 records append the pre-serve probe readings
+  // (pre_cached_mb/pre_heap_mb/pre_micro_sec) inside the same object;
+  // pre-r14 records close immediately after serve_sec — the probe group
+  // is optional and, when present, pre_micro_sec is CAPTURED (round-14
+  // verdict item 6: the merge now USES the probe, not just parses past
+  // it)
   private val ServedRe =
-    """"([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)[,}]""".r
+    (""""([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)""" +
+      """(?:,"pre_cached_mb":-?[0-9][0-9.eE+-]*,"pre_heap_mb":-?[0-9][0-9.eE+-]*,"pre_micro_sec":(-?[0-9][0-9.eE+-]*))?\}""").r
+
+  /** Pinned per-serve boot-health threshold for the `pre_micro_sec`
+    * probe (the fixed data-free job Bench runs immediately before each
+    * served query's measured runs). Provenance: the round-14 builder's
+    * four committed sf0.1 boots read 0.07–0.35 s across every served
+    * query (PERF.md round 14) — a reading above the band's top says the
+    * serve ran on a churned scheduler (the r14 driver's hot serves read
+    * 0.25–0.59 with heap 10–24 GB). A served observation whose probe
+    * exceeds this is excluded from the cross-boot median when a
+    * clean-probe observation exists, and named in `hot_probe_serves` —
+    * the per-query analogue of `excluded_degraded`.
+    */
+  val HotProbeMicroSec = 0.35
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -41,7 +58,11 @@ object BenchMerge {
 
   final case class Boot(path: String, queries: Map[String, Double],
       iterRatio: Option[Double], degraded: Boolean,
-      served: Map[String, (Double, Double)] = Map.empty)
+      served: Map[String, (Double, Double)] = Map.empty,
+      probes: Map[String, Double] = Map.empty) {
+    def hotProbe(n: String): Boolean =
+      probes.get(n).exists(_ > HotProbeMicroSec)
+  }
 
   private[graft] def parse(path: String, line: String): Boot = {
     val qs = QueriesRe.findFirstMatchIn(line).map(_.group(1))
@@ -55,19 +76,23 @@ object BenchMerge {
       .getOrElse(iter.exists(_ >= 2.0))
     // the build/serve entries are structurally unambiguous on the whole
     // line (only the served object nests {"build_sec":..,"serve_sec":..})
-    val served = ServedRe.findAllMatchIn(line)
+    val servedMatches = ServedRe.findAllMatchIn(line).toSeq
+    val served = servedMatches
       .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
       .toMap
-    Boot(path, pairs, iter, degraded, served)
+    val probes = servedMatches
+      .flatMap(m => Option(m.group(4)).map(v => m.group(1) -> v.toDouble))
+      .toMap
+    Boot(path, pairs, iter, degraded, served, probes)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
-    * degradedUsed, generation-mixed query names). When every boot is
-    * degraded the merge falls back to using them all rather than
-    * merging nothing; in that case degradedUsed=true and NO boots are
-    * reported as excluded — the artifact must not self-describe as
-    * healthy-boots-only when the medians came entirely from degraded
-    * boots.
+    * degradedUsed, generation-mixed query names, hot-probe-flagged
+    * "path:query" rows). When every boot is degraded the merge falls
+    * back to using them all rather than merging nothing; in that case
+    * degradedUsed=true and NO boots are reported as excluded — the
+    * artifact must not self-describe as healthy-boots-only when the
+    * medians came entirely from degraded boots.
     *
     * GENERATION GUARD: round-10 records measure served-family queries
     * serve-only (the build rides in the `served` object); pre-round-10
@@ -77,9 +102,17 @@ object BenchMerge {
     * query's median is computed from the served-carrying boots only
     * (the current generation) and the query is listed in the returned
     * mixed set so the artifact names the restriction.
+    *
+    * HOT-PROBE GUARD (round-14 verdict item 6): a served observation
+    * whose recorded `pre_micro_sec` exceeds [[HotProbeMicroSec]] ran on
+    * a churned scheduler — it is excluded from that query's median when
+    * at least one clean-probe observation exists (the per-query
+    * analogue of the boot-level exclusion), and listed as
+    * "path:query" either way. Boots without probe fields (pre-r14
+    * records) are treated as clean — no probe, no claim.
     */
   private[graft] def merge(boots: Seq[Boot])
-      : (Map[String, Double], Seq[Boot], Boolean, Seq[String]) = {
+      : (Map[String, Double], Seq[Boot], Boolean, Seq[String], Seq[String]) = {
     val (bad, good) = boots.partition(_.degraded)
     val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
@@ -89,14 +122,26 @@ object BenchMerge {
       val withServed = having.count(_.served.contains(n))
       withServed > 0 && withServed < having.size
     }
+    val hotFlags = for {
+      n <- names
+      b <- use
+      if b.queries.contains(n) && b.hotProbe(n)
+    } yield s"${b.path}:$n"
     val med = names.map { n =>
       // negative entries are Bench's crash convention — excluded from the
       // median the same way Bench's own totals exclude them
-      val gen = if (mixed.contains(n)) use.filter(_.served.contains(n)) else use
+      val gen0 = if (mixed.contains(n)) use.filter(_.served.contains(n)) else use
+      val clean = gen0.filterNot(_.hotProbe(n))
+      // exclude hot-probe observations only when a clean one survives;
+      // all-hot falls back to using them (same never-merge-nothing
+      // convention as degraded boots — the rows stay flagged)
+      val gen =
+        if (clean.exists(_.queries.get(n).exists(_ >= 0))) clean else gen0
       val ts = gen.flatMap(_.queries.get(n)).filter(_ >= 0)
       n -> (if (ts.nonEmpty) median(ts) else -1.0)
     }.toMap
-    (med, if (degradedUsed) Seq.empty else bad, degradedUsed, mixed)
+    (med, if (degradedUsed) Seq.empty else bad, degradedUsed, mixed,
+      hotFlags)
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,7 +149,7 @@ object BenchMerge {
     val boots = args.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
-    val (med, excluded, degradedUsed, mixed) = merge(boots)
+    val (med, excluded, degradedUsed, mixed, hotFlags) = merge(boots)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = med.values.filter(_ >= 0).sum
@@ -112,17 +157,22 @@ object BenchMerge {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val excl = excluded.map(b => "\"" + b.path + "\"").mkString("[", ",", "]")
     // cross-boot medians for the build/serve split, over the same boot
-    // set the query medians use (healthy boots, or all under fallback)
+    // set the query medians use (healthy boots, or all under fallback) —
+    // minus hot-probe observations when a clean one exists, matching the
+    // per-query medians' exclusion
     val use = boots.filterNot(b => excluded.exists(_.path == b.path))
     val servedNames = use.flatMap(_.served.keys).distinct.sorted
     val served = servedNames.map { n =>
-      val obs = use.flatMap(_.served.get(n))
+      val having = use.filter(_.served.contains(n))
+      val clean = having.filterNot(_.hotProbe(n))
+      val obs = (if (clean.nonEmpty) clean else having).flatMap(_.served.get(n))
       "\"" + n + "\":{\"build_sec\":" + num(median(obs.map(_._1))) +
         ",\"serve_sec\":" + num(median(obs.map(_._2))) + "}"
     }.mkString("{", ",", "}")
     val mixedJson = mixed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hotJson = hotFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"served":$served,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

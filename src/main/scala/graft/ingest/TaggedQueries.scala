@@ -203,9 +203,11 @@ object TaggedQueries {
     // md5-id ≡ 1 (mod 3) class, day 2 UPDATES the ≡ 2 class (dimension
     // reversal), day 3 DELETES the ≡ 0 class — each day folded into the
     // standing state, so later days serve against the advanced tables.
-    // Final state = ER over classes {1, 2-reversed}; the oracle is
-    // q104's recursive CTE with the update CASE and delete predicate
-    // in `tn`.
+    // Day 0 is an immutable per-JVM snapshot since round 15 (the q162
+    // shape): each call replays reset + three days, so its bench median
+    // is the lifecycle, not day-0 rebuild variance. Final state = ER
+    // over classes {1, 2-reversed}; the oracle is q104's recursive CTE
+    // with the update CASE and delete predicate in `tn`.
     "q161_tagged_er_crud_lifecycle" -> ((s, _) =>
       graft.resolve.EntityResolution.ingestedMultidayCrudServed(
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,

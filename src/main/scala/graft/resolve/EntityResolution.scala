@@ -1326,29 +1326,37 @@ object EntityResolution {
     * whose oracle is EXACTLY q104's recursive CTE, making q159 a
     * cross-path check against the q104/q128 gates.
     *
-    * SERVE-COST caveat (round-13 ADVICE): the batch here derives from
+    * SERVE COST (round-14 verdict item 1, the batch-scoped thunk): the
+    * default path derives the batch from
     * `embedTermUniverse(ingested()).filter(isNew)` — the `isNew` filter
-    * is applied AFTER the full fixture parse/distinct/embed, so each
-    * serve call's parse cost is the whole (7-term) fixture corpus, not
-    * just the batch. That is a fixture convenience: the gate needs the
-    * batch and the standing subset to come from one deterministic
-    * universe. The deployment analogue passes an already-scoped
-    * `ingested` thunk (the new day's documents only — an arriving-batch
-    * directory or stream offset range), at which point the parse cost
-    * IS the batch; the ε-join and merge below are batch-proportional
-    * either way. Same pattern in the q160/q161 lifecycles' `universe`.
+    * lands AFTER the full fixture parse/distinct/embed, so each serve
+    * call's parse cost is the whole (7-term) fixture corpus. That is a
+    * fixture convenience: the gate needs the batch and the standing
+    * subset to come from one deterministic universe. A deployment
+    * passes `batchSource` — a thunk scoped to the day's arriving
+    * documents only (a batch directory or stream offset range) — and
+    * the parse cost becomes the BATCH: nothing downstream reads
+    * `ingested` at serve time. The `isNew` filter still applies to the
+    * scoped frame (the id-class contract is what the standing build was
+    * keyed on), so a scoped source that covers the batch class is
+    * result-identical to the full-universe path — `IngestedErSpec` pins
+    * it, and `ProfileTaggedLifecycle` prices it at 30k/100k-term
+    * universes over class-partitioned parquet batch directories. The
+    * ε-join and merge below are batch-proportional either way.
     */
   def ingestedInsertResolveServed(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
       prefix: String = "graft_q159",
-      isNew: Column => Column = c => c % 3 === 1): DataFrame = {
+      isNew: Column => Column = c => c % 3 === 1,
+      batchSource: Option[() => DataFrame] = None): DataFrame = {
     import s.implicits._
     ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
       keep = c => !isNew(c))
     val standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
     val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
     val batch = persistServe(
-      embedTermUniverse(ingested()).filter(isNew($"vec_id")))
+      embedTermUniverse(batchSource.getOrElse(ingested)())
+        .filter(isNew($"vec_id")))
     val touching = persistServe(
       epsPairsAgainst(standing, batch, num, den)
         .unionByName(epsPairsOf(batch, num, den)))
@@ -1394,16 +1402,23 @@ object EntityResolution {
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
       prefix: String = "graft_q160",
       day: Column => Column = c => c % 3,
-      days: Seq[Int] = Seq(1, 2)): DataFrame = {
+      days: Seq[Int] = Seq(1, 2),
+      // batch-scoped ingest (round-14 verdict item 1): when set, day d's
+      // batch parses ONLY daySource(d)'s documents (the arriving-batch
+      // directory) instead of filtering the full-universe parse — the
+      // full universe is then never materialized at serve time.
+      daySource: Option[Int => DataFrame] = None): DataFrame = {
     import s.implicits._
     erServedFrom.remove(prefix)
     ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
       keep = c => day(c) === 0)
-    val universe = persistServe(embedTermUniverse(ingested()))
+    lazy val universe = persistServe(embedTermUniverse(ingested()))
     days.foreach { d =>
       val standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
       val mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
-      val batch = persistServe(universe.filter(day($"vec_id") === d))
+      val batch = persistServe(
+        daySource.map(f => embedTermUniverse(f(d))).getOrElse(universe)
+          .filter(day($"vec_id") === d))
       val touching = persistServe(
         epsPairsAgainst(standing, batch, num, den)
           .unionByName(epsPairsOf(batch, num, den)))
@@ -1463,17 +1478,33 @@ object EntityResolution {
     *  - delete: the post-delete kernel is literally the stored subset
     *    with both endpoints surviving.
     *
-    * Like q160, a lifecycle query mutates its state, so each call
-    * replays from a fresh day-0 build. The final state is ER over
-    * (day-0 ∪ inserted) terms minus the deleted class, with the updated
-    * class re-embedded — order-independent because the three classes
-    * are disjoint, so the oracle is q104's recursive CTE with the
-    * update CASE and the delete predicate applied in `tn`. The
-    * day-boundary states (which no shared-oracle path produces) are
-    * pinned by `IngestedErSpec` via the `ops` prefix parameter.
+    * Day 0 is an immutable SNAPSHOT since round 15 (verdict item 5 —
+    * the q162 shape applied to the tagged lifecycle): the parse→embed→
+    * ε-join→CC build lands once per JVM + (source, inserted-class set)
+    * as `_base_*` bucketed tables, and each call RESETS by dropping the
+    * working tables (copy-on-advance: reads fall back to the base until
+    * a day's advance materializes the working name — the first insert
+    * day's append fuses with the base copy as one write). Replay medians
+    * therefore measure the three-day serve/advance cost, not day-0
+    * rebuild variance. The final state is ER over (day-0 ∪ inserted)
+    * terms minus the deleted class, with the updated class re-embedded —
+    * order-independent because the three classes are disjoint, so the
+    * oracle is q104's recursive CTE with the update CASE and the delete
+    * predicate applied in `tn`. The day-boundary states (which no
+    * shared-oracle path produces) are pinned by `IngestedErSpec` via
+    * the `ops` prefix parameter.
     *
     * `ops`: the day sequence as (operation, id-class) pairs over
     * `cls(vec_id)`; day 0 builds over every class NOT later inserted.
+    *
+    * `daySource` (round-14 verdict item 1, the batch-scoped thunk): when
+    * set, day k's batch parses ONLY `daySource(k)`'s documents — the
+    * deployment's arriving-batch directory — instead of filtering the
+    * full-universe parse; the full universe is then never materialized
+    * at serve time, so per-day parse cost tracks the BATCH. The class
+    * filter still applies to the scoped frame, so a scoped source
+    * covering its class is result-identical to the default
+    * (`IngestedErSpec` pins it; `ProfileTaggedLifecycle` prices it).
     */
   def ingestedMultidayCrudServed(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
@@ -1484,9 +1515,12 @@ object EntityResolution {
       // per-phase wall-time hook for profiling (ProfileTaggedLifecycle):
       // called with ("day0"|"<op><i>", seconds) as each phase completes.
       // Differencing whole replays is too noisy for per-day pricing —
-      // the repeated day-0 build's variance swamps the day costs — so
+      // the repeated day-0 build's variance swamped the day costs — so
       // the instrument lives inside one replay. No-op by default.
-      onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+      // ("day0" is the snapshot-ensure + working-table reset: the build
+      // itself on the first call in a JVM, near-zero afterwards.)
+      onPhase: (String, Double) => Unit = (_, _) => (),
+      daySource: Option[Int => DataFrame] = None): DataFrame = {
     import s.implicits._
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -1495,17 +1529,46 @@ object EntityResolution {
       r
     }
     val inserted = ops.collect { case ("insert", k) => k }.toSet
-    erServedFrom.remove(prefix)
+    // snapshot key carries the inserted-class set (the q162 discipline):
+    // a same-prefix call with different ops means different day-0
+    // membership, which must rebuild the base rather than reuse one
+    // built under another class rule
+    val snapKey = s"$sourceKey|ins=${inserted.toSeq.sorted.mkString(",")}"
     timed("day0") {
-      ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+      ensureIngestedErTables(s, ingested, snapKey, num, den,
+        s"${prefix}_base",
         keep = c => !inserted.map(k => cls(c) === k)
           .foldLeft(lit(false))(_ || _))
+      // copy-on-advance reset (the q162 shape): drop the working tables;
+      // reads fall back to the immutable base snapshot until a day's
+      // advance materializes the working name — so the reset writes
+      // nothing, and the first insert day's append fuses with the base
+      // copy (base ∪ delta, one write)
+      Seq("terms", "pairs", "mapping").foreach { t =>
+        graft.graph.BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
+      }
     }
-    val universe = persistServe(embedTermUniverse(ingested()))
-    // fresh catalog reads each day — the tables advance under these names
-    def standing = graft.graph.BucketedStore.table(s, s"${prefix}_terms")
-    def mapping = graft.graph.BucketedStore.table(s, s"${prefix}_mapping")
-    def pairs = graft.graph.BucketedStore.table(s, s"${prefix}_pairs")
+    // full-universe parse happens ONLY when some day lacks a scoped
+    // source (lazy): with `daySource` set, serve-time parse cost is
+    // each day's batch
+    lazy val universe = persistServe(embedTermUniverse(ingested()))
+    // batches derive from the INGEST (scoped or full), never the terms
+    // table: a memory-pressure recompute after a day's table swap would
+    // otherwise read back already-reversed embeddings and reverse them
+    // again. Identical rows — classes are disjoint, so class k is
+    // table-resident verbatim.
+    def batchOf(k: Int): DataFrame =
+      daySource.map(f => embedTermUniverse(f(k)))
+        .getOrElse(universe).filter(cls($"vec_id") === k)
+    // fresh catalog reads each day — the tables advance under the
+    // working names, with base-snapshot fallback before first advance
+    def live(t: String): Boolean = s.catalog.tableExists(s"${prefix}_$t")
+    def read(t: String): DataFrame =
+      graft.graph.BucketedStore.table(s,
+        if (live(t)) s"${prefix}_$t" else s"${prefix}_base_$t")
+    def standing = read("terms")
+    def mapping = read("mapping")
+    def pairs = read("pairs")
     def swapMapping(merged: DataFrame): Unit =
       graft.graph.BucketedStore.replaceBucketed(
         merged.select($"vec_id", $"rep_id".as("component")),
@@ -1513,25 +1576,30 @@ object EntityResolution {
     ops.zipWithIndex.foreach { case (op, opIdx) =>
       timed(s"${op._1}${opIdx + 1}")(op match {
       case ("insert", k) =>
-        val batch = persistServe(universe.filter(cls($"vec_id") === k))
+        val batch = persistServe(batchOf(k))
         val touching = persistServe(
           epsPairsAgainst(standing, batch, num, den)
             .unionByName(epsPairsOf(batch, num, den)))
         swapMapping(
           mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
-        graft.graph.BucketedStore.appendBucketed(
-          touching, s"${prefix}_pairs", "u", 16)
-        graft.graph.BucketedStore.appendBucketed(
-          batch, s"${prefix}_terms", "vec_id", 16)
+        // bucket-aligned append once the working table exists; on the
+        // first advance the append fuses with the base copy (one write)
+        if (live("pairs"))
+          graft.graph.BucketedStore.appendBucketed(
+            touching, s"${prefix}_pairs", "u", 16)
+        else
+          graft.graph.BucketedStore.writeBucketed(
+            pairs.unionByName(touching), s"${prefix}_pairs", "u", 16)
+        if (live("terms"))
+          graft.graph.BucketedStore.appendBucketed(
+            batch, s"${prefix}_terms", "vec_id", 16)
+        else
+          graft.graph.BucketedStore.writeBucketed(
+            standing.unionByName(batch), s"${prefix}_terms", "vec_id", 16)
       case ("update", k) =>
         val isUpd = (c: Column) => cls(c) === k
-        // the batch derives from `universe` (plan reads the ingest),
-        // NOT from the terms table: a memory-pressure recompute after
-        // this day's table swap would otherwise read back the already-
-        // reversed embeddings and reverse them again. Identical rows —
-        // classes are disjoint, so class k is table-resident verbatim.
-        val batch = persistServe(universe.filter(isUpd($"vec_id"))
-          .withColumn("embedding", reverse($"embedding")))
+        val batch = persistServe(
+          batchOf(k).withColumn("embedding", reverse($"embedding")))
         val touching = persistServe(
           epsPairsAgainst(standing.filter(!isUpd($"vec_id")), batch,
             num, den)
@@ -1540,7 +1608,9 @@ object EntityResolution {
           batch.select($"vec_id"), touching, isUpd))
         // old-embedding pairs die with an updated endpoint; the swap
         // order (pairs before terms) keeps the touching plan's term
-        // scan valid until nothing reads it anymore
+        // scan valid until nothing reads it anymore. replaceBucketed
+        // materializes under `_next` first, so a fallback read of the
+        // BASE table is never the table being written.
         graft.graph.BucketedStore.replaceBucketed(
           pairs.filter(!isUpd($"u") && !isUpd($"v"))
             .unionByName(touching),
@@ -1579,8 +1649,11 @@ object EntityResolution {
     * the same comparison q162-vs-q163 makes at the SF-scaled corpus,
     * here over the production ingest path (where a real deployment's
     * update/delete days would otherwise rewrite the term store its
-    * whole corpus wide). Replays rebuild day 0 like q161 (no snapshot —
-    * the guard is cleared first) and drop the sidecars at reset. Same
+    * whole corpus wide). Day 0 is an immutable SNAPSHOT since round 15
+    * (verdict item 5, like q161): `_base_*` tables build once per JVM +
+    * (source, inserted-class set); a replay drops the sidecars and the
+    * working mapping, never the base. `daySource` scopes each day's
+    * parse to the batch exactly as in q161 (round-14 item 1). Same
     * oracle as q161; `IngestedErSpec` pins q165 ≡ q161 bit-for-bit.
     */
   def ingestedMultidayCrudServedMor(s: SparkSession,
@@ -1588,21 +1661,32 @@ object EntityResolution {
       prefix: String = "graft_q165",
       cls: Column => Column = c => c % 3,
       ops: Seq[(String, Int)] =
-        Seq(("insert", 1), ("update", 2), ("delete", 0))): DataFrame = {
+        Seq(("insert", 1), ("update", 2), ("delete", 0)),
+      daySource: Option[Int => DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.graph.BucketedStore
     val inserted = ops.collect { case ("insert", k) => k }.toSet
-    erServedFrom.remove(prefix)
-    ensureIngestedErTables(s, ingested, sourceKey, num, den, prefix,
+    val snapKey = s"$sourceKey|ins=${inserted.toSeq.sorted.mkString(",")}"
+    ensureIngestedErTables(s, ingested, snapKey, num, den,
+      s"${prefix}_base",
       keep = c => !inserted.map(k => cls(c) === k)
         .foldLeft(lit(false))(_ || _))
-    BucketedStore.dropSidecars(s, s"${prefix}_terms")
-    BucketedStore.dropSidecars(s, s"${prefix}_pairs")
-    val universe = persistServe(embedTermUniverse(ingested()))
-    def standing = BucketedStore.readMor(s, s"${prefix}_terms",
+    // replay reset: sidecars + working mapping go; the base snapshot is
+    // immutable (readMor falls back to it alone when no sidecars exist)
+    BucketedStore.dropSidecars(s, s"${prefix}_base_terms")
+    BucketedStore.dropSidecars(s, s"${prefix}_base_pairs")
+    BucketedStore.dropManagedPurging(s, s"${prefix}_mapping")
+    lazy val universe = persistServe(embedTermUniverse(ingested()))
+    def batchOf(k: Int): DataFrame =
+      daySource.map(f => embedTermUniverse(f(k)))
+        .getOrElse(universe).filter(cls($"vec_id") === k)
+    def standing = BucketedStore.readMor(s, s"${prefix}_base_terms",
       Seq("vec_id"))
-    def pairs = BucketedStore.readMor(s, s"${prefix}_pairs", Seq("u", "v"))
-    def mapping = BucketedStore.table(s, s"${prefix}_mapping")
+    def pairs = BucketedStore.readMor(s, s"${prefix}_base_pairs",
+      Seq("u", "v"))
+    def mapping = BucketedStore.table(s,
+      if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
+      else s"${prefix}_base_mapping")
     def swapMapping(merged: DataFrame): Unit =
       BucketedStore.replaceBucketed(
         merged.select($"vec_id", $"rep_id".as("component")),
@@ -1611,22 +1695,22 @@ object EntityResolution {
       val epoch = opIdx + 1
       op match {
         case ("insert", k) =>
-          val batch = persistServe(universe.filter(cls($"vec_id") === k))
+          val batch = persistServe(batchOf(k))
           val touching = persistServe(
             epsPairsAgainst(standing, batch, num, den)
               .unionByName(epsPairsOf(batch, num, den)))
           swapMapping(
             mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
           BucketedStore.appendDeltaSidecar(
-            touching, s"${prefix}_pairs", "u", epoch)
+            touching, s"${prefix}_base_pairs", "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, s"${prefix}_terms", "vec_id", epoch)
+            batch, s"${prefix}_base_terms", "vec_id", epoch)
         case ("update", k) =>
           val isUpd = (c: Column) => cls(c) === k
           // batch derives from the ingest, never the terms store (the
           // q161 recompute-safety rationale applies unchanged)
-          val batch = persistServe(universe.filter(isUpd($"vec_id"))
-            .withColumn("embedding", reverse($"embedding")))
+          val batch = persistServe(
+            batchOf(k).withColumn("embedding", reverse($"embedding")))
           val touching = persistServe(
             epsPairsAgainst(standing.filter(!isUpd($"vec_id")), batch,
               num, den)
@@ -1638,28 +1722,28 @@ object EntityResolution {
           // batch's plan reads only the ingest, so appending its ids to
           // the stores' own tombstone tables is conflict-free
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), s"${prefix}_pairs", epoch)
+            batch.select($"vec_id"), s"${prefix}_base_pairs", epoch)
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), s"${prefix}_terms", epoch)
+            batch.select($"vec_id"), s"${prefix}_base_terms", epoch)
           BucketedStore.appendDeltaSidecar(
-            touching, s"${prefix}_pairs", "u", epoch)
+            touching, s"${prefix}_base_pairs", "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, s"${prefix}_terms", "vec_id", epoch)
+            batch, s"${prefix}_base_terms", "vec_id", epoch)
         case ("delete", k) =>
           val isDel = (c: Column) => cls(c) === k
           swapMapping(mergeTombstones(s, mapping, pairs, isDel)
             .select($"vec_id", $"rep_id"))
           val dead = standing.filter(isDel($"vec_id")).select($"vec_id")
           BucketedStore.appendTombstoneSidecar(
-            dead, s"${prefix}_pairs", epoch)
+            dead, s"${prefix}_base_pairs", epoch)
           // second sidecar reads the first one's just-written rows:
           // `dead`'s plan scans the terms MOR view — including
-          // `_terms_tomb` — so appending it there directly would write
-          // a table its plan is reading (the q163 discipline)
+          // `_base_terms_tomb` — so appending it there directly would
+          // write a table its plan is reading (the q163 discipline)
           BucketedStore.appendTombstoneSidecar(
-            s.table(s"${prefix}_pairs_tomb")
+            s.table(s"${prefix}_base_pairs_tomb")
               .filter($"_epoch" === epoch).select($"id"),
-            s"${prefix}_terms", epoch)
+            s"${prefix}_base_terms", epoch)
         case (o, _) =>
           throw new IllegalArgumentException(s"unknown lifecycle op: $o")
       }
@@ -1880,14 +1964,36 @@ object EntityResolution {
     * `_base_*` snapshot (built once per JVM+source, shared shape with
     * q162's — but under its own prefix so the two lifecycles stay
     * order-independent in a sweep).
+    *
+    * `compactAfterOps` (round-14 verdict item 3 — compaction oracle-
+    * gated INSIDE a lifecycle, q166): after each named op index the
+    * sidecars are folded into a fresh bucketed working base
+    * ([[graft.graph.BucketedStore.compactMorInto]] on first fold — the
+    * immutable snapshot stays pristine for the next replay's reset —
+    * [[graft.graph.BucketedStore.compactMor]] in place thereafter).
+    * Later days read the compacted store (plain bucketed scans again)
+    * and append their sidecars to IT; the final mapping must still be
+    * q162's bit-for-bit — "the advance layout is invisible in the
+    * mapping" pinned THROUGH a compaction, not only at sidecar depth 3.
     */
   def multidayCrudResolveServedMor(s: SparkSession, d: String,
       prefix: String = "graft_q163",
       ops: Seq[(String, Int)] =
-        Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
+        Seq(("insert", 9), ("update", 7), ("delete", 5)),
+      compactAfterOps: Set[Int] = Set.empty,
+      // per-phase wall-time hook (ProfileMorCompaction — prices a
+      // post-compaction day against the same day at sidecar depth):
+      // ("<op><i>" | "compact<i>", seconds) as each phase completes.
+      onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
     import graft.graph.BucketedStore
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(tag, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     // same ops-derived pin/day-0 contract as q162 (round-13 ADVICE)
     val insertedCls = ops.collect { case ("insert", k) => k }.toSet
     val notBatch = (c: Column) =>
@@ -1916,15 +2022,26 @@ object EntityResolution {
         }
         snapKey
       })
-    // replay reset: sidecars + working mapping go; the base snapshot is
-    // immutable (readMor falls back to it alone when no sidecars exist)
-    BucketedStore.dropSidecars(s, s"${prefix}_base_assigned")
-    BucketedStore.dropSidecars(s, s"${prefix}_base_pairs")
+    // replay reset: sidecars + working tables + working mapping go; the
+    // base snapshot is immutable (readMor falls back to it alone when no
+    // sidecars exist). The working assigned/pairs names exist only when
+    // a previous replay compacted mid-lifecycle — they (and any sidecars
+    // they accumulated after that fold) are replay state, not snapshot.
+    Seq("assigned", "pairs").foreach { t =>
+      BucketedStore.dropSidecars(s, s"${prefix}_base_$t")
+      BucketedStore.dropSidecars(s, s"${prefix}_$t")
+      BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
+    }
     BucketedStore.dropManagedPurging(s, s"${prefix}_mapping")
+    // mid-lifecycle compaction folds into the WORKING name; reads and
+    // sidecar appends follow it once it exists
+    def curBase(t: String): String =
+      if (s.catalog.tableExists(s"${prefix}_$t")) s"${prefix}_$t"
+      else s"${prefix}_base_$t"
     def assigned = BucketedStore.readMor(s,
-      s"${prefix}_base_assigned", Seq("vec_id"))
+      curBase("assigned"), Seq("vec_id"))
     def pairs = BucketedStore.readMor(s,
-      s"${prefix}_base_pairs", Seq("u", "v"))
+      curBase("pairs"), Seq("u", "v"))
     def mapping = BucketedStore.table(s,
       if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
       else s"${prefix}_base_mapping")
@@ -1932,8 +2049,9 @@ object EntityResolution {
       BucketedStore.replaceBucketed(
         m.select($"vec_id", $"rep_id".as("component")),
         s"${prefix}_mapping", "vec_id", 16)
-    ops.zipWithIndex.foreach {
-      case (("insert", k), i) =>
+    ops.zipWithIndex.foreach { case (op, i) =>
+      timed(s"${op._1}${i + 1}")(op match {
+      case ("insert", k) =>
         val epoch = i + 1
         val batch = persistServe(graft.similarity.Similarity
           .ivfAssignedPinnedSubsetCached(s, d, pinTag, notBatch,
@@ -1942,10 +2060,10 @@ object EntityResolution {
         swapMapping(
           mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
         BucketedStore.appendDeltaSidecar(
-          touching, s"${prefix}_base_pairs", "u", epoch)
+          touching, curBase("pairs"), "u", epoch)
         BucketedStore.appendDeltaSidecar(
-          batch, s"${prefix}_base_assigned", "cid", epoch)
-      case (("update", k), i) =>
+          batch, curBase("assigned"), "cid", epoch)
+      case ("update", k) =>
         val epoch = i + 1
         val isUpd = (c: Column) => c % 10 === k
         val batch = persistServe(graft.similarity.Similarity
@@ -1957,33 +2075,50 @@ object EntityResolution {
           batch.select($"vec_id"), touching, isUpd))
         // one atomic op in MOR terms: the epoch-e tombstone kills every
         // OLD-embedding row (epoch < e) with an updated endpoint; the
-        // same-epoch deltas carry the new rows, which it spares
+        // same-epoch deltas carry the new rows, which it spares. (After
+        // a compaction the folded rows read as epoch 0, so a later
+        // epoch still kills them — the fold preserves the semantics.)
         BucketedStore.appendTombstoneSidecar(
-          batch.select($"vec_id"), s"${prefix}_base_pairs", epoch)
+          batch.select($"vec_id"), curBase("pairs"), epoch)
         BucketedStore.appendTombstoneSidecar(
-          batch.select($"vec_id"), s"${prefix}_base_assigned", epoch)
+          batch.select($"vec_id"), curBase("assigned"), epoch)
         BucketedStore.appendDeltaSidecar(
-          touching, s"${prefix}_base_pairs", "u", epoch)
+          touching, curBase("pairs"), "u", epoch)
         BucketedStore.appendDeltaSidecar(
-          batch, s"${prefix}_base_assigned", "cid", epoch)
-      case (("delete", k), i) =>
+          batch, curBase("assigned"), "cid", epoch)
+      case ("delete", k) =>
         val epoch = i + 1
         val isDel = (c: Column) => c % 10 === k
         swapMapping(mergeTombstones(s, mapping, pairs, isDel)
           .select($"vec_id", $"rep_id"))
         val dead = assigned.filter(isDel($"vec_id")).select($"vec_id")
         BucketedStore.appendTombstoneSidecar(
-          dead, s"${prefix}_base_pairs", epoch)
+          dead, curBase("pairs"), epoch)
         // the second sidecar reads the FIRST one's just-written rows:
         // `dead`'s own plan scans the assigned MOR view — including
-        // `_base_assigned_tomb` — so appending it to that same table
+        // its tombstone sidecar — so appending it to that same table
         // would write a table its plan is reading
         BucketedStore.appendTombstoneSidecar(
-          s.table(s"${prefix}_base_pairs_tomb")
+          s.table(s"${curBase("pairs")}_tomb")
             .filter($"_epoch" === epoch).select($"id"),
-          s"${prefix}_base_assigned", epoch)
-      case ((op, _), _) =>
-        throw new IllegalArgumentException(s"unknown lifecycle op: $op")
+          curBase("assigned"), epoch)
+      case (o, _) =>
+        throw new IllegalArgumentException(s"unknown lifecycle op: $o")
+      })
+      if (compactAfterOps.contains(i)) timed(s"compact${i + 1}") {
+        // fold the sidecars accumulated so far: first fold lands under
+        // the working name (compactMorInto — the shared snapshot stays
+        // untouched); later folds compact the working base in place.
+        def compactStore(t: String, key: String,
+            endpoints: Seq[String]): Unit =
+          if (s.catalog.tableExists(s"${prefix}_$t"))
+            BucketedStore.compactMor(s, s"${prefix}_$t", key, endpoints)
+          else
+            BucketedStore.compactMorInto(s, s"${prefix}_base_$t",
+              s"${prefix}_$t", key, endpoints)
+        compactStore("pairs", "u", Seq("u", "v"))
+        compactStore("assigned", "cid", Seq("vec_id"))
+      }
     }
     mapping.select($"vec_id", $"component".as("rep_id")).orderBy($"vec_id")
   }
@@ -2151,6 +2286,15 @@ object EntityResolution {
     // advance layout must be invisible in the mapping).
     "q163_er_crud_lifecycle_mor" ->
       ((s, d) => multidayCrudResolveServedMor(s, d)),
+    // q163 with a MID-LIFECYCLE COMPACTION (round-14 verdict item 3):
+    // after the update day (op index 1 — both delta AND tombstone
+    // sidecars live) the sidecars fold into a fresh bucketed working
+    // base, and the delete day runs against the compacted store. Same
+    // oracle as q162/q163 — the maintenance schedule must be invisible
+    // in the mapping, pinned THROUGH a compaction.
+    "q166_er_crud_lifecycle_mor_compact" ->
+      ((s, d) => multidayCrudResolveServedMor(s, d,
+        prefix = "graft_q166", compactAfterOps = Set(1))),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -2484,6 +2628,12 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
     // merge-on-read advance layout: same net state, same oracle as q162
     "q163_er_crud_lifecycle_mor" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // mid-lifecycle compaction: the maintenance fold must be invisible
+    // in the mapping — same oracle as q162/q163
+    "q166_er_crud_lifecycle_mor_compact" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
         "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",

@@ -19,7 +19,7 @@ class BenchMergeSpec extends AnyFunSuite {
     val b1 = BenchMerge.parse("r1", rec(""""q1":1.0,"q2":2.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":3.0,"q2":4.0""", 0.9, Some(false)))
     val b3 = BenchMerge.parse("r3", rec(""""q1":99.0,"q2":99.0""", 2.5, Some(true)))
-    val (med, excluded, degradedUsed, mixed) = BenchMerge.merge(Seq(b1, b2, b3))
+    val (med, excluded, degradedUsed, mixed, _) = BenchMerge.merge(Seq(b1, b2, b3))
     assert(med === Map("q1" -> 2.0, "q2" -> 3.0))
     assert(excluded.map(_.path) === Seq("r3"))
     assert(!degradedUsed)
@@ -39,12 +39,12 @@ class BenchMergeSpec extends AnyFunSuite {
     val b3 = BenchMerge.parse("r3",
       rec(""""q142":4.0,"q1":5.0""", 0.8, Some(false),
         """"q142":{"build_sec":29.0,"serve_sec":4.0}"""))
-    val (med, _, _, mixed) = BenchMerge.merge(Seq(b1, b2, b3))
+    val (med, _, _, mixed, _) = BenchMerge.merge(Seq(b1, b2, b3))
     assert(mixed === Seq("q142"))
     assert(med("q142") === 3.0, "median over r2/r3 only, never r1's 30.0")
     assert(med("q1") === 3.0, "non-served queries keep the all-boot median")
     // all-same-generation (all served): no restriction, nothing named
-    val (_, _, _, mixedNone) = BenchMerge.merge(Seq(b2, b3))
+    val (_, _, _, mixedNone, _) = BenchMerge.merge(Seq(b2, b3))
     assert(mixedNone.isEmpty)
   }
 
@@ -59,6 +59,36 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(b.served === Map("q142" -> (28.0, 2.0)))
   }
 
+  test("hot-probe serves are excluded from the median when a clean observation exists, and named") {
+    // r1/r2 serve q142 on a clean probe (pre_micro_sec inside the
+    // pinned 0.35 band); r3's probe reads hot — its 9.0 s observation
+    // is sweep churn, not query cost, and must not pull the median
+    def servedProbe(serve: Double, micro: Double) =
+      s""""q142":{"build_sec":20.0,"serve_sec":$serve,""" +
+        s""""pre_cached_mb":0.0,"pre_heap_mb":2000,"pre_micro_sec":$micro}"""
+    val b1 = BenchMerge.parse("r1",
+      rec(""""q142":2.0""", 0.8, Some(false), servedProbe(2.0, 0.12)))
+    val b2 = BenchMerge.parse("r2",
+      rec(""""q142":3.0""", 0.8, Some(false), servedProbe(3.0, 0.30)))
+    val b3 = BenchMerge.parse("r3",
+      rec(""""q142":9.0""", 0.8, Some(false), servedProbe(9.0, 0.58)))
+    assert(b3.probes === Map("q142" -> 0.58) && b3.hotProbe("q142"))
+    assert(!b1.hotProbe("q142"))
+    val (med, _, _, _, hot) = BenchMerge.merge(Seq(b1, b2, b3))
+    assert(med("q142") === 2.5, "median over the clean-probe boots only")
+    assert(hot === Seq("r3:q142"))
+    // all observations hot: never merge nothing — use them, still flag
+    val (medAll, _, _, _, hotAll) = BenchMerge.merge(Seq(b3))
+    assert(medAll("q142") === 9.0 && hotAll === Seq("r3:q142"))
+    // pre-r14 records without probe fields are clean by construction
+    val old = BenchMerge.parse("r0",
+      rec(""""q142":4.0""", 0.8, Some(false),
+        """"q142":{"build_sec":20.0,"serve_sec":4.0}"""))
+    assert(old.probes.isEmpty && !old.hotProbe("q142"))
+    val (medMix, _, _, _, hotMix) = BenchMerge.merge(Seq(old, b3))
+    assert(medMix("q142") === 4.0 && hotMix === Seq("r3:q142"))
+  }
+
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
     val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
     assert(old.degraded)
@@ -69,13 +99,13 @@ class BenchMergeSpec extends AnyFunSuite {
   test("crash entries (negative) are dropped from the median; all-degraded still merges") {
     val b1 = BenchMerge.parse("r1", rec(""""q1":-3.0,"q2":1.0""", 0.8, Some(false)))
     val b2 = BenchMerge.parse("r2", rec(""""q1":7.0,"q2":2.0""", 0.8, Some(false)))
-    val (med, _, _, _) = BenchMerge.merge(Seq(b1, b2))
+    val (med, _, _, _, _) = BenchMerge.merge(Seq(b1, b2))
     assert(med === Map("q1" -> 7.0, "q2" -> 1.5))
     // every boot degraded: merge over all rather than nothing — flagged
     // as degraded_used, and NOT self-described as excluded (the record
     // must not claim healthy-boots-only medians)
     val bad = BenchMerge.parse("r3", rec(""""q1":9.0""", 3.0, Some(true)))
-    val (med2, excl2, degradedUsed2, _) = BenchMerge.merge(Seq(bad))
+    val (med2, excl2, degradedUsed2, _, _) = BenchMerge.merge(Seq(bad))
     assert(med2 === Map("q1" -> 9.0) && excl2.isEmpty && degradedUsed2)
   }
 }

@@ -65,10 +65,77 @@ class MultimodalSpec extends AnyFunSuite {
     val hashes = ph.as[(Long, String)].collect().toMap
     assert(hashes(0L) === hashes(3L),
       "identical payloads must hash identically")
-    assert(hashes.values.forall(h => h.length == 16 &&
+    assert(hashes.values.forall(h => h.length == 64 &&
       h.forall(c => c == '0' || c == '1')))
     // determinism: a second pass produces the same hashes
     assert(Multimodal.stubPerceptualHash(assets)
       .as[(Long, String)].collect().toMap === hashes)
+  }
+
+  /** The round-15 widening claim (round-14 verdict item 4), measured: at
+    * an image-corpus-scale fixture the OLD 16-bit/2×8-bit scheme's band
+    * keyspace (256 values) saturates — (nearly) every bucket exceeds
+    * MaxBucket, the capped join drops the candidates, and recall over
+    * planted duplicate pairs collapses — while the shipped 64-bit/4×16
+    * scheme keeps buckets under the cap and, by pigeonhole (<= 3
+    * mismatches cannot touch all 4 bands), finds every planted pair.
+    */
+  test("64-bit/4-band phash keeps recall at a corpus size where 8-bit bands saturate") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val n = 30000
+    val planted = 50 // duplicate pairs: (i, n + i) share payload bytes
+    val rows = spark.sparkContext.parallelize(0 until n + planted, 32)
+      .map { i =>
+        val src = if (i >= n) i - n else i // duplicates of the first 50
+        val rnd = new scala.util.Random(src * 2654435761L)
+        val payload = new Array[Byte](64)
+        rnd.nextBytes(payload)
+        SRow(i.toLong, payload)
+      }
+    val assets = spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType))))
+    val ph = Multimodal.stubPerceptualHash(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = graft.dedup.Dedup.MaxBucket
+    def pairsFound(bands: Int, width: Int): Set[(Long, Long)] = {
+      val banded = ph.select($"doc_id", $"phash",
+        posexplode(array((0 until bands).map(b =>
+          substring($"phash", b * width + 1, width)): _*))
+          .as(Seq("band", "bits")))
+      val ok = banded.groupBy($"band", $"bits")
+        .agg(count(lit(1)).as("bsz")).filter($"bsz" <= cap)
+        .select($"band", $"bits")
+      banded.join(ok, Seq("band", "bits")).as("a")
+        .join(banded.join(ok, Seq("band", "bits")).as("b"),
+          $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id").distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val plantedPairs =
+      (0 until planted).map(i => (i.toLong, (n + i).toLong)).toSet
+    // the old shape: the first 16 bits in 2×8-bit bands — 256-value
+    // keyspace, 30k images → buckets blow the cap and candidates vanish
+    val old16 = pairsFound(2, 8) // over substring(phash,1,16) via width 8
+    val oldRecall = plantedPairs.count { case (a, b) =>
+      old16.contains((a, b)) } / planted.toDouble
+    // the shipped shape: 4×16-bit bands over the full 64 bits
+    val new64 = pairsFound(4, 16)
+    assert(plantedPairs.subsetOf(new64),
+      "4×16-bit banding must surface every planted duplicate pair")
+    assert(oldRecall <= 0.2,
+      s"8-bit bands should saturate at n=$n (recall read $oldRecall)")
+    // and the saturation mechanism is the cap itself: most rows live in
+    // over-cap 8-bit-band buckets
+    val overCap = ph.select($"doc_id",
+        posexplode(array(substring($"phash", 1, 8),
+          substring($"phash", 9, 8))).as(Seq("band", "bits")))
+      .groupBy($"band", $"bits").agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" > cap).agg(sum($"bsz")).as[Long].head()
+    assert(overCap > 2L * (n + planted) * 9 / 10,
+      "at this corpus size ~all 8-bit-band rows must exceed the cap")
+    ph.unpersist(blocking = false)
   }
 }

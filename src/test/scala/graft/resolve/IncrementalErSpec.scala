@@ -381,4 +381,40 @@ class IncrementalErSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(mor1 === full1 && mor2 === full1)
   }
+
+  test("q166 mid-lifecycle compaction is invisible in the mapping and replays idempotently") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val want = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q166_ref")
+      .as[(Long, Long)].collect().toSeq
+    // compact after the UPDATE day (both delta and tombstone sidecars
+    // live at that boundary — the hardest fold), then the delete day
+    // runs against the compacted working base and appends fresh
+    // sidecars to IT. The mapping must equal the never-compacted run.
+    val cmp1 = EntityResolution.multidayCrudResolveServedMor(spark, d,
+      prefix = "graft_q166_t", compactAfterOps = Set(1))
+      .as[(Long, Long)].collect().toSeq
+    assert(cmp1 === want)
+    // replay: the reset must drop the compacted working base + its
+    // post-fold sidecars and start again from the pristine snapshot
+    val cmp2 = EntityResolution.multidayCrudResolveServedMor(spark, d,
+      prefix = "graft_q166_t", compactAfterOps = Set(1))
+      .as[(Long, Long)].collect().toSeq
+    assert(cmp2 === want)
+    // compacting at EVERY boundary (repeated in-place folds of the
+    // working base, exercising compactMor after compactMorInto) must
+    // also be invisible
+    val every = EntityResolution.multidayCrudResolveServedMor(spark, d,
+      prefix = "graft_q166_all", compactAfterOps = Set(0, 1, 2))
+      .as[(Long, Long)].collect().toSeq
+    assert(every === want)
+    // after a full replay with compactAfterOps=Set(1): the delete day's
+    // sidecars live on the WORKING base (post-fold appends follow the
+    // fold), and the snapshot base carries none — the reset contract
+    assert(spark.catalog.tableExists("graft_q166_t_pairs"))
+    assert(spark.catalog.tableExists("graft_q166_t_pairs_tomb"))
+    assert(!spark.catalog.tableExists("graft_q166_t_base_pairs_tomb") &&
+      !spark.catalog.tableExists("graft_q166_t_base_pairs_delta"))
+  }
 }

@@ -210,6 +210,43 @@ class IngestedErSpec extends AnyFunSuite {
     assert(Seq(0L, 1L, 2L).forall(c => byCls.getOrElse(c, 0L) > 0))
   }
 
+  test("batch-scoped daySource/batchSource are result-identical to the " +
+      "full-universe parse (q159/q161/q165 — the serve-cost contract)") {
+    import org.apache.spark.sql.functions._
+    val full = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+    // the deployment shape: each day's thunk yields ONLY that day's
+    // documents (an arriving-batch directory), here reshaped as an
+    // ingest-like frame holding exactly the class's terms
+    val byCls: Int => org.apache.spark.sql.DataFrame = k =>
+      full.filter(col("vec_id") % 3 === k)
+        .select(col("term").as("keywords"))
+    val want = TaggedQueries.queries("q161_tagged_er_crud_lifecycle")(
+      spark, "").collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val scoped = EntityResolution.ingestedMultidayCrudServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q161_scoped", daySource = Some(byCls))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(scoped === want)
+    val scopedMor = EntityResolution.ingestedMultidayCrudServedMor(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q165_scoped", daySource = Some(byCls))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(scopedMor === want)
+    // the single-serve insert (q159): a scoped batch thunk must land on
+    // the same mapping as the default full-universe filter
+    val wantIns = TaggedQueries.queries("q159_tagged_er_inserts_served")(
+      spark, "").collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val scopedIns = EntityResolution.ingestedInsertResolveServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q159_scoped", batchSource = Some(() => byCls(1)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(scopedIns === wantIns)
+  }
+
   test("q161 update day splits a component the insert day merged") {
     import org.apache.spark.sql.functions._
     // 深度学习 (cls 2) pairs with the day-1 insert 深度学习 (DL) (cls 1,

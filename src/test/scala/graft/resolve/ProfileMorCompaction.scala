@@ -10,13 +10,16 @@ import org.apache.spark.sql.SparkSession
   *   q162 (merge-on-write): N days × (kernels + corpus rewrites)
   *   q163 (merge-on-read):  N days × (kernels + batch appends)
   *                          + one `compactMor` per schedule period.
-  * The replay costs are benched (bench/r14_sf10_mor_focused.json); this
-  * profiles the missing term: compactMor over the pair and assigned
-  * stores right after a q163 replay (sidecars at their three-day depth),
-  * plus a post-compaction replay to show reads return to the plain
-  * bucketed base (next replay drops sidecars either way; the value of
-  * compaction is read-side bucketing, priced in the q163-vs-q162 gap at
-  * low sidecar depth).
+  * The replay costs are benched (bench/r*_sf10_mor_focused.json); this
+  * prices the schedule terms per-day via the lifecycle's own `onPhase`
+  * hook (round 15): one q163 replay (every day at sidecar depth) against
+  * one q166-shaped replay (compactAfterOps=Set(1) — the fold runs after
+  * the update day, so its delete day reads the PLAIN compacted base).
+  * The direct read of round-14 item 3's claim: `compact2` is the
+  * scheduled fold's price, and `delete3(q166) − delete3(q163)` is the
+  * read-side bucketing restoration it buys on the very next day. A
+  * final standalone `compactMor` at full three-day depth keeps the
+  * round-14 number comparable.
   */
 object ProfileMorCompaction {
   def main(args: Array[String]): Unit = {
@@ -27,33 +30,40 @@ object ProfileMorCompaction {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def replay(tag: String, prefix: String, compactAfter: Set[Int]): Unit = {
+      val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val t0 = System.nanoTime()
+      EntityResolution.multidayCrudResolveServedMor(spark, d,
+        prefix = prefix, compactAfterOps = compactAfter,
+        onPhase = (t, s) => phases(t) = s)
+        .write.format("noop").mode("overwrite").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      EntityResolution.releaseServeCaches()
+      val parts = phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+      println(f"[profile] $tag $parts total=$total%.2f")
+    }
+    // pass 1 per prefix builds the base snapshot; pass 2 is the
+    // steady-state replay the bench records
+    (1 to 2).foreach { pass =>
+      replay(s"pass$pass q163 (no compaction)", "graft_prof_q163", Set.empty)
+      replay(s"pass$pass q166 (compact after update day)",
+        "graft_prof_q166", Set(1))
+    }
+    // the round-14 comparable: one standalone fold at full three-day
+    // sidecar depth. NOTE this folds the advanced state INTO the base
+    // tables — correct for a deployment (the corpus genuinely advanced)
+    // but it retires this JVM's replay fixture for that prefix.
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    // first call builds the base snapshot (untimed here), second is the
-    // steady-state replay the bench records
-    EntityResolution.multidayCrudResolveServedMor(spark, d)
-      .write.format("noop").mode("overwrite").save()
-    EntityResolution.releaseServeCaches()
-    time("q163 replay (warm)") {
-      EntityResolution.multidayCrudResolveServedMor(spark, d)
-        .write.format("noop").mode("overwrite").save()
-    }
-    EntityResolution.releaseServeCaches()
-    // sidecars now hold the three-day depth: price the scheduled fold.
-    // NOTE this folds the advanced state INTO the base tables — correct
-    // for a deployment (the corpus genuinely advanced) but it retires
-    // this JVM's replay fixture: the snapshot no longer holds day-0
-    // state, so no further q163 calls after this point. A fresh JVM
-    // rebuilds the base from the source (writeBucketed drops the old).
-    time("compactMor pairs store") {
+    time("compactMor pairs store (depth 3)") {
       graft.graph.BucketedStore.compactMor(spark,
-        "graft_q163_base_pairs", "u", Seq("u", "v"))
+        "graft_prof_q163_base_pairs", "u", Seq("u", "v"))
     }
-    time("compactMor assigned store") {
+    time("compactMor assigned store (depth 3)") {
       graft.graph.BucketedStore.compactMor(spark,
-        "graft_q163_base_assigned", "cid", Seq("vec_id"))
+        "graft_prof_q163_base_assigned", "cid", Seq("vec_id"))
     }
     spark.stop()
   }

@@ -1,35 +1,36 @@
 package graft.resolve
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only pricing of the REAL-INGEST multi-day CRUD lifecycle (q161's
-  * `ingestedMultidayCrudServed`) at term universes the 7-term fixture
-  * cannot exercise (round-13 verdict item 6: the lifecycle's scale claim
-  * rested on composition of audited kernels, not a measurement):
+  * `ingestedMultidayCrudServed` and its merge-on-read twin q165) at term
+  * universes the 7-term fixture cannot exercise:
   * `Test/runMain graft.resolve.ProfileTaggedLifecycle [n ...]`.
   *
-  * Per-day cost comes from the lifecycle's own `onPhase` hook — one
-  * replay reports day-0 build and each day's kernel+advance wall time
-  * directly. (A first cut differenced whole replays of increasing ops
-  * prefixes; the repeated day-0 build's ±5 s variance swamped the day
-  * costs — negative "day" readings at n=100k — so the instrument moved
-  * inside the replay.) Each config runs twice; pass 2 is the warm
-  * reading. Terms are synthetic (`t$i`) but flow through the PRODUCTION
-  * keyword→id→embedding columns (the ProfileTaggedServe discipline), so
-  * the kernels see the q161 geometry exactly: θ=24/25, classes =
-  * vec_id % 3 (each day's batch ≈ a third of the universe).
+  * Round-15 shape (verdict items 1/5/7): each size runs a 2×2 cell —
+  * {merge-on-write, merge-on-read} × {full-universe parse, BATCH-SCOPED
+  * `daySource`} — twice. The scoped mode writes the universe as a
+  * class-partitioned parquet directory (the deployment's arriving-batch
+  * layout) and each day's thunk reads ONLY its `cls=k` partition
+  * (partition-pruned scan), so the per-day parse cost is the batch; the
+  * full mode filters the whole-universe parse per day (the fixture-gate
+  * convenience). Pass 1 builds the day-0 snapshot (the per-JVM+source
+  * `_base_*` tables); pass 2 is the steady-state replay — reset + three
+  * days — which is what the registry's serve medians now measure.
   *
-  * Caveat stated in the q159/q161 scaladocs and visible here: the first
-  * day's phase carries the full-universe parse/embed (the fixture-
-  * convenience `filter(isNew)` AFTER `embedTermUniverse`), so "insert1"
-  * is an upper bound on the deployment's batch-scoped serve.
+  * Per-day cost comes from the lifecycle's own `onPhase` hook (the MOW
+  * path; MOR reports replay totals — its day kernels are identical, only
+  * the advance differs). Terms are synthetic (`t$i`) but flow through
+  * the PRODUCTION keyword→id→embedding columns (the ProfileTaggedServe
+  * discipline), so the kernels see the q161 geometry exactly: θ=24/25,
+  * classes = vec_id % 3 (each day's batch ≈ a third of the universe).
   *
-  * The scale claim under test: each day's cost tracks the DAY'S BATCH,
-  * not the corpus — checked two ways: (a) day costs at n=30k vs n=100k
-  * with the same class rule (batch grows ~3.3×, day cost should track);
-  * (b) at fixed n, the insert day under cls=%3 (~33% batch) vs cls=%10
-  * (~10% batch) — a corpus-bound day would read flat across (b).
+  * Claims under test: (a) with `daySource`, each day's phase cost tracks
+  * the DAY'S BATCH — the full-universe parse term visible in the
+  * unscoped insert1 phase disappears; (b) the q161-vs-q165 (MOW-vs-MOR)
+  * advance comparison at a 30k-term REAL-INGEST universe, which the
+  * 7-term fixture reads as neutral by construction (round-14 item 7).
   */
 object ProfileTaggedLifecycle {
   def main(args: Array[String]): Unit = {
@@ -45,24 +46,45 @@ object ProfileTaggedLifecycle {
     sizes.foreach { n =>
       val universe = spark.range(n.toLong)
         .select(concat(lit("t"), $"id").as("keywords"))
-      def replay(cls: Int, tag: String): Unit = {
+      // the deployment's batch layout: one directory per class, so a
+      // day's thunk reads its partition alone (pruned at the scan) —
+      // written once per size, outside the timed replays
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"prof_lc_batches_$n").toString
+      universe.select($"keywords",
+          (conv(substring(md5($"keywords"), 1, 15), 16, 10).cast("long")
+            % 3).as("cls"))
+        .write.mode("overwrite").partitionBy("cls").parquet(dir)
+      val scopedSource: Int => DataFrame = k =>
+        spark.read.parquet(dir).filter($"cls" === k).select($"keywords")
+      def replay(variant: String, scoped: Boolean, pass: Int): Unit = {
+        val tag = s"${variant}_${if (scoped) "scoped" else "full"}"
         val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+        val src = if (scoped) Some(scopedSource) else None
         val t0 = System.nanoTime()
-        EntityResolution.ingestedMultidayCrudServed(spark,
-          () => universe, sourceKey = s"profile_n$n", num = 24, den = 25,
-          prefix = s"graft_prof_lc_${n}_$tag",
-          cls = c => c % cls, ops = allOps,
-          onPhase = (t, s) => phases(t) = s)
-          .write.format("noop").mode("overwrite").save()
+        val out = variant match {
+          case "mow" => EntityResolution.ingestedMultidayCrudServed(spark,
+            () => universe, sourceKey = s"profile_n$n", num = 24, den = 25,
+            prefix = s"graft_prof_lc_${n}_$tag",
+            ops = allOps, onPhase = (t, s) => phases(t) = s,
+            daySource = src)
+          case "mor" => EntityResolution.ingestedMultidayCrudServedMor(spark,
+            () => universe, sourceKey = s"profile_n$n", num = 24, den = 25,
+            prefix = s"graft_prof_lc_${n}_$tag",
+            ops = allOps, daySource = src)
+        }
+        out.write.format("noop").mode("overwrite").save()
         val total = (System.nanoTime() - t0) / 1e9
         EntityResolution.releaseServeCaches()
         val parts = phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
-        println(f"[profile] n=$n $tag $parts total=$total%.2f")
+        println(f"[profile] n=$n pass$pass $tag $parts total=$total%.2f")
       }
       println(s"== n=$n ==")
       (1 to 2).foreach { pass =>
-        replay(3, s"pass${pass}_cls3")
-        replay(10, s"pass${pass}_cls10")
+        replay("mow", scoped = false, pass)
+        replay("mow", scoped = true, pass)
+        replay("mor", scoped = false, pass)
+        replay("mor", scoped = true, pass)
       }
     }
     spark.stop()

@@ -9,10 +9,8 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r13.json')))
-          | {'q163_er_crud_lifecycle_mor',
-             'q164_mm_perceptual_neardup',
-             'q165_tagged_er_crud_lifecycle_mor'})
+qs=sorted(set(json.load(open('CORRECTNESS_r14.json')))
+          | {'q166_er_crud_lifecycle_mor_compact'})
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
