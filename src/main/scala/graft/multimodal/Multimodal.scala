@@ -224,11 +224,24 @@ object Multimodal {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
       val images = assets(s, d).filter($"meta.kind" === "image")
+      // NARROW CARRY (round 15): the decode pass emits the hash as a
+      // 64-char bit string (the human-auditable form the spec and the
+      // DuckDB mirror share); everything that shuffles carries it
+      // PACKED — one long (two overflow-free 32-bit conv halves ORed
+      // together; shiftLeft is bitwise, so the high bit wrapping to the
+      // sign is fine) and an int per 16-bit band key — so the
+      // banded/candidate exchanges move ~16 bytes/row instead of
+      // ~140 (64-char hash + 16-char band strings), and the hamming is
+      // one codegen'd bit_count(XOR) instead of 64 substring branches.
       val banded = stubPerceptualHash(images)
-        .select($"doc_id", $"phash",
-          posexplode(array(substring($"phash", 1, 16),
-            substring($"phash", 17, 16), substring($"phash", 33, 16),
-            substring($"phash", 49, 16))).as(Seq("band", "bits")))
+        .select($"doc_id",
+          shiftleft(conv(substring($"phash", 1, 32), 2, 10).cast("long"),
+            32).bitwiseOR(
+              conv(substring($"phash", 33, 32), 2, 10).cast("long"))
+            .as("ph"),
+          posexplode(array((0 until 4).map(b =>
+            conv(substring($"phash", b * 16 + 1, 16), 2, 10).cast("int")):
+            _*)).as(Seq("band", "bits")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val ok = banded.groupBy($"band", $"bits")
         .agg(count(lit(1)).as("bsz"))
@@ -239,12 +252,11 @@ object Multimodal {
           $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
             $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-          $"a.phash".as("sa"), $"b.phash".as("sb"))
+          $"a.ph".as("pa"), $"b.ph".as("pb"))
         .distinct()
-      val ham = (1 to 64).map(i =>
-        when(substring($"sa", i, 1) === substring($"sb", i, 1), 0)
-          .otherwise(1)).reduce(_ + _)
-      val out = cand.withColumn("hamming", ham.cast("int"))
+      val out = cand
+        .withColumn("hamming",
+          bit_count($"pa".bitwiseXOR($"pb")).cast("int"))
         .filter($"hamming" <= 3)
         .select($"d1", $"d2", $"hamming")
         .orderBy($"d1", $"d2")

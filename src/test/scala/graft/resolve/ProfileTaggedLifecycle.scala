@@ -84,6 +84,22 @@ object ProfileTaggedLifecycle {
         () => graft.ingest.TaggedText.ingest(spark, s"$dir/*/*/*.txt")
       val scopedSource: Int => DataFrame =
         k => graft.ingest.TaggedText.ingest(spark, s"$dir/cls$k/*/*.txt")
+      // the parse term ISOLATED (the replay totals below are
+      // kernel-dominated at these universes, which itself is a finding —
+      // the thunk matters when documents are heavy): full-corpus
+      // parse→embed vs one class directory's, each timed twice
+      (1 to 2).foreach { pass =>
+        Seq("full" -> (() => EntityResolution
+              .embedTermUniverse(fullIngest()).count()),
+            "scoped_cls1" -> (() => EntityResolution
+              .embedTermUniverse(scopedSource(1)).count()))
+          .foreach { case (tag, f) =>
+            val t0 = System.nanoTime()
+            val rows = f()
+            println(f"[profile] n=$n parse_only pass$pass $tag " +
+              f"rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+          }
+      }
       def replay(variant: String, scoped: Boolean, pass: Int): Unit = {
         val tag = s"${variant}_${if (scoped) "scoped" else "full"}"
         val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
