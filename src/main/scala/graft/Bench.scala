@@ -159,6 +159,35 @@ object Bench {
     (cachedMb, heapMb, microSec)
   }
 
+  /** Third boot-health probe, IO-shaped (round 15 — calibration phase):
+    * the r15 100× run3 boot read CLEAN on both CPU-bound probes (iter
+    * 0.992, graph 1.217) yet ran uniformly ~1.49× run2's totals across
+    * scan/write-heavy shapes — page-cache/disk pressure after hours of
+    * continuous benching, a drift mode neither existing probe flags
+    * (both are data-free). This probe is THAT shape: write a fixed
+    * 2M-row parquet to a temp dir, read it back and aggregate — so its
+    * reading moves with storage-stack health and nothing else. Recorded
+    * as a RAW `io_probe_sec` (no pinned median, no degraded-flag input
+    * yet): pin after ≥5 healthy-boot observations, the same
+    * calibration discipline [[GraphProbeMedian]] followed in rounds
+    * 9-10.
+    */
+  private[graft] def ioProbe(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_probe")
+    val t0 = System.nanoTime()
+    spark.range(2000000L).selectExpr("id", "id * 31 % 997 AS v")
+      .write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString).selectExpr("sum(v) s")
+      .write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    dt
+  }
+
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
     * 32-core box. Provenance: re-pinned in round 9 as the median of ALL
@@ -248,6 +277,7 @@ object Bench {
     // so a degraded scheduler is visible regardless of which queries run.
     val iterProbeSec = median((1 to 5).map(_ => iterativeProbe(spark)))
     val graphProbeSec = median((1 to 3).map(_ => graphProbe(spark)))
+    val ioProbeSec = median((1 to 3).map(_ => ioProbe(spark)))
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     // build/serve attribution, native in the record (round-10 item 4):
     // the build-once/serve-many queries pay their standing build on the
@@ -471,8 +501,8 @@ object Bench {
     // sum/append-style consumers, e.g. the campaign scripts' grep).
     // Metric name is "total" — the SAME key as the full record;
     // `"summary":true` distinguishes the records for human readers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$rawJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$rawJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
