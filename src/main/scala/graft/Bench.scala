@@ -305,6 +305,7 @@ object Bench {
       // end-of-life compaction mutates the standing tables to the full
       // universe, so a snapshot would be rebuilt every call anyway).
       "q161_tagged_er_crud_lifecycle", "q165_tagged_er_crud_lifecycle_mor",
+      "q167_tagged_er_mor_compact",
       "q162_er_crud_lifecycle", "q163_er_crud_lifecycle_mor",
       "q166_er_crud_lifecycle_mor_compact")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()

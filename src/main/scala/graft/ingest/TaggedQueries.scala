@@ -221,6 +221,17 @@ object TaggedQueries {
         s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
         24, 25)),
 
+    // q165 with a MID-LIFECYCLE COMPACTION on the real-ingest term/pair
+    // stores (q166's maintenance-fold gate, real-ingest twin): after
+    // the update day — both delta AND tombstone sidecars live — the
+    // sidecars fold into a bucketed working base and the delete day
+    // runs against it. Same oracle as q161/q165: the schedule must be
+    // invisible in the mapping.
+    "q167_tagged_er_mor_compact" -> ((s, _) =>
+      graft.resolve.EntityResolution.ingestedMultidayCrudServedMor(
+        s, () => TaggedText.ingest(s, ErFixtureGlob), ErFixtureGlob,
+        24, 25, prefix = "graft_q167", compactAfterOps = Set(1))),
+
     "q105_tagged_er_alias_docs" -> ((s, _) => {
       val ingested = TaggedText.ingest(s, ErFixtureGlob)
       val mapping = graft.resolve.EntityResolution
@@ -542,6 +553,10 @@ thk2 AS (SELECT DISTINCT title, kw
          SELECT original, representative FROM tmap ORDER BY original""",
     // merge-on-read advance layout: same net state, same oracle as q161
     "q165_tagged_er_crud_lifecycle_mor" ->
+      s"""WITH RECURSIVE $erCrudSql
+         SELECT original, representative FROM tmap ORDER BY original""",
+    // mid-lifecycle compaction on the real-ingest stores: same oracle
+    "q167_tagged_er_mor_compact" ->
       s"""WITH RECURSIVE $erCrudSql
          SELECT original, representative FROM tmap ORDER BY original""",
     "q105_tagged_er_alias_docs" ->

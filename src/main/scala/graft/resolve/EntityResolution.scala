@@ -1653,8 +1653,11 @@ object EntityResolution {
     * (verdict item 5, like q161): `_base_*` tables build once per JVM +
     * (source, inserted-class set); a replay drops the sidecars and the
     * working mapping, never the base. `daySource` scopes each day's
-    * parse to the batch exactly as in q161 (round-14 item 1). Same
-    * oracle as q161; `IngestedErSpec` pins q165 ≡ q161 bit-for-bit.
+    * parse to the batch exactly as in q161 (round-14 item 1);
+    * `compactAfterOps` folds the sidecars into a bucketed WORKING base
+    * mid-replay exactly as in [[multidayCrudResolveServedMor]] (q167 —
+    * the q166 compaction gate's real-ingest twin). Same oracle as
+    * q161; `IngestedErSpec` pins q165/q167 ≡ q161 bit-for-bit.
     */
   def ingestedMultidayCrudServedMor(s: SparkSession,
       ingested: () => DataFrame, sourceKey: String, num: Int, den: Int,
@@ -1662,7 +1665,8 @@ object EntityResolution {
       cls: Column => Column = c => c % 3,
       ops: Seq[(String, Int)] =
         Seq(("insert", 1), ("update", 2), ("delete", 0)),
-      daySource: Option[Int => DataFrame] = None): DataFrame = {
+      daySource: Option[Int => DataFrame] = None,
+      compactAfterOps: Set[Int] = Set.empty): DataFrame = {
     import s.implicits._
     import graft.graph.BucketedStore
     val inserted = ops.collect { case ("insert", k) => k }.toSet
@@ -1671,18 +1675,28 @@ object EntityResolution {
       s"${prefix}_base",
       keep = c => !inserted.map(k => cls(c) === k)
         .foldLeft(lit(false))(_ || _))
-    // replay reset: sidecars + working mapping go; the base snapshot is
-    // immutable (readMor falls back to it alone when no sidecars exist)
-    BucketedStore.dropSidecars(s, s"${prefix}_base_terms")
-    BucketedStore.dropSidecars(s, s"${prefix}_base_pairs")
+    // replay reset: sidecars + working tables + working mapping go; the
+    // base snapshot is immutable (readMor falls back to it alone when
+    // no sidecars exist). Working term/pair names exist only when a
+    // previous replay compacted mid-lifecycle.
+    Seq("terms", "pairs").foreach { t =>
+      BucketedStore.dropSidecars(s, s"${prefix}_base_$t")
+      BucketedStore.dropSidecars(s, s"${prefix}_$t")
+      BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
+    }
     BucketedStore.dropManagedPurging(s, s"${prefix}_mapping")
     lazy val universe = persistServe(embedTermUniverse(ingested()))
     def batchOf(k: Int): DataFrame =
       daySource.map(f => embedTermUniverse(f(k)))
         .getOrElse(universe).filter(cls($"vec_id") === k)
-    def standing = BucketedStore.readMor(s, s"${prefix}_base_terms",
+    // mid-lifecycle compaction folds into the WORKING name; reads and
+    // sidecar appends follow it once it exists (the q163/q166 shape)
+    def curBase(t: String): String =
+      if (s.catalog.tableExists(s"${prefix}_$t")) s"${prefix}_$t"
+      else s"${prefix}_base_$t"
+    def standing = BucketedStore.readMor(s, curBase("terms"),
       Seq("vec_id"))
-    def pairs = BucketedStore.readMor(s, s"${prefix}_base_pairs",
+    def pairs = BucketedStore.readMor(s, curBase("pairs"),
       Seq("u", "v"))
     def mapping = BucketedStore.table(s,
       if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
@@ -1702,9 +1716,9 @@ object EntityResolution {
           swapMapping(
             mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
           BucketedStore.appendDeltaSidecar(
-            touching, s"${prefix}_base_pairs", "u", epoch)
+            touching, curBase("pairs"), "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, s"${prefix}_base_terms", "vec_id", epoch)
+            batch, curBase("terms"), "vec_id", epoch)
         case ("update", k) =>
           val isUpd = (c: Column) => cls(c) === k
           // batch derives from the ingest, never the terms store (the
@@ -1720,32 +1734,49 @@ object EntityResolution {
           // tombstones kill the old-embedding rows (epoch < e); the
           // same-epoch deltas carry the new rows, which they spare.
           // batch's plan reads only the ingest, so appending its ids to
-          // the stores' own tombstone tables is conflict-free
+          // the stores' own tombstone tables is conflict-free. (After a
+          // compaction the folded rows read as epoch 0 — a later epoch
+          // still kills them.)
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), s"${prefix}_base_pairs", epoch)
+            batch.select($"vec_id"), curBase("pairs"), epoch)
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), s"${prefix}_base_terms", epoch)
+            batch.select($"vec_id"), curBase("terms"), epoch)
           BucketedStore.appendDeltaSidecar(
-            touching, s"${prefix}_base_pairs", "u", epoch)
+            touching, curBase("pairs"), "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, s"${prefix}_base_terms", "vec_id", epoch)
+            batch, curBase("terms"), "vec_id", epoch)
         case ("delete", k) =>
           val isDel = (c: Column) => cls(c) === k
           swapMapping(mergeTombstones(s, mapping, pairs, isDel)
             .select($"vec_id", $"rep_id"))
           val dead = standing.filter(isDel($"vec_id")).select($"vec_id")
           BucketedStore.appendTombstoneSidecar(
-            dead, s"${prefix}_base_pairs", epoch)
+            dead, curBase("pairs"), epoch)
           // second sidecar reads the first one's just-written rows:
-          // `dead`'s plan scans the terms MOR view — including
-          // `_base_terms_tomb` — so appending it there directly would
+          // `dead`'s plan scans the terms MOR view — including its
+          // tombstone sidecar — so appending it there directly would
           // write a table its plan is reading (the q163 discipline)
           BucketedStore.appendTombstoneSidecar(
-            s.table(s"${prefix}_base_pairs_tomb")
+            s.table(s"${curBase("pairs")}_tomb")
               .filter($"_epoch" === epoch).select($"id"),
-            s"${prefix}_base_terms", epoch)
+            curBase("terms"), epoch)
         case (o, _) =>
           throw new IllegalArgumentException(s"unknown lifecycle op: $o")
+      }
+      if (compactAfterOps.contains(opIdx)) {
+        // fold the sidecars accumulated so far (the q166 shape): first
+        // fold lands under the working name — the shared snapshot stays
+        // pristine for the next replay's reset — later folds compact
+        // the working base in place
+        def compactStore(t: String, key: String,
+            endpoints: Seq[String]): Unit =
+          if (s.catalog.tableExists(s"${prefix}_$t"))
+            BucketedStore.compactMor(s, s"${prefix}_$t", key, endpoints)
+          else
+            BucketedStore.compactMorInto(s, s"${prefix}_base_$t",
+              s"${prefix}_$t", key, endpoints)
+        compactStore("pairs", "u", Seq("u", "v"))
+        compactStore("terms", "vec_id", Seq("vec_id"))
       }
     }
     minTermMapping(mapping.select($"vec_id", $"component".as("rep_id")),

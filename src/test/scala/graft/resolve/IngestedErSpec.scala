@@ -180,6 +180,24 @@ class IngestedErSpec extends AnyFunSuite {
       spark, "")
       .collect().map(r => r.getString(0) -> r.getString(1)).toSet
     assert(mor1 === run1 && mor2 === run1)
+    // ...and with a MID-LIFECYCLE COMPACTION (q167): the fold after the
+    // update day must be invisible in the mapping, and the replay reset
+    // must recover the pristine snapshot under the compacted working
+    // base (run twice)
+    val cmp1 = TaggedQueries.queries("q167_tagged_er_mor_compact")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val cmp2 = TaggedQueries.queries("q167_tagged_er_mor_compact")(
+      spark, "")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(cmp1 === run1 && cmp2 === run1)
+    // post-replay state: the delete day's sidecars live on the WORKING
+    // base (post-fold appends follow the fold), the snapshot carries
+    // none
+    assert(spark.catalog.tableExists("graft_q167_pairs"))
+    assert(spark.catalog.tableExists("graft_q167_pairs_tomb"))
+    assert(!spark.catalog.tableExists("graft_q167_base_pairs_tomb") &&
+      !spark.catalog.tableExists("graft_q167_base_pairs_delta"))
   }
 
   test("q161 update-day boundary: stopping before the delete day equals " +
