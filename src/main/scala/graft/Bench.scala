@@ -166,11 +166,9 @@ object Bench {
     * continuous benching, a drift mode neither existing probe flags
     * (both are data-free). This probe is THAT shape: write a fixed
     * 2M-row parquet to a temp dir, read it back and aggregate — so its
-    * reading moves with storage-stack health and nothing else. Recorded
-    * as a RAW `io_probe_sec` (no pinned median, no degraded-flag input
-    * yet): pin after ≥5 healthy-boot observations, the same
-    * calibration discipline [[GraphProbeMedian]] followed in rounds
-    * 9-10.
+    * reading moves with storage-stack health and nothing else.
+    * Recorded as `io_probe_sec`; adjudicated against [[IoProbeMedian]]
+    * once pinned.
     */
   private[graft] def ioProbe(spark: SparkSession): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft_io_probe")
@@ -180,13 +178,31 @@ object Bench {
     spark.read.parquet(dir.toString).selectExpr("sum(v) s")
       .write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+    // cleanup outside the timed window. The walk stream is closed in a
+    // finally (round-15 ADVICE 4 — it holds directory handles; 3 leaked
+    // per boot adds up on a campaign box), and a failed delete is
+    // REPORTED, not swallowed: 2M-row temp dirs silently accumulating
+    // across boots are themselves an IO-drift source this probe exists
+    // to measure.
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach { p =>
+      try { java.nio.file.Files.deleteIfExists(p); () }
+      catch { case e: Exception =>
+        System.err.println(s"[bench] ioProbe cleanup failed for $p: $e") }
+    } finally walk.close()
     dt
   }
+
+  /** Committed sf-independent pin for [[ioProbe]] (each boot's
+    * observation is a median of 3 in-boot probe runs), following the
+    * [[GraphProbeMedian]] calibration discipline: ≤ 0 means STILL
+    * CALIBRATING — `io_control_ratio` is null and the probe does not
+    * feed `boot_degraded` — and the pin is set once ≥5 healthy-boot
+    * observations exist (the round-16 campaign is the calibration
+    * set; r15 boots predate the probe).
+    */
+  val IoProbeMedian: Double = -1.0
 
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
@@ -307,7 +323,8 @@ object Bench {
       "q161_tagged_er_crud_lifecycle", "q165_tagged_er_crud_lifecycle_mor",
       "q167_tagged_er_mor_compact",
       "q162_er_crud_lifecycle", "q163_er_crud_lifecycle_mor",
-      "q166_er_crud_lifecycle_mor_compact")
+      "q166_er_crud_lifecycle_mor_compact", "q169_er_mor_compact_policy",
+      "q168_stream_mor_splice")
     val served = scala.collection.mutable.LinkedHashMap[String, Double]()
     val buildRetried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -471,10 +488,20 @@ object Bench {
     // ran 1.19×). Same ≥2 convention for the hard flag; sub-2× drift is
     // adjudicated from the recorded ratio rather than by exclusion.
     val graphRatio = graphProbeSec / GraphProbeMedian
+    // ...and the THIRD threshold (round-15 verdict item 2): the
+    // IO-shaped probe adjudicates the scan/write drift mode the two
+    // CPU-bound probes read clean through (r15 100× run3: uniform
+    // ~1.49× with iter 0.992 / graph 1.217). Same ≥2 convention for
+    // the hard flag; sub-2× drift is adjudicated from the recorded
+    // ratio. Null while the pin is calibrating (IoProbeMedian ≤ 0).
+    val ioRatio = ioProbeSec / IoProbeMedian
     val bootDegraded = (IterativeProbeMedian > 0 && iterRatio >= 2.0) ||
-      (GraphProbeMedian > 0 && graphRatio >= 2.0)
+      (GraphProbeMedian > 0 && graphRatio >= 2.0) ||
+      (IoProbeMedian > 0 && ioRatio >= 2.0)
     val graphRatioJson =
       if (GraphProbeMedian > 0) num(graphRatio, "%.3f") else "null"
+    val ioRatioJson =
+      if (IoProbeMedian > 0) num(ioRatio, "%.3f") else "null"
     // build passes that stayed negative after their one retry — the
     // serve medians for these queries are suspect (a measured run may
     // have re-paid the build) and the record says so
@@ -502,8 +529,8 @@ object Bench {
     // sum/append-style consumers, e.g. the campaign scripts' grep).
     // Metric name is "total" — the SAME key as the full record;
     // `"summary":true` distinguishes the records for human readers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$rawJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$rawJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

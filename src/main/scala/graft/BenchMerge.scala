@@ -26,16 +26,20 @@ object BenchMerge {
     """"queries":\{([^}]*)\}""".r
   private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
   private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
+  private val IoRe = """"io_probe_sec":([0-9][0-9.eE+-]*)""".r
   private val DegradedRe = """"boot_degraded":(true|false)""".r
-  // round-14 records append the pre-serve probe readings
-  // (pre_cached_mb/pre_heap_mb/pre_micro_sec) inside the same object;
-  // pre-r14 records close immediately after serve_sec — the probe group
-  // is optional and, when present, pre_micro_sec is CAPTURED (round-14
-  // verdict item 6: the merge now USES the probe, not just parses past
-  // it)
+  // A served entry is `"name":{"build_sec":N,"serve_sec":N,...}` —
+  // matched by its two LEADING fields with a tolerant tail (round-15
+  // ADVICE 2: the previous regex enumerated the exact probe trio, so a
+  // record generation that adds/reorders any served field would
+  // silently drop the query from served medians and probe adjudication;
+  // now any extra key:value pairs before the closing brace are
+  // accepted, and pre_micro_sec is extracted from the tail separately).
   private val ServedRe =
     (""""([^"]+)":\{"build_sec":(-?[0-9][0-9.eE+-]*),"serve_sec":(-?[0-9][0-9.eE+-]*)""" +
-      """(?:,"pre_cached_mb":-?[0-9][0-9.eE+-]*,"pre_heap_mb":-?[0-9][0-9.eE+-]*,"pre_micro_sec":(-?[0-9][0-9.eE+-]*))?\}""").r
+      """([^{}]*)\}""").r
+  private val PreMicroRe =
+    """"pre_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
 
   /** Pinned per-serve boot-health threshold for the `pre_micro_sec`
     * probe (the fixed data-free job Bench runs immediately before each
@@ -59,9 +63,19 @@ object BenchMerge {
   final case class Boot(path: String, queries: Map[String, Double],
       iterRatio: Option[Double], degraded: Boolean,
       served: Map[String, (Double, Double)] = Map.empty,
-      probes: Map[String, Double] = Map.empty) {
+      probes: Map[String, Double] = Map.empty,
+      ioSec: Option[Double] = None) {
     def hotProbe(n: String): Boolean =
       probes.get(n).exists(_ > HotProbeMicroSec)
+    /** IO-probe ratio vs the pinned [[Bench.IoProbeMedian]] — computed
+      * here from the RAW io_probe_sec (round-15 verdict item 2), so
+      * boots recorded DURING the pin's calibration phase (null
+      * io_control_ratio in their own record) are still adjudicated by
+      * the merge once the pin lands. None while unpinned or pre-r15.
+      */
+    def ioRatio: Option[Double] =
+      if (Bench.IoProbeMedian > 0) ioSec.map(_ / Bench.IoProbeMedian)
+      else None
   }
 
   private[graft] def parse(path: String, line: String): Boot = {
@@ -70,6 +84,7 @@ object BenchMerge {
     val pairs = PairRe.findAllMatchIn(qs)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val iter = IterRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+    val io = IoRe.findFirstMatchIn(line).map(_.group(1).toDouble)
     val degraded = DegradedRe.findFirstMatchIn(line)
       .map(_.group(1) == "true")
       // pre-r09 records lack the flag: fall back to the ratio threshold
@@ -81,9 +96,10 @@ object BenchMerge {
       .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
       .toMap
     val probes = servedMatches
-      .flatMap(m => Option(m.group(4)).map(v => m.group(1) -> v.toDouble))
+      .flatMap(m => PreMicroRe.findFirstMatchIn(m.group(4))
+        .map(p => m.group(1) -> p.group(1).toDouble))
       .toMap
-    Boot(path, pairs, iter, degraded, served, probes)
+    Boot(path, pairs, iter, degraded, served, probes, io)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
@@ -113,7 +129,12 @@ object BenchMerge {
     */
   private[graft] def merge(boots: Seq[Boot])
       : (Map[String, Double], Seq[Boot], Boolean, Seq[String], Seq[String]) = {
-    val (bad, good) = boots.partition(_.degraded)
+    // a boot is excluded if its own record flagged it OR its raw
+    // io_probe_sec reads ≥2× the pinned IoProbeMedian (round-15 item 2:
+    // calibration-phase records carry the raw probe but a null ratio —
+    // the merge adjudicates them retroactively once the pin exists)
+    val (bad, good) =
+      boots.partition(b => b.degraded || b.ioRatio.exists(_ >= 2.0))
     val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
     val names = use.flatMap(_.queries.keys).distinct.sorted
@@ -165,14 +186,25 @@ object BenchMerge {
     val served = servedNames.map { n =>
       val having = use.filter(_.served.contains(n))
       val clean = having.filterNot(_.hotProbe(n))
-      val obs = (if (clean.nonEmpty) clean else having).flatMap(_.served.get(n))
+      // SAME fallback predicate as the per-query medians (round-15
+      // ADVICE 3): hot-probe observations are excluded only when a
+      // clean observation WITH A VALID (>=0) measurement survives — a
+      // boot that probed clean but crashed on the query must not make
+      // the two sections adjudicate from different boot sets
+      val obs = (if (clean.exists(_.queries.get(n).exists(_ >= 0))) clean
+                 else having).flatMap(_.served.get(n))
       "\"" + n + "\":{\"build_sec\":" + num(median(obs.map(_._1))) +
         ",\"serve_sec\":" + num(median(obs.map(_._2))) + "}"
     }.mkString("{", ",", "}")
     val mixedJson = mixed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hotJson = hotFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-boot IO-probe ratios vs the pinned median (null pin or
+    // pre-probe records contribute nothing) — the record of WHY a boot
+    // was excluded, and the sub-2× drift divisor for cross-round reads
+    val ioJson = boots.flatMap(b => b.ioRatio.map(r =>
+      "\"" + b.path + "\":" + num(r))).mkString("{", ",", "}")
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"served":$served,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"io_probe_median":${num(Bench.IoProbeMedian)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

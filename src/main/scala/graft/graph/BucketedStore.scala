@@ -225,6 +225,13 @@ object BucketedStore {
     * newer epoch. Missing sidecars fold to the base alone, so callers
     * read through this unconditionally.
     *
+    * `sidecarsOf` names the table the sidecars hang off (default: the
+    * base itself). A caller whose base is a SHARED immutable snapshot
+    * (the round-16 shared day-0 snapshot: several lifecycle queries
+    * read one `_base_*` build) passes its own working name here, so its
+    * day advances land on tables it owns and can never leak into
+    * another reader of the same snapshot.
+    *
     * When a tombstone sidecar exists, its row count is probed once per
     * call (a zero-column parquet scan — milliseconds at the batch sizes
     * the contract allows): at or under [[MaxTombstoneRowsConf]] the
@@ -234,18 +241,20 @@ object BucketedStore {
     * driver/executor OOM.
     */
   def readMor(s: SparkSession, base: String,
-              endpoints: Seq[String]): DataFrame = {
+              endpoints: Seq[String],
+              sidecarsOf: String = null): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
+    val host = Option(sidecarsOf).getOrElse(base)
     val b = s.table(base).withColumn("_epoch", lit(0))
     val withDelta =
-      if (s.catalog.tableExists(s"${base}_delta"))
-        b.unionByName(s.table(s"${base}_delta"))
+      if (s.catalog.tableExists(s"${host}_delta"))
+        b.unionByName(s.table(s"${host}_delta"))
       else b
     val merged =
-      if (s.catalog.tableExists(s"${base}_tomb")) {
+      if (s.catalog.tableExists(s"${host}_tomb")) {
         val cap = s.conf.getOption(MaxTombstoneRowsConf)
           .map(_.toLong).getOrElse(MaxTombstoneRowsDefault)
-        val tombRows = s.table(s"${base}_tomb").count()
+        val tombRows = s.table(s"${host}_tomb").count()
         val hint: DataFrame => DataFrame =
           if (tombRows <= cap) broadcast
           else {
@@ -257,7 +266,7 @@ object BucketedStore {
             identity
           }
         endpoints.foldLeft(withDelta) { (acc, ep) =>
-          val tomb = s.table(s"${base}_tomb")
+          val tomb = s.table(s"${host}_tomb")
           acc.join(hint(tomb),
             acc(ep) === tomb("id") && tomb("_epoch") > acc("_epoch"),
             "left_anti")
@@ -337,18 +346,74 @@ object BucketedStore {
     * fixtures): the fold lands under a working name, subsequent sidecar
     * appends attach to THAT name, and the snapshot stays pristine for
     * the next replay's reset. No swap window at all — the write is to a
-    * fresh name.
+    * fresh name. With the round-16 shared snapshot, `sidecarsOf` is the
+    * caller's working name (where its [[readMor]] reads attached them),
+    * so the fold consumes exactly the advances this caller made and the
+    * retired sidecars are its own, never another snapshot-sharer's.
     */
   def compactMorInto(s: SparkSession, base: String, into: String,
                      key: String, endpoints: Seq[String],
-                     buckets: Int = 16): Unit = {
+                     buckets: Int = 16,
+                     sidecarsOf: String = null): Unit = {
     require(into != base,
       s"compactMorInto: use compactMor for an in-place fold of `$base`")
+    val host = Option(sidecarsOf).getOrElse(base)
     writeBucketed(
-      readMor(s, base, endpoints)
+      readMor(s, base, endpoints, host)
         .repartition(buckets, org.apache.spark.sql.functions.col(key)),
       into, key, buckets)
-    dropSidecars(s, base)
+    dropSidecars(s, host)
+  }
+
+  // ---------------------------------------------------------------------
+  // Compaction POLICY (round-15 verdict item 4): `compactAfterOps` made
+  // the schedule a manual parameter; the per-day pricing in
+  // bench/r15_profile_mor_compaction.txt says what should DRIVE it —
+  // sidecar depth (every accumulated epoch adds a union branch + its
+  // anti-join work to each read until the next fold) and tombstone
+  // growth (the broadcast the anti-joins ship with every read). Both are
+  // observable from the sidecars themselves, so the trigger is a conf'd
+  // predicate the lifecycle evaluates after each day's advance — OFF by
+  // default (0/unset disables a leg), keeping every explicit-schedule
+  // caller bit-identical.
+  // ---------------------------------------------------------------------
+
+  /** Fold when the sidecars carry at least this many distinct epochs
+    * (0/unset = leg disabled). Depth is the read-amplification lever:
+    * each epoch appended since the last fold is another delta stripe +
+    * tombstone generation in every [[readMor]] until compaction. */
+  val CompactDepthConf = "spark.graft.mor.compactDepth"
+
+  /** Fold when the tombstone sidecar holds at least this many rows
+    * (0/unset = leg disabled) — the same quantity [[MaxTombstoneRowsConf]]
+    * caps at read time, triggered here BEFORE accumulation degrades
+    * reads to shuffle anti-joins. */
+  val CompactTombRowsConf = "spark.graft.mor.compactTombstoneRows"
+
+  /** The conf'd compaction trigger over `host`'s sidecars: true when
+    * the distinct-epoch depth across both sidecars reaches
+    * [[CompactDepthConf]] or the tombstone row count reaches
+    * [[CompactTombRowsConf]]. Both probes are sidecar-sized scans (an
+    * `_epoch`-column distinct and a count — milliseconds at the batch
+    * sizes the sidecar contract allows; the base is never touched).
+    * With both confs unset/0 this is constant-false, so lifecycles that
+    * schedule explicitly are unaffected.
+    */
+  def compactDue(s: SparkSession, host: String): Boolean = {
+    def confAtLeast(conf: String, measure: => Long): Boolean = {
+      val k = s.conf.getOption(conf).map(_.toLong).getOrElse(0L)
+      k > 0 && measure >= k
+    }
+    val sidecars = Seq("_delta", "_tomb").map(host + _)
+      .filter(s.catalog.tableExists)
+    if (sidecars.isEmpty) false
+    else confAtLeast(CompactDepthConf,
+      sidecars.map(t => s.table(t).select("_epoch"))
+        .reduce(_ unionByName _).distinct().count()) ||
+      confAtLeast(CompactTombRowsConf,
+        if (s.catalog.tableExists(s"${host}_tomb"))
+          s.table(s"${host}_tomb").count()
+        else 0L)
   }
 
   /** Hive-style partitioned layout — the OTHER write-time pruning lever:

@@ -392,7 +392,17 @@ clean AS (
     list_filter(list_transform(
       flatten(list_transform(string_split(addr_r, ';'),
         p -> string_split_regex(p, '[.,/·]'))),
-      x -> trim(regexp_replace(regexp_replace(x, '\\b\\d{6}\\b', ' ', 'g'), '\\s+', ' ', 'g'))),
+      -- the reference's postal strip is lookaround-based ("exactly six
+      -- digits, not bordered by a seventh"); RE2 has no lookbehind, so
+      -- the mirror is structural: tokenize into digit/non-digit runs
+      -- and blank the exactly-6 digit runs — letter-adjacent codes
+      -- ("Xuyong646400") strip here exactly as Python's non-digit
+      -- lookarounds strip them (TaggedText.stripPostalCodes)
+      x -> trim(regexp_replace(coalesce(list_aggregate(
+             list_transform(regexp_extract_all(x, '[0-9]+|[^0-9]+'),
+               t -> CASE WHEN regexp_full_match(t, '[0-9]{6}')
+                         THEN ' ' ELSE t END),
+             'string_agg', ''), ''), '\\s+', ' ', 'g'))),
       x -> x <> '') AS author_address
   FROM raw),
 lab AS (

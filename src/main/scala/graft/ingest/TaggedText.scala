@@ -74,9 +74,26 @@ object TaggedText {
 
   /** P2 `delete_post_numbers` (`cleaner.py:29-39`): strip standalone
     * 6-digit postal codes, collapse whitespace.
+    *
+    * The reference pattern is `(?:(?<=\D)|(?<=^))\s*\d{6}\s*(?=\D|$)` —
+    * "a digit run of EXACTLY six, whatever borders it as long as it is
+    * not a seventh digit". Ported verbatim (java.util.regex supports
+    * both lookarounds), replacing the earlier `\b\d{6}\b`, which
+    * silently kept LETTER-adjacent codes ("Xuyong646400" — `\b` needs a
+    * word/non-word transition, and letter→digit is word→word). The
+    * DuckDB oracle mirror cannot use lookbehind (RE2), so it expresses
+    * the same semantics structurally — tokenize into digit/non-digit
+    * runs and blank the exactly-6 digit runs (`TaggedQueries.cleanSql`).
+    * One pinned dialect choice: `[0-9]`, not `\d` — Python's `\d`
+    * matches Unicode digits (e.g. full-width １２３), Java's and RE2's
+    * default to ASCII; the corpus's postal codes are ASCII, and the
+    * ASCII class keeps all three engines aligned. `TaggedTextSpec` pins
+    * the letter-adjacent, 7-digit, and digit-run-adjacency cases.
     */
   def stripPostalCodes(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c, "\\b\\d{6}\\b", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(c,
+      "(?:(?<=[^0-9])|(?<=^))\\s*[0-9]{6}\\s*(?=[^0-9]|$)", " "),
+      "\\s+", " "))
 
   /** P3 whitespace pass (`cleaner.py:97-122`). */
   def normalizeWs(c: Column): Column =

@@ -775,6 +775,33 @@ object EntityResolution {
   private val erServedFrom =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Catalog name for a SHARED day-0 snapshot (round-15 verdict item 6):
+    * the lifecycle families' immutable `_base_*` builds were keyed by
+    * query prefix, so q162/q163/q166 each built an identical snapshot
+    * per JVM (~3× the build cost per sweep boot) — and a same-prefix
+    * call with different ε/class parameters relied on the caller
+    * remembering to fold them into its guard key (round-15 ADVICE 1).
+    * Deriving the table name from the FULL parameter key solves both:
+    * identical parameters share one build, and any parameter change IS
+    * a different snapshot name — reuse-under-different-parameters is
+    * unrepresentable. `key` must carry everything the build reads
+    * (source, ε num/den, class rule tag, day-0 membership); the name is
+    * `graft_base_<kind>_<sha1-12 of key>` (hex — a valid catalog
+    * identifier; the raw key contains path separators).
+    *
+    * Sharing is safe because the snapshot is IMMUTABLE by contract:
+    * working tables and MOR sidecars live under each query's own prefix
+    * (see [[graft.graph.BucketedStore.readMor]]'s `sidecarsOf`), so one
+    * query's advances can never reach another's replay. Pinned by
+    * `IncrementalErSpec`/`IngestedErSpec`.
+    */
+  private[resolve] def sharedBaseName(kind: String, key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes("UTF-8"))
+    val hex = digest.take(6).map(b => f"$b%02x").mkString
+    s"graft_base_${kind}_$hex"
+  }
+
   /** Serve-scoped persisted frames (batch assignments, touching pairs,
     * affected-set frames) registered by the q143/q150/q153/q155/q156
     * serve paths. They are persisted because each is referenced by
@@ -1520,7 +1547,12 @@ object EntityResolution {
       // ("day0" is the snapshot-ensure + working-table reset: the build
       // itself on the first call in a JVM, near-zero afterwards.)
       onPhase: (String, Double) => Unit = (_, _) => (),
-      daySource: Option[Int => DataFrame] = None): DataFrame = {
+      daySource: Option[Int => DataFrame] = None,
+      // names the class rule `cls` implements; part of the snapshot
+      // identity (round-15 ADVICE 1) — a caller passing a non-default
+      // `cls` MUST pass a distinct tag, else two parameterizations with
+      // the same tag would share a snapshot built under the other's rule
+      clsTag: String = "md5mod3"): DataFrame = {
     import s.implicits._
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -1529,14 +1561,21 @@ object EntityResolution {
       r
     }
     val inserted = ops.collect { case ("insert", k) => k }.toSet
-    // snapshot key carries the inserted-class set (the q162 discipline):
-    // a same-prefix call with different ops means different day-0
-    // membership, which must rebuild the base rather than reuse one
-    // built under another class rule
-    val snapKey = s"$sourceKey|ins=${inserted.toSeq.sorted.mkString(",")}"
+    // snapshot key carries EVERYTHING the day-0 build reads: source,
+    // the ε threshold, the class rule, and the inserted-class set (the
+    // q162 discipline; num/den + clsTag folded in per round-15 ADVICE 1
+    // — previously a same-prefix call with a different θ or class rule
+    // silently reused a base built under the other parameters). The
+    // base tables are NAMED by this key (sharedBaseName), so q161/q165/
+    // q167 — identical parameters — build ONE snapshot per JVM instead
+    // of three (round-15 verdict item 6), and a parameter change cannot
+    // alias: it is a different table name.
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=$clsTag" +
+      s"|ins=${inserted.toSeq.sorted.mkString(",")}"
+    val basePrefix = sharedBaseName("ing", snapKey)
     timed("day0") {
       ensureIngestedErTables(s, ingested, snapKey, num, den,
-        s"${prefix}_base",
+        basePrefix,
         keep = c => !inserted.map(k => cls(c) === k)
           .foldLeft(lit(false))(_ || _))
       // copy-on-advance reset (the q162 shape): drop the working tables;
@@ -1561,11 +1600,13 @@ object EntityResolution {
       daySource.map(f => embedTermUniverse(f(k)))
         .getOrElse(universe).filter(cls($"vec_id") === k)
     // fresh catalog reads each day — the tables advance under the
-    // working names, with base-snapshot fallback before first advance
+    // working names, with (shared) base-snapshot fallback before first
+    // advance. The snapshot is read-only here: every write below targets
+    // a `${prefix}_*` working name.
     def live(t: String): Boolean = s.catalog.tableExists(s"${prefix}_$t")
     def read(t: String): DataFrame =
       graft.graph.BucketedStore.table(s,
-        if (live(t)) s"${prefix}_$t" else s"${prefix}_base_$t")
+        if (live(t)) s"${prefix}_$t" else s"${basePrefix}_$t")
     def standing = read("terms")
     def mapping = read("mapping")
     def pairs = read("pairs")
@@ -1666,21 +1707,28 @@ object EntityResolution {
       ops: Seq[(String, Int)] =
         Seq(("insert", 1), ("update", 2), ("delete", 0)),
       daySource: Option[Int => DataFrame] = None,
-      compactAfterOps: Set[Int] = Set.empty): DataFrame = {
+      compactAfterOps: Set[Int] = Set.empty,
+      clsTag: String = "md5mod3"): DataFrame = {
     import s.implicits._
     import graft.graph.BucketedStore
     val inserted = ops.collect { case ("insert", k) => k }.toSet
-    val snapKey = s"$sourceKey|ins=${inserted.toSeq.sorted.mkString(",")}"
+    // full-parameter snapshot key + shared base name — see
+    // [[ingestedMultidayCrudServed]]'s snapKey note (round-15 ADVICE 1
+    // + verdict item 6): q161/q165/q167 share ONE day-0 build per JVM
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=$clsTag" +
+      s"|ins=${inserted.toSeq.sorted.mkString(",")}"
+    val basePrefix = sharedBaseName("ing", snapKey)
     ensureIngestedErTables(s, ingested, snapKey, num, den,
-      s"${prefix}_base",
+      basePrefix,
       keep = c => !inserted.map(k => cls(c) === k)
         .foldLeft(lit(false))(_ || _))
-    // replay reset: sidecars + working tables + working mapping go; the
-    // base snapshot is immutable (readMor falls back to it alone when
-    // no sidecars exist). Working term/pair names exist only when a
+    // replay reset: this query's sidecars + working tables + working
+    // mapping go; the base snapshot is immutable AND shared — sidecars
+    // never attach to it (they live under this prefix's host names, so
+    // another lifecycle reading the same snapshot can never see this
+    // one's advances). Working term/pair names exist only when a
     // previous replay compacted mid-lifecycle.
     Seq("terms", "pairs").foreach { t =>
-      BucketedStore.dropSidecars(s, s"${prefix}_base_$t")
       BucketedStore.dropSidecars(s, s"${prefix}_$t")
       BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
     }
@@ -1689,18 +1737,22 @@ object EntityResolution {
     def batchOf(k: Int): DataFrame =
       daySource.map(f => embedTermUniverse(f(k)))
         .getOrElse(universe).filter(cls($"vec_id") === k)
-    // mid-lifecycle compaction folds into the WORKING name; reads and
-    // sidecar appends follow it once it exists (the q163/q166 shape)
+    // mid-lifecycle compaction folds into the WORKING name; reads
+    // follow it once it exists (the q163/q166 shape). Sidecars ALWAYS
+    // host under the working name — before a fold they ride beside the
+    // shared snapshot (readMor's sidecarsOf), after one they are the
+    // working table's own.
+    def host(t: String): String = s"${prefix}_$t"
     def curBase(t: String): String =
-      if (s.catalog.tableExists(s"${prefix}_$t")) s"${prefix}_$t"
-      else s"${prefix}_base_$t"
+      if (s.catalog.tableExists(host(t))) host(t)
+      else s"${basePrefix}_$t"
     def standing = BucketedStore.readMor(s, curBase("terms"),
-      Seq("vec_id"))
+      Seq("vec_id"), host("terms"))
     def pairs = BucketedStore.readMor(s, curBase("pairs"),
-      Seq("u", "v"))
+      Seq("u", "v"), host("pairs"))
     def mapping = BucketedStore.table(s,
       if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
-      else s"${prefix}_base_mapping")
+      else s"${basePrefix}_mapping")
     def swapMapping(merged: DataFrame): Unit =
       BucketedStore.replaceBucketed(
         merged.select($"vec_id", $"rep_id".as("component")),
@@ -1716,9 +1768,9 @@ object EntityResolution {
           swapMapping(
             mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
           BucketedStore.appendDeltaSidecar(
-            touching, curBase("pairs"), "u", epoch)
+            touching, host("pairs"), "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, curBase("terms"), "vec_id", epoch)
+            batch, host("terms"), "vec_id", epoch)
         case ("update", k) =>
           val isUpd = (c: Column) => cls(c) === k
           // batch derives from the ingest, never the terms store (the
@@ -1738,43 +1790,49 @@ object EntityResolution {
           // compaction the folded rows read as epoch 0 — a later epoch
           // still kills them.)
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), curBase("pairs"), epoch)
+            batch.select($"vec_id"), host("pairs"), epoch)
           BucketedStore.appendTombstoneSidecar(
-            batch.select($"vec_id"), curBase("terms"), epoch)
+            batch.select($"vec_id"), host("terms"), epoch)
           BucketedStore.appendDeltaSidecar(
-            touching, curBase("pairs"), "u", epoch)
+            touching, host("pairs"), "u", epoch)
           BucketedStore.appendDeltaSidecar(
-            batch, curBase("terms"), "vec_id", epoch)
+            batch, host("terms"), "vec_id", epoch)
         case ("delete", k) =>
           val isDel = (c: Column) => cls(c) === k
           swapMapping(mergeTombstones(s, mapping, pairs, isDel)
             .select($"vec_id", $"rep_id"))
           val dead = standing.filter(isDel($"vec_id")).select($"vec_id")
           BucketedStore.appendTombstoneSidecar(
-            dead, curBase("pairs"), epoch)
+            dead, host("pairs"), epoch)
           // second sidecar reads the first one's just-written rows:
           // `dead`'s plan scans the terms MOR view — including its
           // tombstone sidecar — so appending it there directly would
           // write a table its plan is reading (the q163 discipline)
           BucketedStore.appendTombstoneSidecar(
-            s.table(s"${curBase("pairs")}_tomb")
+            s.table(s"${host("pairs")}_tomb")
               .filter($"_epoch" === epoch).select($"id"),
-            curBase("terms"), epoch)
+            host("terms"), epoch)
         case (o, _) =>
           throw new IllegalArgumentException(s"unknown lifecycle op: $o")
       }
-      if (compactAfterOps.contains(opIdx)) {
+      // explicit schedule OR the conf'd policy (round-15 verdict item 4:
+      // sidecar depth / tombstone growth — BucketedStore.compactDue;
+      // constant-false with the confs unset, so explicit-schedule
+      // callers are bit-identical)
+      if (compactAfterOps.contains(opIdx) ||
+          BucketedStore.compactDue(s, host("pairs")) ||
+          BucketedStore.compactDue(s, host("terms"))) {
         // fold the sidecars accumulated so far (the q166 shape): first
         // fold lands under the working name — the shared snapshot stays
-        // pristine for the next replay's reset — later folds compact
+        // pristine (and other sharers unaffected) — later folds compact
         // the working base in place
         def compactStore(t: String, key: String,
             endpoints: Seq[String]): Unit =
-          if (s.catalog.tableExists(s"${prefix}_$t"))
-            BucketedStore.compactMor(s, s"${prefix}_$t", key, endpoints)
+          if (s.catalog.tableExists(host(t)))
+            BucketedStore.compactMor(s, host(t), key, endpoints)
           else
-            BucketedStore.compactMorInto(s, s"${prefix}_base_$t",
-              s"${prefix}_$t", key, endpoints)
+            BucketedStore.compactMorInto(s, s"${basePrefix}_$t",
+              host(t), key, endpoints, sidecarsOf = host(t))
         compactStore("pairs", "u", Seq("u", "v"))
         compactStore("terms", "vec_id", Seq("vec_id"))
       }
@@ -1821,29 +1879,31 @@ object EntityResolution {
     * q155's — the lifecycle is the serve matrix composed, so each
     * boundary state has an independently-gated twin.
     */
-  def multidayCrudResolveServed(s: SparkSession, d: String,
-      prefix: String = "graft_q162",
-      ops: Seq[(String, Int)] =
-        Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
+  /** Ensure the SHARED synthetic day-0 snapshot for the q162/q163/q166/
+    * q169 lifecycle family and return its base prefix. Round-15 verdict
+    * item 6: the three lifecycles each built an identical `_base_*`
+    * snapshot per JVM, keyed by their own prefix — ~20 s of redundant
+    * build per sweep boot. The snapshot's content is fully determined by
+    * (source dir, inserted-class set) — day 0 holds every class not
+    * later inserted, and the pinned index trains on exactly that subset
+    * (round-13 ADVICE: both DERIVED from `ops`, never hardwired) — so
+    * the tables are NAMED by that key ([[sharedBaseName]]) and every
+    * same-parameter lifecycle reads one build. Safe because the
+    * snapshot is immutable: MOW working tables and MOR sidecars live
+    * under each query's own prefix (readMor's `sidecarsOf`), pinned by
+    * `IncrementalErSpec`'s no-leak spec. The pinned-centroid cache tag
+    * is shared the same way (the cache itself revalidates `d`).
+    */
+  private def ensureSyntheticCrudBase(s: SparkSession, d: String,
+      insertedCls: Set[Int]): String = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
-    // Index pin + day-0 membership DERIVED from `ops` (round-13 ADVICE):
-    // day 0 holds every class not later inserted, and the pinned index
-    // trains on exactly that subset — hardwiring class 9 here while
-    // `ops` is a parameter would let an insert op with a different class
-    // silently violate the disjoint-id contract epsPairsAgainst /
-    // updateTouchingPairs / mergeIncrement rely on (batch×survivor
-    // self-pairs, duplicated assigned rows). The guard key and the
-    // pinned-centroid cache tag carry the inserted-class set too, so a
-    // same-prefix call with different ops rebuilds the base snapshot
-    // instead of reusing one built under another pin.
-    val insertedCls = ops.collect { case ("insert", k) => k }.toSet
     val notBatch = (c: Column) =>
       insertedCls.map(k => c % 10 =!= k).foldLeft(lit(true))(_ && _)
-    val pinTag = s"$prefix|ins=${insertedCls.toSeq.sorted.mkString(",")}"
     val snapKey = s"$d|ins=${insertedCls.toSeq.sorted.mkString(",")}"
-    if (erServedFrom.get(prefix) != snapKey)
-      erServedFrom.compute(prefix, (_, prev) => {
+    val basePrefix = sharedBaseName("syn", snapKey)
+    if (erServedFrom.get(basePrefix) != snapKey)
+      erServedFrom.compute(basePrefix, (_, prev) => {
         if (prev != snapKey) {
           val assigned = graft.similarity.Similarity
             .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
@@ -1853,17 +1913,48 @@ object EntityResolution {
           val mapping =
             connectedComponents(s, assigned.select($"vec_id"), pairs)
           graft.graph.BucketedStore.writeBucketed(
-            assigned, s"${prefix}_base_assigned", "cid", 16)
+            assigned, s"${basePrefix}_assigned", "cid", 16)
           graft.graph.BucketedStore.writeBucketed(
-            pairs, s"${prefix}_base_pairs", "u", 16)
+            pairs, s"${basePrefix}_pairs", "u", 16)
           graft.graph.BucketedStore.writeBucketed(
-            mapping, s"${prefix}_base_mapping", "vec_id", 16)
+            mapping, s"${basePrefix}_mapping", "vec_id", 16)
           pairs.unpersist(blocking = false)
           assigned.unpersist(blocking = false)
           mapping.unpersist(blocking = false) // CC-internal, written out
         }
         snapKey
       })
+    basePrefix
+  }
+
+  /** Shared pinned-centroid cache tag for the synthetic lifecycle
+    * family — keyed by the pin's own parameters (inserted-class set;
+    * the cache revalidates the source dir itself), so q162/q163/q166/
+    * q169 share one centroid collect per JVM instead of one per prefix.
+    */
+  private def synPinTag(insertedCls: Set[Int]): String =
+    s"graft_synbase|ins=${insertedCls.toSeq.sorted.mkString(",")}"
+
+  def multidayCrudResolveServed(s: SparkSession, d: String,
+      prefix: String = "graft_q162",
+      ops: Seq[(String, Int)] =
+        Seq(("insert", 9), ("update", 7), ("delete", 5))): DataFrame = {
+    import s.implicits._
+    // Index pin + day-0 membership DERIVED from `ops` (round-13 ADVICE):
+    // day 0 holds every class not later inserted, and the pinned index
+    // trains on exactly that subset — hardwiring class 9 here while
+    // `ops` is a parameter would let an insert op with a different class
+    // silently violate the disjoint-id contract epsPairsAgainst /
+    // updateTouchingPairs / mergeIncrement rely on (batch×survivor
+    // self-pairs, duplicated assigned rows). The snapshot NAME and the
+    // pinned-centroid cache tag carry the inserted-class set, so a call
+    // with different ops builds (or reuses) the matching snapshot —
+    // aliasing is unrepresentable.
+    val insertedCls = ops.collect { case ("insert", k) => k }.toSet
+    val notBatch = (c: Column) =>
+      insertedCls.map(k => c % 10 =!= k).foldLeft(lit(true))(_ && _)
+    val pinTag = synPinTag(insertedCls)
+    val basePrefix = ensureSyntheticCrudBase(s, d, insertedCls)
     // COPY-ON-ADVANCE reset: a naive replay would copy all three base
     // tables into working names up front — but the mapping copy is pure
     // waste (the first day's swap overwrites it) and the pairs/assigned
@@ -1886,7 +1977,7 @@ object EntityResolution {
       s.catalog.tableExists(s"${prefix}_$t")
     def read(t: String): DataFrame =
       graft.graph.BucketedStore.table(s,
-        if (live(t)) s"${prefix}_$t" else s"${prefix}_base_$t")
+        if (live(t)) s"${prefix}_$t" else s"${basePrefix}_$t")
     def assigned = read("assigned")
     def mapping = read("mapping")
     def pairs = read("pairs")
@@ -2017,7 +2108,6 @@ object EntityResolution {
       // ("<op><i>" | "compact<i>", seconds) as each phase completes.
       onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     import s.implicits._
-    import org.apache.spark.storage.StorageLevel
     import graft.graph.BucketedStore
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -2025,57 +2115,40 @@ object EntityResolution {
       onPhase(tag, (System.nanoTime() - t0) / 1e9)
       r
     }
-    // same ops-derived pin/day-0 contract as q162 (round-13 ADVICE)
+    // same ops-derived pin/day-0 contract as q162 (round-13 ADVICE);
+    // snapshot + pin tag SHARED across the family (round-15 item 6)
     val insertedCls = ops.collect { case ("insert", k) => k }.toSet
     val notBatch = (c: Column) =>
       insertedCls.map(k => c % 10 =!= k).foldLeft(lit(true))(_ && _)
-    val pinTag = s"$prefix|ins=${insertedCls.toSeq.sorted.mkString(",")}"
-    val snapKey = s"$d|ins=${insertedCls.toSeq.sorted.mkString(",")}"
-    if (erServedFrom.get(prefix) != snapKey)
-      erServedFrom.compute(prefix, (_, prev) => {
-        if (prev != snapKey) {
-          val assigned = graft.similarity.Similarity
-            .ivfAssignedPinnedSubset(s, d, notBatch, notBatch)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val pairs = epsCellPairsOrdered(assigned)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val mapping =
-            connectedComponents(s, assigned.select($"vec_id"), pairs)
-          BucketedStore.writeBucketed(
-            assigned, s"${prefix}_base_assigned", "cid", 16)
-          BucketedStore.writeBucketed(
-            pairs, s"${prefix}_base_pairs", "u", 16)
-          BucketedStore.writeBucketed(
-            mapping, s"${prefix}_base_mapping", "vec_id", 16)
-          pairs.unpersist(blocking = false)
-          assigned.unpersist(blocking = false)
-          mapping.unpersist(blocking = false) // CC-internal, written out
-        }
-        snapKey
-      })
-    // replay reset: sidecars + working tables + working mapping go; the
-    // base snapshot is immutable (readMor falls back to it alone when no
-    // sidecars exist). The working assigned/pairs names exist only when
-    // a previous replay compacted mid-lifecycle — they (and any sidecars
-    // they accumulated after that fold) are replay state, not snapshot.
+    val pinTag = synPinTag(insertedCls)
+    val basePrefix = ensureSyntheticCrudBase(s, d, insertedCls)
+    // replay reset: this query's sidecars + working tables + working
+    // mapping go; the base snapshot is immutable AND shared — sidecars
+    // never attach to it (they host under this prefix, so another
+    // lifecycle reading the same snapshot never sees these advances).
+    // The working assigned/pairs names exist only when a previous
+    // replay compacted mid-lifecycle — they (and any sidecars they
+    // accumulated after that fold) are replay state, not snapshot.
     Seq("assigned", "pairs").foreach { t =>
-      BucketedStore.dropSidecars(s, s"${prefix}_base_$t")
       BucketedStore.dropSidecars(s, s"${prefix}_$t")
       BucketedStore.dropManagedPurging(s, s"${prefix}_$t")
     }
     BucketedStore.dropManagedPurging(s, s"${prefix}_mapping")
-    // mid-lifecycle compaction folds into the WORKING name; reads and
-    // sidecar appends follow it once it exists
+    // mid-lifecycle compaction folds into the WORKING name; reads
+    // follow it once it exists. Sidecars ALWAYS host under the working
+    // name — beside the shared snapshot before a fold (readMor's
+    // sidecarsOf), the working table's own after one.
+    def host(t: String): String = s"${prefix}_$t"
     def curBase(t: String): String =
-      if (s.catalog.tableExists(s"${prefix}_$t")) s"${prefix}_$t"
-      else s"${prefix}_base_$t"
+      if (s.catalog.tableExists(host(t))) host(t)
+      else s"${basePrefix}_$t"
     def assigned = BucketedStore.readMor(s,
-      curBase("assigned"), Seq("vec_id"))
+      curBase("assigned"), Seq("vec_id"), host("assigned"))
     def pairs = BucketedStore.readMor(s,
-      curBase("pairs"), Seq("u", "v"))
+      curBase("pairs"), Seq("u", "v"), host("pairs"))
     def mapping = BucketedStore.table(s,
       if (s.catalog.tableExists(s"${prefix}_mapping")) s"${prefix}_mapping"
-      else s"${prefix}_base_mapping")
+      else s"${basePrefix}_mapping")
     def swapMapping(m: DataFrame): Unit =
       BucketedStore.replaceBucketed(
         m.select($"vec_id", $"rep_id".as("component")),
@@ -2091,9 +2164,9 @@ object EntityResolution {
         swapMapping(
           mergeIncrement(s, mapping, batch.select($"vec_id"), touching))
         BucketedStore.appendDeltaSidecar(
-          touching, curBase("pairs"), "u", epoch)
+          touching, host("pairs"), "u", epoch)
         BucketedStore.appendDeltaSidecar(
-          batch, curBase("assigned"), "cid", epoch)
+          batch, host("assigned"), "cid", epoch)
       case ("update", k) =>
         val epoch = i + 1
         val isUpd = (c: Column) => c % 10 === k
@@ -2110,13 +2183,13 @@ object EntityResolution {
         // a compaction the folded rows read as epoch 0, so a later
         // epoch still kills them — the fold preserves the semantics.)
         BucketedStore.appendTombstoneSidecar(
-          batch.select($"vec_id"), curBase("pairs"), epoch)
+          batch.select($"vec_id"), host("pairs"), epoch)
         BucketedStore.appendTombstoneSidecar(
-          batch.select($"vec_id"), curBase("assigned"), epoch)
+          batch.select($"vec_id"), host("assigned"), epoch)
         BucketedStore.appendDeltaSidecar(
-          touching, curBase("pairs"), "u", epoch)
+          touching, host("pairs"), "u", epoch)
         BucketedStore.appendDeltaSidecar(
-          batch, curBase("assigned"), "cid", epoch)
+          batch, host("assigned"), "cid", epoch)
       case ("delete", k) =>
         val epoch = i + 1
         val isDel = (c: Column) => c % 10 === k
@@ -2124,29 +2197,33 @@ object EntityResolution {
           .select($"vec_id", $"rep_id"))
         val dead = assigned.filter(isDel($"vec_id")).select($"vec_id")
         BucketedStore.appendTombstoneSidecar(
-          dead, curBase("pairs"), epoch)
+          dead, host("pairs"), epoch)
         // the second sidecar reads the FIRST one's just-written rows:
         // `dead`'s own plan scans the assigned MOR view — including
         // its tombstone sidecar — so appending it to that same table
         // would write a table its plan is reading
         BucketedStore.appendTombstoneSidecar(
-          s.table(s"${curBase("pairs")}_tomb")
+          s.table(s"${host("pairs")}_tomb")
             .filter($"_epoch" === epoch).select($"id"),
-          curBase("assigned"), epoch)
+          host("assigned"), epoch)
       case (o, _) =>
         throw new IllegalArgumentException(s"unknown lifecycle op: $o")
       })
-      if (compactAfterOps.contains(i)) timed(s"compact${i + 1}") {
+      // explicit schedule OR the conf'd policy (round-15 verdict item 4)
+      if (compactAfterOps.contains(i) ||
+          BucketedStore.compactDue(s, host("pairs")) ||
+          BucketedStore.compactDue(s, host("assigned")))
+        timed(s"compact${i + 1}") {
         // fold the sidecars accumulated so far: first fold lands under
         // the working name (compactMorInto — the shared snapshot stays
         // untouched); later folds compact the working base in place.
         def compactStore(t: String, key: String,
             endpoints: Seq[String]): Unit =
-          if (s.catalog.tableExists(s"${prefix}_$t"))
-            BucketedStore.compactMor(s, s"${prefix}_$t", key, endpoints)
+          if (s.catalog.tableExists(host(t)))
+            BucketedStore.compactMor(s, host(t), key, endpoints)
           else
-            BucketedStore.compactMorInto(s, s"${prefix}_base_$t",
-              s"${prefix}_$t", key, endpoints)
+            BucketedStore.compactMorInto(s, s"${basePrefix}_$t",
+              host(t), key, endpoints, sidecarsOf = host(t))
         compactStore("pairs", "u", Seq("u", "v"))
         compactStore("assigned", "cid", Seq("vec_id"))
       }
@@ -2326,6 +2403,24 @@ object EntityResolution {
     "q166_er_crud_lifecycle_mor_compact" ->
       ((s, d) => multidayCrudResolveServedMor(s, d,
         prefix = "graft_q166", compactAfterOps = Set(1))),
+    // q163 with the compaction POLICY (round-15 verdict item 4) driving
+    // the fold instead of an explicit schedule: sidecar depth ≥ 2
+    // distinct epochs (spark.graft.mor.compactDepth=2). After the
+    // update day the stores carry epochs {1,2}, so the policy fires
+    // exactly where q166's manual Set(1) schedule folds — and NOT after
+    // the single-epoch insert day or the post-fold delete day. Same
+    // oracle as q162/q163/q166: what TRIGGERS the maintenance fold must
+    // be as invisible in the mapping as the fold itself.
+    "q169_er_mor_compact_policy" -> ((s, d) => {
+      val conf = graft.graph.BucketedStore.CompactDepthConf
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "2")
+      try multidayCrudResolveServedMor(s, d, prefix = "graft_q169")
+      finally prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }),
     // Incremental ER gated against the from-scratch union mapping — the
     // oracle recomputes blocked ER over ALL vectors under the
     // standing-pinned index, so any divergence in the incremental
@@ -2665,6 +2760,12 @@ pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS rank FROM n),
     // mid-lifecycle compaction: the maintenance fold must be invisible
     // in the mapping — same oracle as q162/q163
     "q166_er_crud_lifecycle_mor_compact" ->
+      s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
+        "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
+         SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",
+    // policy-TRIGGERED compaction (sidecar-depth conf): same oracle —
+    // the trigger mechanism must be invisible in the mapping
+    "q169_er_mor_compact_policy" ->
       s"""WITH RECURSIVE ${pinnedCcSqlWhere("vec_id % 10 <> 5",
         "CASE WHEN vec_id % 10 = 7 THEN list_reverse(e) ELSE e END")}
          SELECT vec_id, component AS rep_id FROM comp ORDER BY vec_id""",

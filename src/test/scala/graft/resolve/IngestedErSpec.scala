@@ -193,11 +193,20 @@ class IngestedErSpec extends AnyFunSuite {
     assert(cmp1 === run1 && cmp2 === run1)
     // post-replay state: the delete day's sidecars live on the WORKING
     // base (post-fold appends follow the fold), the snapshot carries
-    // none
+    // none. Since round 16 the day-0 snapshot is SHARED across
+    // q161/q165/q167 (one build per JVM, named by the full parameter
+    // key) — it must be sidecar-free after all three lifecycles ran
+    // over it, or one query's advances leaked into the others' replays.
     assert(spark.catalog.tableExists("graft_q167_pairs"))
     assert(spark.catalog.tableExists("graft_q167_pairs_tomb"))
-    assert(!spark.catalog.tableExists("graft_q167_base_pairs_tomb") &&
-      !spark.catalog.tableExists("graft_q167_base_pairs_delta"))
+    val sharedBase = EntityResolution.sharedBaseName("ing",
+      s"${TaggedQueries.ErFixtureGlob}|eps=24/25|cls=md5mod3|ins=1")
+    assert(spark.catalog.tableExists(s"${sharedBase}_pairs"),
+      "the tagged lifecycles must have built the shared snapshot")
+    assert(!spark.catalog.tableExists(s"${sharedBase}_pairs_tomb") &&
+      !spark.catalog.tableExists(s"${sharedBase}_pairs_delta") &&
+      !spark.catalog.tableExists(s"${sharedBase}_terms_tomb") &&
+      !spark.catalog.tableExists(s"${sharedBase}_terms_delta"))
   }
 
   test("q161 update-day boundary: stopping before the delete day equals " +

@@ -50,20 +50,25 @@ object ProfileMorCompaction {
         "graft_prof_q166", Set(1))
     }
     // the round-14 comparable: one standalone fold at full three-day
-    // sidecar depth. NOTE this folds the advanced state INTO the base
-    // tables — correct for a deployment (the corpus genuinely advanced)
-    // but it retires this JVM's replay fixture for that prefix.
+    // sidecar depth. Since round 16 the day-0 snapshot is SHARED and the
+    // q163 replay's sidecars host under its own prefix, so the fold is a
+    // compactMorInto (shared base + this prefix's sidecars → a working
+    // name) — the snapshot stays pristine and the replay fixture is NOT
+    // retired.
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    val base = EntityResolution.sharedBaseName("syn", s"$d|ins=9")
     time("compactMor pairs store (depth 3)") {
-      graft.graph.BucketedStore.compactMor(spark,
-        "graft_prof_q163_base_pairs", "u", Seq("u", "v"))
+      graft.graph.BucketedStore.compactMorInto(spark,
+        s"${base}_pairs", "graft_prof_q163_pairs", "u", Seq("u", "v"),
+        sidecarsOf = "graft_prof_q163_pairs")
     }
     time("compactMor assigned store (depth 3)") {
-      graft.graph.BucketedStore.compactMor(spark,
-        "graft_prof_q163_base_assigned", "cid", Seq("vec_id"))
+      graft.graph.BucketedStore.compactMorInto(spark,
+        s"${base}_assigned", "graft_prof_q163_assigned", "cid",
+        Seq("vec_id"), sidecarsOf = "graft_prof_q163_assigned")
     }
     spark.stop()
   }
