@@ -100,6 +100,11 @@ object ProfileTaggedLifecycle {
               f"rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.2f")
           }
       }
+      // pass-2 (steady-state) replay totals, emitted as one JSON line
+      // per size so the campaign can commit a per-round cell
+      // (bench/r16_tagged_30k.json — round-15 verdict item 7) without
+      // hand-copying profile lines
+      val cell = scala.collection.mutable.LinkedHashMap[String, Double]()
       def replay(variant: String, scoped: Boolean, pass: Int): Unit = {
         val tag = s"${variant}_${if (scoped) "scoped" else "full"}"
         val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -121,6 +126,7 @@ object ProfileTaggedLifecycle {
         EntityResolution.releaseServeCaches()
         val parts = phases.map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
         println(f"[profile] n=$n pass$pass $tag $parts total=$total%.2f")
+        if (pass == 2) cell(tag) = total
       }
       println(s"== n=$n ==")
       (1 to 2).foreach { pass =>
@@ -129,6 +135,11 @@ object ProfileTaggedLifecycle {
         replay("mor", scoped = false, pass)
         replay("mor", scoped = true, pass)
       }
+      val qs = cell.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"tagged_lifecycle","n":$n,"unit":"sec","queries":$qs}""")
     }
     spark.stop()
   }
