@@ -196,13 +196,20 @@ object Bench {
 
   /** Committed sf-independent pin for [[ioProbe]] (each boot's
     * observation is a median of 3 in-boot probe runs), following the
-    * [[GraphProbeMedian]] calibration discipline: ≤ 0 means STILL
-    * CALIBRATING — `io_control_ratio` is null and the probe does not
-    * feed `boot_degraded` — and the pin is set once ≥5 healthy-boot
-    * observations exist (the round-16 campaign is the calibration
-    * set; r15 boots predate the probe).
+    * [[GraphProbeMedian]] calibration discipline. Provenance: median of
+    * the SIX healthy-boot observations of the round-16 campaign
+    * (bench/r16_{sf01_run1,sf01_run2,sf1_run1,sf10_run1,sf1_run2,
+    * sf10_run2}.json = 0.469 / 0.712 / 0.727 / 1.19 / 0.696 / 0.956 s —
+    * every CPU probe on those boots sub-2×); the seventh boot
+    * (sf01_run3: io 1.672 = ratio 2.3) independently flagged itself
+    * degraded on the graph probe (2.289), i.e. the io threshold and the
+    * existing probes agree on the one bad boot. The spread (0.47 fresh
+    * box → 0.96-1.19 hours into a campaign) is the drift this probe
+    * exists to see: the ≥2× hard flag sits above the healthy band's
+    * top, and sub-2× readings ride in `io_control_ratio` for divide-
+    * before-reading adjudication, same as the other two probes.
     */
-  val IoProbeMedian: Double = -1.0
+  val IoProbeMedian: Double = 0.72
 
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned

@@ -188,6 +188,7 @@ object BucketedStore {
     appendBucketed(
       df.withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch)),
       s"${base}_delta", key, buckets)
+    recordSidecarEpoch(base, epoch)
   }
 
   /** Append a day's dead endpoint ids to `base`'s tombstone sidecar. A
@@ -206,6 +207,7 @@ object BucketedStore {
       .withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch))
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${base}_tomb")
+    recordSidecarEpoch(base, epoch)
   }
 
   /** Conf'd cap on the tombstone rows [[readMor]] will broadcast
@@ -284,8 +286,10 @@ object BucketedStore {
     * LOCATION_ALREADY_EXISTS (the same orphan case writeBucketed
     * handles).
     */
-  def dropSidecars(s: SparkSession, base: String): Unit =
+  def dropSidecars(s: SparkSession, base: String): Unit = {
     Seq("_delta", "_tomb").foreach(suf => dropManagedPurging(s, base + suf))
+    forgetSidecarEpochs(base)
+  }
 
   /** Scheduled MOR maintenance: materialize [[readMor]] as a fresh
     * bucketed+sorted base (temp-write + drop + rename — the merged plan
@@ -316,6 +320,7 @@ object BucketedStore {
     dropManagedPurging(s, base)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
     aside.foreach(t => dropManagedPurging(s, t))
+    forgetSidecarEpochs(base) // the fold retired them
   }
 
   /** Move `base`'s sidecars to `*_folded` names (catalog rename — no
@@ -390,14 +395,44 @@ object BucketedStore {
     * reads to shuffle anti-joins. */
   val CompactTombRowsConf = "spark.graft.mor.compactTombstoneRows"
 
+  /** Writer-side sidecar bookkeeping: the distinct epochs appended to
+    * each host's sidecars since the last fold/drop in THIS JVM. The
+    * depth leg of [[compactDue]] reads this set instead of running a
+    * distinct-count job over the sidecars — the first focused 100×
+    * cell priced the scanning version at ~8 s/replay (4 probe points ×
+    * 2 stores, each a Spark job), which is the wrong cost for a
+    * bookkeeping question the writer can answer from memory. A fresh
+    * JVM facing on-disk sidecars it never wrote (the maintenance-daemon
+    * shape) has no entry and falls back to the one-off scan — correct
+    * either way, the cache only removes repeated jobs from the hot
+    * path. Single-writer-per-host is already the store's contract
+    * (appends are not transactional across processes).
+    */
+  private val sidecarEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Integer]]()
+
+  private def recordSidecarEpoch(host: String, epoch: Int): Unit = {
+    sidecarEpochs.computeIfAbsent(host,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+      .add(Int.box(epoch))
+    ()
+  }
+
+  /** Test seam: forget a host's writer-side epoch set so [[compactDue]]
+    * exercises its cold-start scan fallback. */
+  private[graft] def forgetSidecarEpochs(host: String): Unit = {
+    sidecarEpochs.remove(host); ()
+  }
+
   /** The conf'd compaction trigger over `host`'s sidecars: true when
     * the distinct-epoch depth across both sidecars reaches
     * [[CompactDepthConf]] or the tombstone row count reaches
-    * [[CompactTombRowsConf]]. Both probes are sidecar-sized scans (an
-    * `_epoch`-column distinct and a count — milliseconds at the batch
-    * sizes the sidecar contract allows; the base is never touched).
-    * With both confs unset/0 this is constant-false, so lifecycles that
-    * schedule explicitly are unaffected.
+    * [[CompactTombRowsConf]]. The depth leg reads the writer-side
+    * [[sidecarEpochs]] set (no job) and scans the sidecars' `_epoch`
+    * column only on a cold start (this JVM never wrote them); the rows
+    * leg is a parquet count (footer metadata, no data scan). With both
+    * confs unset/0 this is constant-false without touching anything,
+    * so lifecycles that schedule explicitly are unaffected.
     */
   def compactDue(s: SparkSession, host: String): Boolean = {
     def confAtLeast(conf: String, measure: => Long): Boolean = {
@@ -408,8 +443,9 @@ object BucketedStore {
       .filter(s.catalog.tableExists)
     if (sidecars.isEmpty) false
     else confAtLeast(CompactDepthConf,
-      sidecars.map(t => s.table(t).select("_epoch"))
-        .reduce(_ unionByName _).distinct().count()) ||
+      Option(sidecarEpochs.get(host)).map(_.size.toLong).getOrElse(
+        sidecars.map(t => s.table(t).select("_epoch"))
+          .reduce(_ unionByName _).distinct().count())) ||
       confAtLeast(CompactTombRowsConf,
         if (s.catalog.tableExists(s"${host}_tomb"))
           s.table(s"${host}_tomb").count()

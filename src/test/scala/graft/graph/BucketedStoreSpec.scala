@@ -276,6 +276,14 @@ class BucketedStoreSpec extends AnyFunSuite {
       assert(!BucketedStore.compactDue(spark, "mor_policy"))
       spark.conf.set(BucketedStore.CompactDepthConf, "2")
       assert(BucketedStore.compactDue(spark, "mor_policy"))
+      // cold start (a JVM that never wrote these sidecars): the
+      // writer-side epoch set is gone, the depth leg falls back to
+      // scanning the sidecars' _epoch column — same verdicts
+      BucketedStore.forgetSidecarEpochs("mor_policy")
+      assert(BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactDepthConf, "3")
+      assert(!BucketedStore.compactDue(spark, "mor_policy"))
+      spark.conf.set(BucketedStore.CompactDepthConf, "2")
       spark.conf.set(BucketedStore.CompactDepthConf, "0")
       assert(!BucketedStore.compactDue(spark, "mor_policy"))
       spark.conf.set(BucketedStore.CompactTombRowsConf, "1")
