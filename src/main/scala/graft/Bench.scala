@@ -32,6 +32,56 @@ object Bench {
     "q22_quality_score" -> 0.40,
     "q27_repetition_stats" -> 0.67)
 
+  /** Per-scale control pins for the 10×/100× sweeps (round-16 verdict
+    * item 3: `control_ratio` was null above sf0.1 by design, which left
+    * the r16 sf1 drift family — q81/q82/q90-q95, per-row map shapes —
+    * with no divide-before-reading signal at the scale where it
+    * appeared). Same seven control queries; pinned in round 17 as the
+    * per-query medians over the TWELVE clean-probed committed boots of
+    * the current plan generation (r13–r16 — the 8 MB maxPartitionBytes
+    * change between r11 and r13 moved the sf1 scan controls ~2×, so
+    * earlier records are a different generation): sf1 from
+    * `bench/r{13..16}_sf1_run*.json` minus r14_sf1_run3 (graph probe
+    * 2.117), sf10 from `bench/r{13..16}_sf10_run*.json` minus
+    * r14_sf10_run3 (graph 2.333) and r15_sf10_run1 (iter 2.703). The
+    * sf10 q04 median carries a wide environmental band (9.4–83 s across
+    * clean-CPU boots — the io-shaped drift); medians are robust to it,
+    * but single-boot sf10 ratios should be read next to `io_control_
+    * ratio` as the verdict's q04 adjudication did.
+    */
+  val ControlSnapshotSf1: Map[String, Double] = Map(
+    "q01_pricing_summary" -> 1.07,
+    "q03_revenue_by_nation" -> 1.44,
+    "q04_top_customers" -> 2.45,
+    "q08_top_orders_per_segment" -> 1.15,
+    "q21_lang_id_heuristic" -> 1.17,
+    "q22_quality_score" -> 1.78,
+    "q27_repetition_stats" -> 4.03)
+
+  val ControlSnapshotSf10: Map[String, Double] = Map(
+    "q01_pricing_summary" -> 2.16,
+    "q03_revenue_by_nation" -> 2.84,
+    "q04_top_customers" -> 12.98,
+    "q08_top_orders_per_segment" -> 1.75,
+    "q21_lang_id_heuristic" -> 1.58,
+    "q22_quality_score" -> 2.34,
+    "q27_repetition_stats" -> 5.34)
+
+  /** The control snapshot for a bench data directory, selected by its
+    * exact terminal path segment (the sf0.1 discipline applied at every
+    * pinned scale); None at an unpinned SF — the ratio stays null
+    * rather than comparing against the wrong scale's medians.
+    */
+  private[graft] def controlSnapshotFor(sfDir: String): Option[Map[String, Double]] =
+    new java.io.File(sfDir).getName match {
+      case "sf0.1" => Some(ControlSnapshot)
+      // the campaign replicas live at /root/repo/bench_sf{1,10}; accept
+      // the bare names too so a relocated copy keeps its pins
+      case "sf1" | "bench_sf1" => Some(ControlSnapshotSf1)
+      case "sf10" | "bench_sf10" => Some(ControlSnapshotSf10)
+      case _ => None
+    }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) Double.NaN
@@ -385,8 +435,16 @@ object Bench {
     // succeeds, and the retried build_sec may under-report a cold build
     // since the failed pass can leave some standing tables written). A
     // build still failing after the retry is surfaced in `build_failed`.
+    // pre-BUILD probe readings (round-16 verdict item 2: the driver's
+    // q158 build read 209.8 s against a 5.3 s builder median and nothing
+    // in the artifact could classify it — `hot_probe_serves` covers
+    // serves only). Same three readings as the pre-serve probe, taken
+    // immediately before each build pass, so BenchMerge can exclude/
+    // annotate hot builds exactly as it does hot serves.
+    val buildProbes = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     selected.foreach { case (name, fn) =>
       if (servedFamily(name)) {
+        buildProbes(name) = serveProbe(spark)
         var b = runOnce(name, fn)
         if (b < 0) { buildRetried(name) = b; b = runOnce(name, fn) }
         served(name) = b
@@ -438,15 +496,18 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val nFailed = results.count(_._2 < 0)
     // self-normalization: per-control observed/committed-median ratios +
-    // their median. The snapshot is sf0.1-only — at any other SF the
-    // field is null rather than a misleading cross-scale ratio.
-    // exact terminal path segment: endsWith would also match e.g. a
-    // synthetic "mysf0.1" dir and ratio it against the sf0.1 medians
-    val atSnapshotSf = new java.io.File(sfDir).getName == "sf0.1"
-    val controlRatios = if (atSnapshotSf) results.collect {
-      case (name, v) if v > 0 && ControlSnapshot.contains(name) =>
-        (name, v / ControlSnapshot(name))
-    } else Seq.empty
+    // their median, against the PINNED SCALE's snapshot (sf0.1 since
+    // round 8; sf1/sf10 pinned round 17 — verdict item 3). At an
+    // unpinned SF the field stays null rather than a misleading
+    // cross-scale ratio. Exact terminal path segment: endsWith would
+    // also match e.g. a synthetic "mysf0.1" dir.
+    val snapshot = controlSnapshotFor(sfDir)
+    val controlRatios = snapshot.map { snap =>
+      results.collect {
+        case (name, v) if v > 0 && snap.contains(name) =>
+          (name, v / snap(name))
+      }
+    }.getOrElse(Seq.empty)
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // on comma-decimal locales would emit "1,234" and corrupt the JSON
     def num(v: Double, fmt: String): String =
@@ -469,8 +530,13 @@ object Bench {
           ",\"pre_heap_mb\":" + num(h, "%.0f") +
           ",\"pre_micro_sec\":" + num(m, "%.4f")
       }.getOrElse("")
+      val buildProbeJson = buildProbes.get(name).map { case (_, h, m) =>
+        ",\"pre_build_heap_mb\":" + num(h, "%.0f") +
+          ",\"pre_build_micro_sec\":" + num(m, "%.4f")
+      }.getOrElse("")
       "\"" + name + "\":{\"build_sec\":" + num(b, "%.4f") +
-        ",\"serve_sec\":" + num(serve, "%.4f") + probeJson + "}"
+        ",\"serve_sec\":" + num(serve, "%.4f") + probeJson +
+        buildProbeJson + "}"
     }.mkString("{", ",", "}")
     val rawJson =
       if (runs > 1)

@@ -40,6 +40,8 @@ object BenchMerge {
       """([^{}]*)\}""").r
   private val PreMicroRe =
     """"pre_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
+  private val PreBuildMicroRe =
+    """"pre_build_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
 
   /** Pinned per-serve boot-health threshold for the `pre_micro_sec`
     * probe (the fixed data-free job Bench runs immediately before each
@@ -64,18 +66,31 @@ object BenchMerge {
       iterRatio: Option[Double], degraded: Boolean,
       served: Map[String, (Double, Double)] = Map.empty,
       probes: Map[String, Double] = Map.empty,
-      ioSec: Option[Double] = None) {
+      ioSec: Option[Double] = None,
+      buildProbes: Map[String, Double] = Map.empty) {
     def hotProbe(n: String): Boolean =
       probes.get(n).exists(_ > HotProbeMicroSec)
+    /** Pre-BUILD probe over the same [[HotProbeMicroSec]] threshold
+      * (round-16 verdict item 2): a served query's standing build that
+      * ran on a churned scheduler is excluded from the build_sec median
+      * the way hot serves are from serve_sec. Pre-r17 records carry no
+      * build probe — clean by construction, no probe no claim. */
+    def hotBuildProbe(n: String): Boolean =
+      buildProbes.get(n).exists(_ > HotProbeMicroSec)
     /** IO-probe ratio vs the pinned [[Bench.IoProbeMedian]] — computed
       * here from the RAW io_probe_sec (round-15 verdict item 2), so
       * boots recorded DURING the pin's calibration phase (null
       * io_control_ratio in their own record) are still adjudicated by
       * the merge once the pin lands. None while unpinned or pre-r15.
       */
-    def ioRatio: Option[Double] =
-      if (Bench.IoProbeMedian > 0) ioSec.map(_ / Bench.IoProbeMedian)
-      else None
+    def ioRatio: Option[Double] = ioRatioVs(Bench.IoProbeMedian)
+    /** IO ratio against an arbitrary reference — the campaign-relative
+      * mode's hook (round-16 verdict item 6: the absolute pin is one
+      * box's provenance; `--relative-io` re-references each merge to
+      * its own campaign's early boots so the adjudication survives a
+      * provisioning change). */
+    def ioRatioVs(ref: Double): Option[Double] =
+      if (ref > 0) ioSec.map(_ / ref) else None
   }
 
   private[graft] def parse(path: String, line: String): Boot = {
@@ -99,7 +114,11 @@ object BenchMerge {
       .flatMap(m => PreMicroRe.findFirstMatchIn(m.group(4))
         .map(p => m.group(1) -> p.group(1).toDouble))
       .toMap
-    Boot(path, pairs, iter, degraded, served, probes, io)
+    val buildProbes = servedMatches
+      .flatMap(m => PreBuildMicroRe.findFirstMatchIn(m.group(4))
+        .map(p => m.group(1) -> p.group(1).toDouble))
+      .toMap
+    Boot(path, pairs, iter, degraded, served, probes, io, buildProbes)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
@@ -127,14 +146,17 @@ object BenchMerge {
     * "path:query" either way. Boots without probe fields (pre-r14
     * records) are treated as clean — no probe, no claim.
     */
-  private[graft] def merge(boots: Seq[Boot])
+  private[graft] def merge(boots: Seq[Boot],
+      ioRef: Double = Bench.IoProbeMedian)
       : (Map[String, Double], Seq[Boot], Boolean, Seq[String], Seq[String]) = {
     // a boot is excluded if its own record flagged it OR its raw
-    // io_probe_sec reads ≥2× the pinned IoProbeMedian (round-15 item 2:
+    // io_probe_sec reads ≥2× the io reference (round-15 item 2:
     // calibration-phase records carry the raw probe but a null ratio —
-    // the merge adjudicates them retroactively once the pin exists)
+    // the merge adjudicates them retroactively once the pin exists).
+    // The reference defaults to the pinned [[Bench.IoProbeMedian]];
+    // the campaign-relative mode passes its own (round-16 item 6).
     val (bad, good) =
-      boots.partition(b => b.degraded || b.ioRatio.exists(_ >= 2.0))
+      boots.partition(b => b.degraded || b.ioRatioVs(ioRef).exists(_ >= 2.0))
     val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
     val names = use.flatMap(_.queries.keys).distinct.sorted
@@ -165,12 +187,68 @@ object BenchMerge {
       hotFlags)
   }
 
+  /** Cross-boot build/serve medians for the served family, over the
+    * already-filtered boot set. serve_sec medians exclude hot-SERVE-probe
+    * observations (when a clean one with a valid measurement survives —
+    * the same predicate as the per-query medians); build_sec medians
+    * independently exclude hot-BUILD-probe observations under the same
+    * convention (round-16 verdict item 2). Returns the per-query
+    * (build, serve) medians plus the "path:query" rows whose build
+    * probe read hot.
+    */
+  private[graft] def servedMedians(use: Seq[Boot])
+      : (Seq[(String, Double, Double)], Seq[String]) = {
+    val servedNames = use.flatMap(_.served.keys).distinct.sorted
+    val hotBuilds = for {
+      n <- servedNames
+      b <- use
+      if b.served.contains(n) && b.hotBuildProbe(n)
+    } yield s"${b.path}:$n"
+    val rows = servedNames.map { n =>
+      val having = use.filter(_.served.contains(n))
+      // SERVE median: same fallback predicate as the per-query medians
+      // (round-15 ADVICE 3) — hot-probe observations are excluded only
+      // when a clean observation WITH A VALID (>=0) measurement survives
+      val cleanServe = having.filterNot(_.hotProbe(n))
+      val serveObs =
+        (if (cleanServe.exists(_.queries.get(n).exists(_ >= 0))) cleanServe
+         else having).flatMap(_.served.get(n))
+      // BUILD median: the same convention against the PRE-BUILD probe —
+      // a hot-build observation drops out only when a clean-build boot
+      // with a non-crashed (>=0) build survives
+      val cleanBuild = having.filterNot(_.hotBuildProbe(n))
+      val buildObs =
+        (if (cleanBuild.exists(_.served.get(n).exists(_._1 >= 0))) cleanBuild
+         else having).flatMap(_.served.get(n))
+      (n, median(buildObs.map(_._1)), median(serveObs.map(_._2)))
+    }
+    (rows, hotBuilds)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchMerge <out.json> <in.json>...")
-    val boots = args.drop(1).toSeq.map { p =>
+    // optional leading flag: --relative-io re-references the io
+    // adjudication to THIS campaign's own early boots (median of the
+    // first ≤3 records carrying io_probe_sec, in argument order =
+    // campaign order) instead of the absolute pin — round-16 verdict
+    // item 6: the 0.72 pin is one box's provenance; a box change
+    // invalidates it, while early-campaign self-reference does not.
+    val (flags, rest) = args.partition(_.startsWith("--"))
+    val relativeIo = flags.contains("--relative-io")
+    require(flags.forall(_ == "--relative-io"), s"unknown flag(s): " +
+      flags.filterNot(_ == "--relative-io").mkString(","))
+    require(rest.length >= 2,
+      "usage: BenchMerge [--relative-io] <out.json> <in.json>...")
+    val boots = rest.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
-    val (med, excluded, degradedUsed, mixed, hotFlags) = merge(boots)
+    val ioRef =
+      if (relativeIo) {
+        val early = boots.flatMap(_.ioSec).take(3)
+        require(early.nonEmpty,
+          "--relative-io: no input record carries io_probe_sec")
+        median(early)
+      } else Bench.IoProbeMedian
+    val (med, excluded, degradedUsed, mixed, hotFlags) = merge(boots, ioRef)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = med.values.filter(_ >= 0).sum
@@ -182,29 +260,23 @@ object BenchMerge {
     // minus hot-probe observations when a clean one exists, matching the
     // per-query medians' exclusion
     val use = boots.filterNot(b => excluded.exists(_.path == b.path))
-    val servedNames = use.flatMap(_.served.keys).distinct.sorted
-    val served = servedNames.map { n =>
-      val having = use.filter(_.served.contains(n))
-      val clean = having.filterNot(_.hotProbe(n))
-      // SAME fallback predicate as the per-query medians (round-15
-      // ADVICE 3): hot-probe observations are excluded only when a
-      // clean observation WITH A VALID (>=0) measurement survives — a
-      // boot that probed clean but crashed on the query must not make
-      // the two sections adjudicate from different boot sets
-      val obs = (if (clean.exists(_.queries.get(n).exists(_ >= 0))) clean
-                 else having).flatMap(_.served.get(n))
-      "\"" + n + "\":{\"build_sec\":" + num(median(obs.map(_._1))) +
-        ",\"serve_sec\":" + num(median(obs.map(_._2))) + "}"
+    val (servedRows, hotBuilds) = servedMedians(use)
+    val served = servedRows.map { case (n, bMed, sMed) =>
+      "\"" + n + "\":{\"build_sec\":" + num(bMed) +
+        ",\"serve_sec\":" + num(sMed) + "}"
     }.mkString("{", ",", "}")
     val mixedJson = mixed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hotJson = hotFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-boot IO-probe ratios vs the pinned median (null pin or
-    // pre-probe records contribute nothing) — the record of WHY a boot
-    // was excluded, and the sub-2× drift divisor for cross-round reads
-    val ioJson = boots.flatMap(b => b.ioRatio.map(r =>
+    val hotBuildJson = hotBuilds.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-boot IO-probe ratios vs the reference in effect (the pinned
+    // median, or this campaign's early-boot median under --relative-io)
+    // — the record of WHY a boot was excluded, and the sub-2× drift
+    // divisor for cross-round reads
+    val ioJson = boots.flatMap(b => b.ioRatioVs(ioRef).map(r =>
       "\"" + b.path + "\":" + num(r))).mkString("{", ",", "}")
+    val ioMode = if (relativeIo) "relative" else "pinned"
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"io_probe_median":${num(Bench.IoProbeMedian)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"hot_probe_builds":$hotBuildJson,"io_ref_mode":"$ioMode","io_probe_median":${num(ioRef)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
       json.getBytes("UTF-8"))
     println(json)

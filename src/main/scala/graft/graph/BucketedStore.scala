@@ -188,7 +188,7 @@ object BucketedStore {
     appendBucketed(
       df.withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch)),
       s"${base}_delta", key, buckets)
-    recordSidecarEpoch(base, epoch)
+    recordSidecarEpoch(df.sparkSession, base, epoch)
   }
 
   /** Append a day's dead endpoint ids to `base`'s tombstone sidecar. A
@@ -207,7 +207,7 @@ object BucketedStore {
       .withColumn("_epoch", org.apache.spark.sql.functions.lit(epoch))
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${base}_tomb")
-    recordSidecarEpoch(base, epoch)
+    recordSidecarEpoch(ids.sparkSession, base, epoch)
   }
 
   /** Conf'd cap on the tombstone rows [[readMor]] will broadcast
@@ -288,7 +288,7 @@ object BucketedStore {
     */
   def dropSidecars(s: SparkSession, base: String): Unit = {
     Seq("_delta", "_tomb").foreach(suf => dropManagedPurging(s, base + suf))
-    forgetSidecarEpochs(base)
+    resetSidecarEpochs(base) // dropped = known empty, not cold-start
   }
 
   /** Scheduled MOR maintenance: materialize [[readMor]] as a fresh
@@ -320,7 +320,7 @@ object BucketedStore {
     dropManagedPurging(s, base)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$base`")
     aside.foreach(t => dropManagedPurging(s, t))
-    forgetSidecarEpochs(base) // the fold retired them
+    resetSidecarEpochs(base) // the fold retired them — known empty
   }
 
   /** Move `base`'s sidecars to `*_folded` names (catalog rename — no
@@ -389,6 +389,22 @@ object BucketedStore {
     * tombstone generation in every [[readMor]] until compaction. */
   val CompactDepthConf = "spark.graft.mor.compactDepth"
 
+  /** The MEASURED depth default for a policy-driven deployment
+    * (round-16 verdict item 5): at the 100× fixture's corpus:batch
+    * ratio the fold prices at ~5.3–16.7 s for the pair store and
+    * ~1.4–5.1 s for the assigned store at depth 3
+    * (`bench/r{15,16}_profile_mor_compaction.txt`), against a ~10 s/day
+    * merge-on-write rewrite it replaces and the per-read union/anti-join
+    * amplification each uncompacted epoch adds — the break-even band is
+    * depth 2–3, and 2 is the conservative end (fold as soon as a second
+    * epoch accumulates, so no read ever folds more than two stripes).
+    * The conf itself stays OFF by default ([[compactDue]] is
+    * constant-false with it unset) so explicit-schedule callers are
+    * bit-identical; policy callers set `CompactDepthConf` to this
+    * (q169 does).
+    */
+  val RecommendedCompactDepth = 2
+
   /** Fold when the tombstone sidecar holds at least this many rows
     * (0/unset = leg disabled) — the same quantity [[MaxTombstoneRowsConf]]
     * caps at read time, triggered here BEFORE accumulation degrades
@@ -411,15 +427,49 @@ object BucketedStore {
   private val sidecarEpochs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Integer]]()
 
-  private def recordSidecarEpoch(host: String, epoch: Int): Unit = {
+  /** One-off scan of `host`'s EXISTING sidecars' distinct epochs — the
+    * cold-start seed (round-16 ADVICE 2: seeding the set with just the
+    * first post-restart append's epoch masked older on-disk epochs, so
+    * the depth policy under-triggered until the next fold). Runs only
+    * when this JVM first touches a host it has no entry for; a host
+    * whose entry was RESET by a fold ([[resetSidecarEpochs]]) is a
+    * known-empty state and never rescans.
+    */
+  private def scanSidecarEpochs(s: SparkSession,
+      host: String): java.util.Set[Integer] = {
+    val set = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    Seq("_delta", "_tomb").map(host + _).filter(s.catalog.tableExists)
+      .foreach { t =>
+        s.table(t).select("_epoch").distinct().collect()
+          .foreach(r => set.add(Int.box(r.getInt(0))))
+      }
+    set
+  }
+
+  private def recordSidecarEpoch(s: SparkSession, host: String,
+      epoch: Int): Unit = {
     sidecarEpochs.computeIfAbsent(host,
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+      // no entry at all = cold start (this JVM never wrote OR folded
+      // this host's sidecars): seed from what is already on disk, so a
+      // maintenance daemon restarted mid-accumulation sees the true
+      // depth instead of only its own post-restart epochs
+      _ => scanSidecarEpochs(s, host))
       .add(Int.box(epoch))
     ()
   }
 
-  /** Test seam: forget a host's writer-side epoch set so [[compactDue]]
-    * exercises its cold-start scan fallback. */
+  /** A fold/drop retires every accumulated epoch: reset the host's
+    * entry to a KNOWN-EMPTY set (distinct from no-entry, which means
+    * cold start and triggers the seed scan on the next append). */
+  private def resetSidecarEpochs(host: String): Unit = {
+    sidecarEpochs.put(host,
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
+    ()
+  }
+
+  /** Test seam: forget a host's writer-side epoch set entirely so
+    * [[compactDue]] and [[recordSidecarEpoch]] exercise their
+    * cold-start scan paths. */
   private[graft] def forgetSidecarEpochs(host: String): Unit = {
     sidecarEpochs.remove(host); ()
   }

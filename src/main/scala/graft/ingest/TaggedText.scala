@@ -89,11 +89,18 @@ object TaggedText {
     * default to ASCII; the corpus's postal codes are ASCII, and the
     * ASCII class keeps all three engines aligned. `TaggedTextSpec` pins
     * the letter-adjacent, 7-digit, and digit-run-adjacency cases.
+    *
+    * Since round 17 the implementation is the fused single-pass scan
+    * [[graft.functions.StripPostal]] (strip + collapse + trim in one
+    * char walk — the oracle's own digit-run-tokenize shape): the
+    * lookaround pattern microbenched at ~1.6-1.8× the old `\b` form
+    * (`tools/PostalBench.java`, round-16 verdict item 4), and the scan
+    * beats both while replacing three expression passes with one.
+    * Semantics are UNCHANGED — a scalacheck property (`PropertySpec`)
+    * pins the scan byte-identical to the regex pipeline it replaced.
     */
   def stripPostalCodes(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c,
-      "(?:(?<=[^0-9])|(?<=^))\\s*[0-9]{6}\\s*(?=[^0-9]|$)", " "),
-      "\\s+", " "))
+    graft.functions.StripPostal.stripPostal6Col(c)
 
   /** P3 whitespace pass (`cleaner.py:97-122`). */
   def normalizeWs(c: Column): Column =

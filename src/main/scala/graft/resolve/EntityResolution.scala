@@ -802,6 +802,23 @@ object EntityResolution {
     s"graft_base_${kind}_$hex"
   }
 
+  /** Structural fingerprint of a class rule: the canonical SQL (or, for
+    * expressions without a SQL form, the tree string) of the Column the
+    * rule produces over a probe attribute. Snapshot keys fold this in
+    * instead of a caller-supplied tag (round-16 ADVICE 3: the `clsTag`
+    * string default let a caller pass a custom `cls` and forget the
+    * tag, silently sharing a day-0 snapshot built under another rule —
+    * the doc said MUST, nothing enforced it). Two rules with the same
+    * expression tree ARE the same rule, so sharing under an equal
+    * fingerprint is correct by construction; a structurally different
+    * rule is a different key, hence a different snapshot name.
+    */
+  private[resolve] def clsFingerprint(cls: Column => Column): String = {
+    val e = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(cls(col("__cls_probe__")))
+    scala.util.Try(e.sql).getOrElse(e.toString)
+  }
+
   /** Serve-scoped persisted frames (batch assignments, touching pairs,
     * affected-set frames) registered by the q143/q150/q153/q155/q156
     * serve paths. They are persisted because each is referenced by
@@ -1547,12 +1564,7 @@ object EntityResolution {
       // ("day0" is the snapshot-ensure + working-table reset: the build
       // itself on the first call in a JVM, near-zero afterwards.)
       onPhase: (String, Double) => Unit = (_, _) => (),
-      daySource: Option[Int => DataFrame] = None,
-      // names the class rule `cls` implements; part of the snapshot
-      // identity (round-15 ADVICE 1) — a caller passing a non-default
-      // `cls` MUST pass a distinct tag, else two parameterizations with
-      // the same tag would share a snapshot built under the other's rule
-      clsTag: String = "md5mod3"): DataFrame = {
+      daySource: Option[Int => DataFrame] = None): DataFrame = {
     import s.implicits._
     def timed[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -1563,14 +1575,18 @@ object EntityResolution {
     val inserted = ops.collect { case ("insert", k) => k }.toSet
     // snapshot key carries EVERYTHING the day-0 build reads: source,
     // the ε threshold, the class rule, and the inserted-class set (the
-    // q162 discipline; num/den + clsTag folded in per round-15 ADVICE 1
-    // — previously a same-prefix call with a different θ or class rule
+    // q162 discipline; num/den folded in per round-15 ADVICE 1 —
+    // previously a same-prefix call with a different θ or class rule
     // silently reused a base built under the other parameters). The
-    // base tables are NAMED by this key (sharedBaseName), so q161/q165/
-    // q167 — identical parameters — build ONE snapshot per JVM instead
-    // of three (round-15 verdict item 6), and a parameter change cannot
+    // class rule enters as a STRUCTURAL fingerprint of the expression
+    // itself (round-16 ADVICE 3 — the previous `clsTag` string default
+    // let a custom `cls` ride under another rule's tag), so two
+    // different rules can never share a snapshot by omission. The base
+    // tables are NAMED by this key (sharedBaseName), so q161/q165/q167
+    // — identical parameters — build ONE snapshot per JVM instead of
+    // three (round-15 verdict item 6), and a parameter change cannot
     // alias: it is a different table name.
-    val snapKey = s"$sourceKey|eps=$num/$den|cls=$clsTag" +
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(cls)}" +
       s"|ins=${inserted.toSeq.sorted.mkString(",")}"
     val basePrefix = sharedBaseName("ing", snapKey)
     timed("day0") {
@@ -1707,15 +1723,15 @@ object EntityResolution {
       ops: Seq[(String, Int)] =
         Seq(("insert", 1), ("update", 2), ("delete", 0)),
       daySource: Option[Int => DataFrame] = None,
-      compactAfterOps: Set[Int] = Set.empty,
-      clsTag: String = "md5mod3"): DataFrame = {
+      compactAfterOps: Set[Int] = Set.empty): DataFrame = {
     import s.implicits._
     import graft.graph.BucketedStore
     val inserted = ops.collect { case ("insert", k) => k }.toSet
     // full-parameter snapshot key + shared base name — see
     // [[ingestedMultidayCrudServed]]'s snapKey note (round-15 ADVICE 1
-    // + verdict item 6): q161/q165/q167 share ONE day-0 build per JVM
-    val snapKey = s"$sourceKey|eps=$num/$den|cls=$clsTag" +
+    // + verdict item 6, class rule as a structural fingerprint per
+    // round-16 ADVICE 3): q161/q165/q167 share ONE day-0 build per JVM
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(cls)}" +
       s"|ins=${inserted.toSeq.sorted.mkString(",")}"
     val basePrefix = sharedBaseName("ing", snapKey)
     ensureIngestedErTables(s, ingested, snapKey, num, den,
@@ -2414,7 +2430,12 @@ object EntityResolution {
     "q169_er_mor_compact_policy" -> ((s, d) => {
       val conf = graft.graph.BucketedStore.CompactDepthConf
       val prev = s.conf.getOption(conf)
-      s.conf.set(conf, "2")
+      // the measured break-even depth (bench/r{15,16}_profile_mor_
+      // compaction.txt → RecommendedCompactDepth): after the update day
+      // the stores carry epochs {1,2}, so the policy fires exactly
+      // where q166's manual Set(1) schedule folds
+      s.conf.set(conf,
+        graft.graph.BucketedStore.RecommendedCompactDepth.toString)
       try multidayCrudResolveServedMor(s, d, prefix = "graft_q169")
       finally prev match {
         case Some(v) => s.conf.set(conf, v)

@@ -196,10 +196,46 @@ object ExactlyOnceSink {
     * = their keys); an insert-only batch passes only `deltas`; a delete
     * batch only `tombstoneIds`.
     */
+  /** Crash-window recovery for the sidecar rewrites' `_next` swap
+    * (round-16 ADVICE 1): [[landMorSidecars]]' per-epoch cleanup goes
+    * through a temp-write → drop → rename swap; a crash between the
+    * drop and the rename leaves the sidecar MISSING with the only
+    * complete copy stranded under `<sidecar>_next` — and a missing
+    * sidecar reads clean ([[graft.graph.BucketedStore.readMor]] folds
+    * to the base alone), so the next re-land would recreate it with
+    * only its own epoch, silently losing every earlier checkpointed
+    * epoch. Called before a landing touches the sidecar:
+    *  - `_next` present, sidecar missing → the drop landed but the
+    *    rename did not: rename `_next` back (the copy is complete by
+    *    construction — it was fully written before the drop);
+    *  - both present → the crash hit before the drop: the original is
+    *    intact and `_next` is a stale temp — purge it.
+    * Every window of the rewrite now recovers or leaves the pre-rewrite
+    * state intact — compactMor's loud-or-recoverable discipline, where
+    * this path previously read clean through a silent loss. (The local
+    * in-memory catalog forgets both names across JVMs; the recovery
+    * covers in-process failures here and the metastore-backed
+    * deployment the crash discipline is written for. Pinned by
+    * `ExactlyOnceSinkSpec`.)
+    */
+  private def recoverStrandedNext(s: SparkSession, sidecar: String): Unit = {
+    val next = sidecar + "_next"
+    if (s.catalog.tableExists(next)) {
+      if (!s.catalog.tableExists(sidecar))
+        s.sql(s"ALTER TABLE `$next` RENAME TO `$sidecar`")
+      else graft.graph.BucketedStore.dropManagedPurging(s, next)
+    }
+  }
+
   def landMorSidecars(s: SparkSession, host: String, key: String,
       epoch: Int, deltas: Option[DataFrame] = None,
       tombstoneIds: Option[DataFrame] = None, buckets: Int = 16): Unit = {
     require(epoch > 0, s"MOR sidecar epoch must be > 0: $epoch")
+    // recover (or clear) any swap stranded by a previous crash BEFORE
+    // the hasEpoch checks: a stranded delta would otherwise read as
+    // epoch-absent and the append below would bury the only copy
+    recoverStrandedNext(s, s"${host}_delta")
+    recoverStrandedNext(s, s"${host}_tomb")
     def hasEpoch(table: String): Boolean =
       s.catalog.tableExists(table) &&
         !s.table(table).filter(col("_epoch") === epoch).isEmpty

@@ -159,6 +159,66 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(old.ioSec.isEmpty && old.ioRatio.isEmpty)
   }
 
+  test("hot-build probes exclude observations from the build_sec median only (r16 verdict 2)") {
+    def sv(build: Double, serve: Double, bMicro: Double) =
+      s""""q157":{"build_sec":$build,"serve_sec":$serve,""" +
+        s""""pre_cached_mb":0.0,"pre_heap_mb":2000,"pre_micro_sec":0.1,""" +
+        s""""pre_build_heap_mb":2000,"pre_build_micro_sec":$bMicro}"""
+    val b1 = BenchMerge.parse("r1",
+      rec(""""q157":1.0""", 0.8, Some(false), sv(5.0, 1.0, 0.10)))
+    val b2 = BenchMerge.parse("r2",
+      rec(""""q157":1.2""", 0.8, Some(false), sv(6.0, 1.2, 0.20)))
+    val b3 = BenchMerge.parse("r3",
+      rec(""""q157":1.1""", 0.8, Some(false), sv(209.8, 1.1, 0.90)))
+    assert(b3.buildProbes === Map("q157" -> 0.90))
+    assert(b3.hotBuildProbe("q157") && !b1.hotBuildProbe("q157"))
+    assert(!b3.hotProbe("q157"), "a hot BUILD probe is not a hot serve")
+    val (rows, hotBuilds) = BenchMerge.servedMedians(Seq(b1, b2, b3))
+    assert(rows === Seq(("q157", 5.5, 1.1)),
+      "build median over the clean-build boots only (the r16 driver's " +
+        "209.8 s q158 build would now be excluded and named); serve " +
+        "median keeps all three clean-serve observations")
+    assert(hotBuilds === Seq("r3:q157"))
+    // all builds hot: never merge nothing — fall back, still flagged
+    val (rowsAll, hotAll) = BenchMerge.servedMedians(Seq(b3))
+    assert(rowsAll === Seq(("q157", 209.8, 1.1)) &&
+      hotAll === Seq("r3:q157"))
+    // pre-r17 records carry no build probe: clean by construction
+    val old = BenchMerge.parse("r0",
+      rec(""""q157":1.3""", 0.8, Some(false),
+        """"q157":{"build_sec":7.0,"serve_sec":1.3}"""))
+    assert(old.buildProbes.isEmpty && !old.hotBuildProbe("q157"))
+    val (rowsMix, _) = BenchMerge.servedMedians(Seq(old, b3))
+    assert(rowsMix.map(_._1) === Seq("q157") &&
+      rowsMix.head._2 === 7.0 &&
+      math.abs(rowsMix.head._3 - 1.2) < 1e-9,
+      "the probe-less record is the clean-build observation")
+  }
+
+  test("campaign-relative io reference: exclusion re-references to the early boots (r16 verdict 6)") {
+    def withIo(name: String, q: Double, io: Double) =
+      BenchMerge.parse(name, rec(s""""q1":$q""", 0.8, Some(false))
+        .replace(""","sf":"x"""", s""","io_probe_sec":$io,"sf":"x""""))
+    // a campaign on a SLOWER box than the 0.72 pin: every boot reads
+    // ~1.5 s — against the absolute pin all would flag ≥2×, but
+    // relative to the campaign's own early boots only the genuinely
+    // degraded fourth boot (3.4 = 2.3× the local reference) is out
+    val boots = Seq(withIo("c1", 1.0, 1.5), withIo("c2", 1.1, 1.45),
+      withIo("c3", 1.2, 1.6), withIo("c4", 9.0, 3.4))
+    val ioRef = boots.flatMap(_.ioSec).take(3).sorted.apply(1) // median=1.5
+    assert(ioRef === 1.5)
+    val (med, excluded, _, _, _) = BenchMerge.merge(boots, ioRef)
+    assert(excluded.map(_.path) === Seq("c4"))
+    assert(med("q1") === 1.1)
+    assert(boots.head.ioRatioVs(ioRef).exists(r => math.abs(r - 1.0) < 1e-9))
+    // same boots under the absolute pin: everything ≥2× → all-degraded
+    // fallback (merge over all, nothing self-described as excluded)
+    if (Bench.IoProbeMedian > 0 && 1.45 / Bench.IoProbeMedian >= 2.0) {
+      val (medAbs, exclAbs, degradedUsed, _, _) = BenchMerge.merge(boots)
+      assert(degradedUsed && exclAbs.isEmpty && medAbs("q1") === 1.15)
+    }
+  }
+
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
     val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
     assert(old.degraded)

@@ -40,6 +40,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("StripPostal scan ≡ the reference lookaround regex pipeline") {
+    // the fused single-pass kernel (r17, verdict item 4) must be
+    // byte-identical to the three-pass regex form it replaced:
+    //   trim(collapse(replace(lookaround-pattern, " ")))
+    // over strings mixing ASCII digits/ws, letters, CJK, and the
+    // dialect-boundary characters (full-width digit １, ideographic
+    // space U+3000 — non-\s, non-[0-9] in Java regex, so both sides
+    // must treat them as ordinary text)
+    val look = java.util.regex.Pattern.compile(
+      "(?:(?<=[^0-9])|(?<=^))\\s*[0-9]{6}\\s*(?=[^0-9]|$)")
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    def reference(s: String): String =
+      ws.matcher(look.matcher(s).replaceAll(" ")).replaceAll(" ").trim
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.numStr.map(_.take(8)),
+      Gen.alphaStr.map(_.take(4)),
+      Gen.oneOf(" ", "  ", "\t", "\n", " \t "),
+      Gen.oneOf("辽宁大连", "邮编", "１２３", "　", "6464", "00", "646400"))
+    val str: Gen[String] =
+      Gen.chooseNum(0, 8).flatMap(k => Gen.listOfN(k, piece).map(_.mkString))
+    val vs = samples(str, 500)
+    assert(vs.size === 500)
+    vs.foreach { s =>
+      assert(graft.functions.StripPostal.stripPostal6(s) === reference(s),
+        s"mismatch on input [${s.replace("\n", "\\n").replace("\t", "\\t")}]")
+    }
+  }
+
   test("sanitizeLabel always yields a valid Neo4j label shape") {
     val vs = samples(word, 200)
     val out = vs.toDF("rt")

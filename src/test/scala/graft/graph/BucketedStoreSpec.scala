@@ -301,6 +301,40 @@ class BucketedStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cold-start append re-seeds the epoch cache from disk (r16 ADVICE 2)") {
+    val base = Seq((1L, 2L, "a")).toDF("u", "v", "tag")
+    BucketedStore.writeBucketed(base, "mor_seed", "u", buckets = 2)
+    BucketedStore.dropSidecars(spark, "mor_seed")
+    BucketedStore.appendDeltaSidecar(
+      Seq((3L, 4L, "d1")).toDF("u", "v", "tag"), "mor_seed", "u", epoch = 1)
+    BucketedStore.appendDeltaSidecar(
+      Seq((5L, 6L, "d2")).toDF("u", "v", "tag"), "mor_seed", "u", epoch = 2)
+    // simulate a JVM restart mid-accumulation: the writer-side set is
+    // gone while the sidecars survive on disk
+    BucketedStore.forgetSidecarEpochs("mor_seed")
+    // the first post-restart append previously seeded the cache with
+    // just its own epoch, masking {1,2} — the depth policy then
+    // under-triggered until the next fold. It must seed from a scan.
+    BucketedStore.appendDeltaSidecar(
+      Seq((7L, 8L, "d3")).toDF("u", "v", "tag"), "mor_seed", "u", epoch = 3)
+    try {
+      spark.conf.set(BucketedStore.CompactDepthConf, "3")
+      assert(BucketedStore.compactDue(spark, "mor_seed"),
+        "depth must count the pre-restart epochs, not only the post-restart append")
+      // a fold retires the epochs to a KNOWN-EMPTY state (no rescan):
+      // a single fresh epoch after it reads depth 1, not 4
+      BucketedStore.compactMor(spark, "mor_seed", "u", Seq("u", "v"),
+        buckets = 2)
+      BucketedStore.appendDeltaSidecar(
+        Seq((9L, 10L, "d4")).toDF("u", "v", "tag"), "mor_seed", "u",
+        epoch = 4)
+      spark.conf.set(BucketedStore.CompactDepthConf, "2")
+      assert(!BucketedStore.compactDue(spark, "mor_seed"))
+      spark.conf.set(BucketedStore.CompactDepthConf, "1")
+      assert(BucketedStore.compactDue(spark, "mor_seed"))
+    } finally spark.conf.unset(BucketedStore.CompactDepthConf)
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("partstore").toString

@@ -108,4 +108,34 @@ class TaggedTextSpec extends AnyFunSuite {
       .select($"author_address").as[Seq[String]].head()
     assert(addrs === Seq("大连理工大学计算机学院", "辽宁大连", "北京大学", "信息学院", "智能系"))
   }
+
+  test("corpus assertion: the tagged fixtures carry no non-ASCII digits (r16 ADVICE 4)") {
+    // stripPostalCodes pins ASCII [0-9]/[^0-9] where the reference's
+    // Python \d/\D are UNICODE classes — a knowing, documented dialect
+    // choice (TaggedText.scala P2 scaladoc; it keeps Java, RE2 and the
+    // DuckDB oracle aligned) that is only faithful while the corpus
+    // carries no non-ASCII digits adjacent to 6-digit runs. Assert the
+    // stronger invariant (no non-ASCII digit anywhere in the fixture
+    // corpus), so a corpus change that would make the dialects diverge
+    // fails HERE instead of silently behaving differently from
+    // cleaner.py:30. COVERAGE.md tracks the divergence.
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get("src/test/resources"))
+    val offenders =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".txt") &&
+          (p.toString.contains("/tagged/") ||
+            p.toString.contains("/tagged_er/")))
+        .flatMap { p =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8")
+          text.iterator.filter(c => Character.isDigit(c) &&
+            (c < '0' || c > '9')).map(c => s"$p: U+${c.toInt.toHexString}")
+        }.toList
+      finally walk.close()
+    assert(offenders.isEmpty,
+      s"non-ASCII digits in the tagged corpus — the ASCII [0-9] postal " +
+        s"dialect no longer matches Python \\d semantics: $offenders")
+  }
 }

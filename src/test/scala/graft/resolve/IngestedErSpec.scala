@@ -200,7 +200,8 @@ class IngestedErSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("graft_q167_pairs"))
     assert(spark.catalog.tableExists("graft_q167_pairs_tomb"))
     val sharedBase = EntityResolution.sharedBaseName("ing",
-      s"${TaggedQueries.ErFixtureGlob}|eps=24/25|cls=md5mod3|ins=1")
+      s"${TaggedQueries.ErFixtureGlob}|eps=24/25" +
+        s"|cls=${EntityResolution.clsFingerprint(c => c % 3)}|ins=1")
     assert(spark.catalog.tableExists(s"${sharedBase}_pairs"),
       "the tagged lifecycles must have built the shared snapshot")
     assert(!spark.catalog.tableExists(s"${sharedBase}_pairs_tomb") &&
@@ -272,6 +273,42 @@ class IngestedErSpec extends AnyFunSuite {
       prefix = "graft_q159_scoped", batchSource = Some(() => byCls(1)))
       .collect().map(r => r.getString(0) -> r.getString(1)).toSet
     assert(scopedIns === wantIns)
+  }
+
+  test("a custom class rule can never alias another rule's day-0 snapshot (r16 ADVICE 3)") {
+    import org.apache.spark.sql.functions._
+    // FIRST materialize a snapshot under the DEFAULT rule with the same
+    // source/ε/ops — the aliasing target the old `clsTag` string
+    // default allowed (a caller passing a custom cls and forgetting the
+    // tag silently shared this build). The snapshot key now folds a
+    // STRUCTURAL fingerprint of the rule, so the shifted rule below
+    // gets its own snapshot by construction.
+    EntityResolution.ingestedMultidayCrudServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q161_clsdef",
+      ops = Seq(("insert", 1), ("update", 2)))
+      .collect()
+    val shifted: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (c + 1) % 3
+    val got = EntityResolution.ingestedMultidayCrudServed(
+      spark, () => TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob),
+      TaggedQueries.ErFixtureGlob, 24, 25,
+      prefix = "graft_q161_cls", cls = shifted,
+      ops = Seq(("insert", 1), ("update", 2)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    // from-scratch truth under the SHIFTED rule: class 2' (=(id+1)%3==2)
+    // re-embedded, all classes present after the insert
+    val subset = EntityResolution.embedTermUniverse(
+      TaggedText.ingest(spark, TaggedQueries.ErFixtureGlob))
+      .withColumn("embedding",
+        when((col("vec_id") + 1) % 3 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+    val scratch = EntityResolution.aliasMapping(subset, 24, 25)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got === scratch,
+      "the shifted rule must build its own day-0 snapshot, never reuse " +
+        "the default rule's")
   }
 
   test("q161 update day splits a component the insert day merged") {

@@ -88,6 +88,49 @@ class MorSpliceSpec extends AnyFunSuite {
       !spark.catalog.tableExists("splice_f_tomb"))
   }
 
+  test("a crash-stranded _delta_next is recovered before landing (r16 ADVICE 1)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    BucketedStore.writeBucketed(base, "splice_r", "k", buckets = 4)
+    BucketedStore.dropSidecars(spark, "splice_r")
+    ExactlyOnceSink.landMorSidecars(spark, "splice_r", "k", epoch = 1,
+      deltas = Some(Seq((2L, "b2")).toDF("k", "v")),
+      tombstoneIds = Some(Seq(2L).toDF("k")), buckets = 4)
+    ExactlyOnceSink.landMorSidecars(spark, "splice_r", "k", epoch = 2,
+      deltas = Some(Seq((4L, "d")).toDF("k", "v")), buckets = 4)
+    // simulate the replaceBucketed crash window of a replayed epoch-2
+    // cleanup: the rewrite fully wrote `_delta_next` (minus epoch 2)
+    // and DROPPED `_delta`, but died before the rename — the sidecar is
+    // now missing and the only copy of epoch 1 is stranded
+    BucketedStore.writeBucketed(
+      spark.table("splice_r_delta").filter($"_epoch" =!= 2),
+      "splice_r_delta_next", "k", buckets = 4)
+    spark.sql("DROP TABLE `splice_r_delta`")
+    // pre-fix: readMor folds to the base alone (reads CLEAN), and a
+    // re-land would recreate `_delta` with only epoch 2 — epoch 1's
+    // update silently lost. The recovery renames `_next` back first.
+    ExactlyOnceSink.landMorSidecars(spark, "splice_r", "k", epoch = 2,
+      deltas = Some(Seq((4L, "d")).toDF("k", "v")), buckets = 4)
+    assert(BucketedStore.readMor(spark, "splice_r", Seq("k"))
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")),
+      "the recovered sidecar must still carry epoch 1's update")
+    assert(spark.table("splice_r_delta")
+      .filter($"_epoch" === 1).count() === 1)
+    assert(!spark.catalog.tableExists("splice_r_delta_next"))
+    // the OTHER crash arm: a stale `_next` beside an INTACT sidecar
+    // (crash before the drop) is purged, never recovered over the
+    // original
+    BucketedStore.writeBucketed(
+      spark.table("splice_r_delta").filter($"_epoch" =!= 2),
+      "splice_r_delta_next", "k", buckets = 4)
+    ExactlyOnceSink.landMorSidecars(spark, "splice_r", "k", epoch = 2,
+      deltas = Some(Seq((4L, "d")).toDF("k", "v")), buckets = 4)
+    assert(!spark.catalog.tableExists("splice_r_delta_next"))
+    assert(BucketedStore.readMor(spark, "splice_r", Seq("k"))
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
+
   test("q168: the MOR-landed splice serves the same answer as q147's fold") {
     val viaMor = ExactlyOnceSink.queries("q168_stream_mor_splice")(
       spark, TinySf)

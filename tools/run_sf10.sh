@@ -9,8 +9,7 @@
 cd /root/repo
 ONLY=$(python3 -c "
 import json
-qs=sorted(set(json.load(open('CORRECTNESS_r15.json')))
-          | {'q168_stream_mor_splice','q169_er_mor_compact_policy'})
+qs=sorted(set(json.load(open('CORRECTNESS_r16.json'))))
 print(','.join(q for q in qs if not q.startswith(('q50_','q51_'))))")
 RUN=${1:-1}
 SF_DIR=${2:-/root/repo/bench_sf10}
