@@ -258,6 +258,18 @@ object Bench {
     * exists to see: the ≥2× hard flag sits above the healthy band's
     * top, and sub-2× readings ride in `io_control_ratio` for divide-
     * before-reading adjudication, same as the other two probes.
+    *
+    * Round-17 provenance check (verdict item 6): the eight r17 sweep
+    * boots read 0.50 / 0.61 / 0.70 / 0.73 / 0.79 / 0.90 / 1.03 / 1.64
+    * (median 0.76) — the 0.72 pin remains representative, UNCHANGED.
+    * The same campaign showed the pins' box-relativity bites the OTHER
+    * way too: the r17 box reads the graph probe ~2.7x its pin on a boot
+    * whose per-scale CONTROLS are clean (1.07), so pinned-mode merges
+    * excluded the campaign's best 100x boot. `BenchMerge --relative`
+    * re-references ALL three probes to the campaign's own early boots
+    * (ignoring the in-record pinned flag) — use it whenever the control
+    * ratios and the probe ratios disagree about which boots are
+    * healthy; the pins stay for cross-round, same-box reads.
     */
   val IoProbeMedian: Double = 0.72
 

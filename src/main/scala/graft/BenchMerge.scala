@@ -27,6 +27,8 @@ object BenchMerge {
   private val PairRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
   private val IterRe = """"iter_control_ratio":([0-9][0-9.eE+-]*)""".r
   private val IoRe = """"io_probe_sec":([0-9][0-9.eE+-]*)""".r
+  private val IterSecRe = """"iter_probe_sec":([0-9][0-9.eE+-]*)""".r
+  private val GraphSecRe = """"graph_probe_sec":([0-9][0-9.eE+-]*)""".r
   private val DegradedRe = """"boot_degraded":(true|false)""".r
   // A served entry is `"name":{"build_sec":N,"serve_sec":N,...}` —
   // matched by its two LEADING fields with a tolerant tail (round-15
@@ -67,7 +69,9 @@ object BenchMerge {
       served: Map[String, (Double, Double)] = Map.empty,
       probes: Map[String, Double] = Map.empty,
       ioSec: Option[Double] = None,
-      buildProbes: Map[String, Double] = Map.empty) {
+      buildProbes: Map[String, Double] = Map.empty,
+      iterSec: Option[Double] = None,
+      graphSec: Option[Double] = None) {
     def hotProbe(n: String): Boolean =
       probes.get(n).exists(_ > HotProbeMicroSec)
     /** Pre-BUILD probe over the same [[HotProbeMicroSec]] threshold
@@ -118,7 +122,10 @@ object BenchMerge {
       .flatMap(m => PreBuildMicroRe.findFirstMatchIn(m.group(4))
         .map(p => m.group(1) -> p.group(1).toDouble))
       .toMap
-    Boot(path, pairs, iter, degraded, served, probes, io, buildProbes)
+    val iterSec = IterSecRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+    val graphSec = GraphSecRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+    Boot(path, pairs, iter, degraded, served, probes, io, buildProbes,
+      iterSec, graphSec)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
@@ -146,17 +153,40 @@ object BenchMerge {
     * "path:query" either way. Boots without probe fields (pre-r14
     * records) are treated as clean — no probe, no claim.
     */
+  /** Campaign-relative probe references: per probe, the median of the
+    * first ≤3 boots' RAW readings (argument order = campaign order). 0
+    * when no record carries the probe — that leg then makes no claim.
+    * This is the box-change hedge (round-16 item 6, generalized by the
+    * r17 campaign's own evidence: this round's box reads the graph
+    * probe 2.7× the old-box pin on a boot whose per-scale CONTROLS are
+    * clean at 1.07 — the pinned flag then excludes the campaign's BEST
+    * boot and keeps the worse one).
+    */
+  private[graft] def relativeRefs(boots: Seq[Boot])
+      : (Double, Double, Double) = {
+    def ref(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else median(xs.take(3))
+    (ref(boots.flatMap(_.ioSec)), ref(boots.flatMap(_.iterSec)),
+      ref(boots.flatMap(_.graphSec)))
+  }
+
   private[graft] def merge(boots: Seq[Boot],
-      ioRef: Double = Bench.IoProbeMedian)
+      ioRef: Double = Bench.IoProbeMedian,
+      iterRef: Double = 0, graphRef: Double = 0,
+      usePinnedFlag: Boolean = true)
       : (Map[String, Double], Seq[Boot], Boolean, Seq[String], Seq[String]) = {
-    // a boot is excluded if its own record flagged it OR its raw
-    // io_probe_sec reads ≥2× the io reference (round-15 item 2:
-    // calibration-phase records carry the raw probe but a null ratio —
-    // the merge adjudicates them retroactively once the pin exists).
-    // The reference defaults to the pinned [[Bench.IoProbeMedian]];
-    // the campaign-relative mode passes its own (round-16 item 6).
-    val (bad, good) =
-      boots.partition(b => b.degraded || b.ioRatioVs(ioRef).exists(_ >= 2.0))
+    // a boot is excluded if its own record flagged it (pinned modes
+    // only — the in-record flag compares against the OLD box's pins,
+    // which the fully-relative mode exists to ignore) OR a raw probe
+    // reads ≥2× its reference (round-15 item 2: calibration-phase
+    // records carry raw probes but null ratios — the merge adjudicates
+    // retroactively). References default to the committed pins; the
+    // campaign-relative modes pass their own (round-16 item 6).
+    val (bad, good) = boots.partition { b =>
+      (usePinnedFlag && b.degraded) ||
+        b.ioRatioVs(ioRef).exists(_ >= 2.0) ||
+        (iterRef > 0 && b.iterSec.exists(_ / iterRef >= 2.0)) ||
+        (graphRef > 0 && b.graphSec.exists(_ / graphRef >= 2.0))
+    }
     val degradedUsed = good.isEmpty && bad.nonEmpty
     val use = if (good.nonEmpty) good else boots // never merge nothing
     val names = use.flatMap(_.queries.keys).distinct.sorted
@@ -233,22 +263,31 @@ object BenchMerge {
     // item 6: the 0.72 pin is one box's provenance; a box change
     // invalidates it, while early-campaign self-reference does not.
     val (flags, rest) = args.partition(_.startsWith("--"))
+    val known = Set("--relative-io", "--relative")
     val relativeIo = flags.contains("--relative-io")
-    require(flags.forall(_ == "--relative-io"), s"unknown flag(s): " +
-      flags.filterNot(_ == "--relative-io").mkString(","))
+    // --relative generalizes --relative-io to ALL THREE probes and
+    // ignores the records' pinned boot_degraded flag: every reference
+    // is the campaign's own early boots, so the adjudication survives a
+    // box whose probe profile differs wholesale from the pins
+    val relativeAll = flags.contains("--relative")
+    require(flags.forall(known), s"unknown flag(s): " +
+      flags.filterNot(known).mkString(","))
     require(rest.length >= 2,
-      "usage: BenchMerge [--relative-io] <out.json> <in.json>...")
+      "usage: BenchMerge [--relative-io|--relative] <out.json> <in.json>...")
     val boots = rest.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
+    val (ioRefRel, iterRefRel, graphRefRel) = relativeRefs(boots)
     val ioRef =
-      if (relativeIo) {
-        val early = boots.flatMap(_.ioSec).take(3)
-        require(early.nonEmpty,
-          "--relative-io: no input record carries io_probe_sec")
-        median(early)
+      if (relativeIo || relativeAll) {
+        require(ioRefRel > 0,
+          "relative mode: no input record carries io_probe_sec")
+        ioRefRel
       } else Bench.IoProbeMedian
-    val (med, excluded, degradedUsed, mixed, hotFlags) = merge(boots, ioRef)
+    val (med, excluded, degradedUsed, mixed, hotFlags) =
+      if (relativeAll)
+        merge(boots, ioRef, iterRefRel, graphRefRel, usePinnedFlag = false)
+      else merge(boots, ioRef)
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = med.values.filter(_ >= 0).sum
@@ -274,10 +313,16 @@ object BenchMerge {
     // divisor for cross-round reads
     val ioJson = boots.flatMap(b => b.ioRatioVs(ioRef).map(r =>
       "\"" + b.path + "\":" + num(r))).mkString("{", ",", "}")
-    val ioMode = if (relativeIo) "relative" else "pinned"
+    val ioMode =
+      if (relativeAll) "relative" else if (relativeIo) "relative-io"
+      else "pinned"
+    val refsJson =
+      if (relativeAll)
+        s""","probe_refs":{"io":${num(ioRefRel)},"iter":${num(iterRefRel)},"graph":${num(graphRefRel)}}"""
+      else ""
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"hot_probe_builds":$hotBuildJson,"io_ref_mode":"$ioMode","io_probe_median":${num(ioRef)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(args(0)),
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"hot_probe_builds":$hotBuildJson,"io_ref_mode":"$ioMode"$refsJson,"io_probe_median":${num(ioRef)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(rest(0)),
       json.getBytes("UTF-8"))
     println(json)
   }

@@ -219,6 +219,36 @@ class BenchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("fully-relative mode: in-family probe readings override a pinned boot_degraded flag (r17)") {
+    // the r17 sf10 campaign's shape: a box whose graph probe reads
+    // ~2.7x the OLD box's pin on every boot — each record self-flags
+    // boot_degraded, but the per-scale controls are clean and the
+    // readings are IN FAMILY for this campaign. The pinned merge would
+    // exclude the campaign's best boot; the relative mode must keep
+    // every in-family boot and drop only a true outlier.
+    def withProbes(name: String, q: Double, io: Double, iter: Double,
+        graph: Double, flagged: Boolean) =
+      BenchMerge.parse(name, rec(s""""q1":$q""", 0.8, Some(flagged))
+        .replace(""","sf":"x"""",
+          s""","iter_probe_sec":$iter,"graph_probe_sec":$graph,""" +
+            s""""io_probe_sec":$io,"sf":"x""""))
+    val b1 = withProbes("g1", 1.0, 1.6, 4.0, 7.0, flagged = true)
+    val b2 = withProbes("g2", 1.2, 1.5, 4.2, 7.4, flagged = true)
+    val b3 = withProbes("g3", 9.0, 1.5, 4.1, 22.0, flagged = true) // true outlier
+    assert(b1.iterSec === Some(4.0) && b1.graphSec === Some(7.0))
+    val (ioRef, iterRef, graphRef) = BenchMerge.relativeRefs(Seq(b1, b2, b3))
+    assert(ioRef === 1.5 && iterRef === 4.1 && graphRef === 7.4)
+    val (med, excluded, degradedUsed, _, _) = BenchMerge.merge(
+      Seq(b1, b2, b3), ioRef, iterRef, graphRef, usePinnedFlag = false)
+    assert(excluded.map(_.path) === Seq("g3"),
+      "only the out-of-family graph reading excludes; the pinned flag is ignored")
+    assert(!degradedUsed && med("q1") === 1.1)
+    // the same boots under the pinned mode: every record self-flags →
+    // all-degraded fallback
+    val (_, exclPinned, degradedPinned, _, _) = BenchMerge.merge(Seq(b1, b2, b3))
+    assert(degradedPinned && exclPinned.isEmpty)
+  }
+
   test("pre-r09 records without the flag fall back to the iter-ratio threshold") {
     val old = BenchMerge.parse("old", rec(""""q1":5.0""", 2.4, None))
     assert(old.degraded)
