@@ -273,6 +273,50 @@ object Bench {
     */
   val IoProbeMedian: Double = 0.72
 
+  /** Fourth boot-health probe, THREAD-POOL-shaped (round-17 verdict
+    * item 6): the bounded-concurrency classify family (q81/q82 —
+    * `TopicEnrichment.boundedOrderedMap`: a fixed 10-thread pool per
+    * partition fed through a per-row Future/Await sliding queue) is
+    * bimodal 0.67–29 s across boots at clean CPU/IO/graph controls —
+    * none of the existing probes exercises per-row `Await` wakeup
+    * latency under scheduler churn, so an 18× spike was unclassifiable.
+    * This probe IS that shape, frozen and data-free: 32 tasks, each
+    * creating a 10-thread daemon pool and pushing its rows through the
+    * same enqueue-Future / Await-dequeue window with a fixed 50-step
+    * LCG per row. Its reading moves with thread-creation + futures
+    * wakeup health and with nothing else. Recorded raw as
+    * `pool_probe_sec` (calibration phase this round — the pin follows
+    * the [[IoProbeMedian]] discipline once ≥5 healthy-boot
+    * observations are committed).
+    */
+  private[graft] def poolProbe(spark: SparkSession): Double = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val t0 = System.nanoTime()
+    spark.sparkContext.range(0L, 64000L, 1L, 32).mapPartitions { it =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        10,
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val q = scala.collection.mutable.Queue.empty[Future[Long]]
+      var acc = 0L
+      it.foreach { i =>
+        while (q.size >= 10) acc ^= Await.result(q.dequeue(), Duration.Inf)
+        q.enqueue(Future {
+          var h = i; var k = 0
+          while (k < 50) {
+            h = h * 6364136223846793005L + 1442695040888963407L; k += 1
+          }
+          h
+        })
+      }
+      while (q.nonEmpty) acc ^= Await.result(q.dequeue(), Duration.Inf)
+      pool.shutdown()
+      Iterator.single(acc)
+    }.reduce(_ ^ _)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Committed sf-independent pin for [[iterativeProbe]] (each boot's
     * observation is a median of 5 in-boot probe runs) on the provisioned
     * 32-core box. Provenance: re-pinned in round 9 as the median of ALL
@@ -285,6 +329,49 @@ object Bench {
     * (bench/r09_sf1_run1), i.e. the probe flagged exactly the drift it
     * exists to flag. */
   val IterativeProbeMedian: Double = 3.2
+
+  /** Per-query Spark task-metrics aggregation for the focused
+    * adjudication cells (round-17 verdict item 2: the lone 406.7 s
+    * sf10 q162 observation is indistinguishable from environment
+    * without spill/memory evidence in the artifact). Registered only
+    * under `SPARK_GRAFT_METRICS=1` — listener dispatch is off the hot
+    * path by default and the full-sweep records stay byte-comparable
+    * across rounds. Totals are summed across all tasks between
+    * [[reset]] and snapshot; `peakExecMb` is the MAX single-task
+    * execution memory (not a concurrent-sum — documented, it bounds
+    * the per-task memory the boot had to find).
+    */
+  private final class TaskMetricsAgg
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val memSpill = new AtomicLong
+    private val diskSpill = new AtomicLong
+    private val peak = new AtomicLong
+    private val shufWrite = new AtomicLong
+    private val shufRead = new AtomicLong
+    private val input = new AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peak.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        ()
+      }
+    }
+    def reset(): Unit =
+      Seq(memSpill, diskSpill, peak, shufWrite, shufRead, input)
+        .foreach(_.set(0L))
+    /** (mem_spill, disk_spill, peak_task_exec, shuffle_write,
+      * shuffle_read, input) in MB. */
+    def snapshotMb: (Double, Double, Double, Double, Double, Double) =
+      (memSpill.get / 1e6, diskSpill.get / 1e6, peak.get / 1e6,
+        shufWrite.get / 1e6, shufRead.get / 1e6, input.get / 1e6)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -363,6 +450,18 @@ object Bench {
     val iterProbeSec = median((1 to 5).map(_ => iterativeProbe(spark)))
     val graphProbeSec = median((1 to 3).map(_ => graphProbe(spark)))
     val ioProbeSec = median((1 to 3).map(_ => ioProbe(spark)))
+    val poolProbeSec = median((1 to 3).map(_ => poolProbe(spark)))
+    // focused-cell task metrics (round-17 verdict item 2) — opt-in so
+    // sweep records stay listener-free and byte-comparable across rounds
+    val metricsAgg =
+      if (sys.env.contains("SPARK_GRAFT_METRICS")) {
+        val agg = new TaskMetricsAgg
+        spark.sparkContext.addSparkListener(agg)
+        Some(agg)
+      } else None
+    val taskMetrics =
+      scala.collection.mutable.LinkedHashMap[String,
+        (Double, Double, Double, Double, Double, Double)]()
     val raw = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     // build/serve attribution, native in the record (round-10 item 4):
     // the build-once/serve-many queries pay their standing build on the
@@ -458,7 +557,15 @@ object Bench {
       if (servedFamily(name)) {
         buildProbes(name) = serveProbe(spark)
         var b = runOnce(name, fn)
-        if (b < 0) { buildRetried(name) = b; b = runOnce(name, fn) }
+        if (b < 0) {
+          buildRetried(name) = b
+          // re-probe before the retry (round-17 ADVICE 3): the recorded
+          // probe must pair with the build measurement actually kept —
+          // the first attempt's probe reflects conditions before a
+          // failed pass whose time is in `build_retried`, not build_sec
+          buildProbes(name) = serveProbe(spark)
+          b = runOnce(name, fn)
+        }
         served(name) = b
       }
     }
@@ -488,9 +595,26 @@ object Bench {
     // per-served-query pre-serve probe readings (name -> (cached_mb,
     // heap_mb, micro_sec)), taken right before the measured runs
     val probes = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    // POST-serve probe readings (round-17 verdict item 4): a single
+    // pre-serve probe brackets only the START of a serve — the driver's
+    // r17 q165 read 33.2 s on a clean pre-probe with nothing in the
+    // artifact to classify mid-serve drift on a 30 s serve. The same
+    // fixed data-free job taken immediately AFTER the measured runs
+    // closes the bracket: clean-before + hot-after says churn arrived
+    // during the serve; BenchMerge treats hot-either-side as hot.
+    val postProbes = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = ordered.map { case (name, fn) =>
       if (servedFamily(name)) probes(name) = serveProbe(spark)
+      metricsAgg.foreach(_.reset())
       val times = (1 to runs).map(_ => runOnce(name, fn))
+      metricsAgg.foreach { agg =>
+        // listener dispatch is async with no public flush; the tasks
+        // themselves finished inside the timed runs, so a short drain
+        // bounds attribution slop without touching the measurements
+        Thread.sleep(200)
+        taskMetrics(name) = agg.snapshotMb
+      }
+      if (servedFamily(name)) postProbes(name) = serveProbe(spark)
       if (runs > 1) raw(name) = times
       val successes = times.filter(_ >= 0)
       // all-failed: keep the negative time-to-failure convention so a
@@ -546,9 +670,13 @@ object Bench {
         ",\"pre_build_heap_mb\":" + num(h, "%.0f") +
           ",\"pre_build_micro_sec\":" + num(m, "%.4f")
       }.getOrElse("")
+      val postProbeJson = postProbes.get(name).map { case (_, h, m) =>
+        ",\"post_heap_mb\":" + num(h, "%.0f") +
+          ",\"post_micro_sec\":" + num(m, "%.4f")
+      }.getOrElse("")
       "\"" + name + "\":{\"build_sec\":" + num(b, "%.4f") +
         ",\"serve_sec\":" + num(serve, "%.4f") + probeJson +
-        buildProbeJson + "}"
+        buildProbeJson + postProbeJson + "}"
     }.mkString("{", ",", "}")
     val rawJson =
       if (runs > 1)
@@ -598,24 +726,37 @@ object Bench {
     val buildRetriedJson = buildRetried
       .map { case (n, b) => "\"" + n + "\":" + num(b, "%.4f") }
       .mkString("{", ",", "}")
-    // COMPACT SUMMARY (round-10 item 2; experiment RETIRED round 14):
-    // the driver captures a bounded TAIL of stdout, and with 150+
-    // queries × n=3 raw arrays the full record can start before the
-    // capture window — this line is a few hundred bytes at any registry
-    // size: headline total, counts, every boot-health ratio, and the
-    // build/serve splits. The `parsed: null` investigation is CLOSED as
-    // driver-never-parses: r11/r12 printed the line LAST (null), r13
-    // printed it BOTH first and last (still null) — both orderings
-    // exhausted, so no print order can change the driver's behavior
-    // (PERF.md round-14 note). The line stays, printed ONCE, trailing —
-    // it is the human-readable / tail-capture-sized record of every
-    // boot-health field, and the round-13 ADVICE flagged the duplicate
-    // (two byte-identical "metric":"total" records double-counted by
-    // sum/append-style consumers, e.g. the campaign scripts' grep).
+    // optional per-query task metrics (SPARK_GRAFT_METRICS=1 cells
+    // only): spill + peak-task-memory evidence for focused adjudication
+    val metricsJson =
+      if (taskMetrics.nonEmpty)
+        taskMetrics.map { case (n, (ms, ds, pk, sw, sr, in)) =>
+          "\"" + n + "\":{\"mem_spill_mb\":" + num(ms, "%.1f") +
+            ",\"disk_spill_mb\":" + num(ds, "%.1f") +
+            ",\"peak_task_exec_mb\":" + num(pk, "%.1f") +
+            ",\"shuffle_write_mb\":" + num(sw, "%.1f") +
+            ",\"shuffle_read_mb\":" + num(sr, "%.1f") +
+            ",\"input_mb\":" + num(in, "%.1f") + "}"
+        }.mkString(",\"task_metrics\":{", ",", "}")
+      else ""
+    // COMPACT SUMMARY (round-10 item 2, REOPENED round 17 item 7 with
+    // the actual diagnosis): the driver keeps the LAST ~2000 chars of
+    // the last JSON-looking stdout line — the r14-era "few hundred
+    // bytes" summary line had since grown past that window (3.7 KB in
+    // r17: the served object with its probe trio rode in it), so the
+    // kept tail started MID-LINE and the parse failed. The summary is
+    // now genuinely compact again (counts + boot-health ratios only —
+    // the served split lives in the full record), printed LAST so any
+    // last-line/tail capture gets one complete parseable record, with a
+    // `BENCHLINE:`-prefixed copy before it for prefix-keyed consumers.
     // Metric name is "total" — the SAME key as the full record;
-    // `"summary":true` distinguishes the records for human readers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$rawJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}""")
+    // `"summary":true` distinguishes the records for human readers
+    // (round-13 ADVICE: sum/append-style consumers like the campaign
+    // scripts' grep take the FIRST match, the full record).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"control_ratio":$ratioJson,"controls":$controlsJson,"normalized_total":$normTotalJson,"iter_probe_sec":${num(iterProbeSec, "%.3f")},"iter_control_ratio":$iterRatioJson,"graph_probe_sec":${num(graphProbeSec, "%.3f")},"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"pool_probe_sec":${num(poolProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"build_retried":$buildRetriedJson,"served":$servedJson,"served_position":"$servedPosition"$metricsJson$rawJson,"sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"total","summary":true,"value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"control_ratio":$ratioJson,"normalized_total":$normTotalJson,"iter_control_ratio":$iterRatioJson,"graph_control_ratio":$graphRatioJson,"io_probe_sec":${num(ioProbeSec, "%.3f")},"io_control_ratio":$ioRatioJson,"pool_probe_sec":${num(poolProbeSec, "%.3f")},"boot_degraded":$bootDegraded,"build_failed":$buildFailed,"n_served":${served.size},"served_position":"$servedPosition","runs":$runs,"sf":"$sfDir"}"""
+    println("BENCHLINE:" + summaryLine)
+    println(summaryLine)
     spark.stop()
   }
 }

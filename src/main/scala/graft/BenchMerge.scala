@@ -44,6 +44,8 @@ object BenchMerge {
     """"pre_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
   private val PreBuildMicroRe =
     """"pre_build_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
+  private val PostMicroRe =
+    """"post_micro_sec":(-?[0-9][0-9.eE+-]*)""".r
 
   /** Pinned per-serve boot-health threshold for the `pre_micro_sec`
     * probe (the fixed data-free job Bench runs immediately before each
@@ -71,9 +73,17 @@ object BenchMerge {
       ioSec: Option[Double] = None,
       buildProbes: Map[String, Double] = Map.empty,
       iterSec: Option[Double] = None,
-      graphSec: Option[Double] = None) {
+      graphSec: Option[Double] = None,
+      postProbes: Map[String, Double] = Map.empty) {
+    /** Hot on EITHER side of the serve bracket (round-17 verdict item
+      * 4): the pre-serve probe sees only the start of a 30 s serve —
+      * a clean-before/hot-after observation ran into mid-serve churn
+      * and is excluded under the same clean-survivor fallback as
+      * hot-before. Records without the post field (pre-r18) make no
+      * post-side claim. */
     def hotProbe(n: String): Boolean =
-      probes.get(n).exists(_ > HotProbeMicroSec)
+      probes.get(n).exists(_ > HotProbeMicroSec) ||
+        postProbes.get(n).exists(_ > HotProbeMicroSec)
     /** Pre-BUILD probe over the same [[HotProbeMicroSec]] threshold
       * (round-16 verdict item 2): a served query's standing build that
       * ran on a churned scheduler is excluded from the build_sec median
@@ -122,10 +132,14 @@ object BenchMerge {
       .flatMap(m => PreBuildMicroRe.findFirstMatchIn(m.group(4))
         .map(p => m.group(1) -> p.group(1).toDouble))
       .toMap
+    val postProbes = servedMatches
+      .flatMap(m => PostMicroRe.findFirstMatchIn(m.group(4))
+        .map(p => m.group(1) -> p.group(1).toDouble))
+      .toMap
     val iterSec = IterSecRe.findFirstMatchIn(line).map(_.group(1).toDouble)
     val graphSec = GraphSecRe.findFirstMatchIn(line).map(_.group(1).toDouble)
     Boot(path, pairs, iter, degraded, served, probes, io, buildProbes,
-      iterSec, graphSec)
+      iterSec, graphSec, postProbes)
   }
 
   /** Returns (per-query medians, boots excluded as degraded,
@@ -162,9 +176,10 @@ object BenchMerge {
     * clean at 1.07 — the pinned flag then excludes the campaign's BEST
     * boot and keeps the worse one).
     */
-  private[graft] def relativeRefs(boots: Seq[Boot])
+  private[graft] def relativeRefs(boots: Seq[Boot], earlyBoots: Int = 3)
       : (Double, Double, Double) = {
-    def ref(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else median(xs.take(3))
+    def ref(xs: Seq[Double]) =
+      if (xs.isEmpty) 0.0 else median(xs.take(earlyBoots))
     (ref(boots.flatMap(_.ioSec)), ref(boots.flatMap(_.iterSec)),
       ref(boots.flatMap(_.graphSec)))
   }
@@ -270,14 +285,25 @@ object BenchMerge {
     // is the campaign's own early boots, so the adjudication survives a
     // box whose probe profile differs wholesale from the pins
     val relativeAll = flags.contains("--relative")
-    require(flags.forall(known), s"unknown flag(s): " +
-      flags.filterNot(known).mkString(","))
+    // reference-set size for the relative modes (round-17 carry: the
+    // early-boot count folded into a flag instead of a magic 3)
+    val EarlyBootsFlag = "--early-boots="
+    val earlyBoots = flags.collectFirst {
+      case f if f.startsWith(EarlyBootsFlag) =>
+        f.stripPrefix(EarlyBootsFlag).toInt
+    }.getOrElse(3)
+    require(earlyBoots >= 1, s"--early-boots must be >= 1: $earlyBoots")
+    require(flags.forall(f => known(f) || f.startsWith(EarlyBootsFlag)),
+      s"unknown flag(s): " +
+        flags.filterNot(f => known(f) || f.startsWith(EarlyBootsFlag))
+          .mkString(","))
     require(rest.length >= 2,
-      "usage: BenchMerge [--relative-io|--relative] <out.json> <in.json>...")
+      "usage: BenchMerge [--relative-io|--relative] [--early-boots=N] " +
+        "<out.json> <in.json>...")
     val boots = rest.drop(1).toSeq.map { p =>
       parse(p, scala.io.Source.fromFile(p).getLines().mkString("\n"))
     }
-    val (ioRefRel, iterRefRel, graphRefRel) = relativeRefs(boots)
+    val (ioRefRel, iterRefRel, graphRefRel) = relativeRefs(boots, earlyBoots)
     val ioRef =
       if (relativeIo || relativeAll) {
         require(ioRefRel > 0,
@@ -320,8 +346,17 @@ object BenchMerge {
       if (relativeAll)
         s""","probe_refs":{"io":${num(ioRefRel)},"iter":${num(iterRefRel)},"graph":${num(graphRefRel)}}"""
       else ""
+    // relative exclusion is mathematically inert with <=2 probe-carrying
+    // records (round-17 ADVICE 1: with n=2 a boot cannot read >=2x a
+    // median it participates in) — the merged artifact says so instead
+    // of silently presenting an unexcludable set as adjudicated
+    val probeCarrying = boots.count(_.ioSec.nonEmpty)
+    val underpoweredJson =
+      if (relativeAll || relativeIo)
+        s""","relative_underpowered":${probeCarrying < 3}"""
+      else ""
     val json =
-      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"hot_probe_builds":$hotBuildJson,"io_ref_mode":"$ioMode"$refsJson,"io_probe_median":${num(ioRef)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
+      s"""{"metric":"cross_run_median_total","value":${num(total)},"unit":"sec","n_boots":${boots.size},"n_excluded":${excluded.size},"excluded_degraded":$excl,"degraded_used":$degradedUsed,"generation_mixed":$mixedJson,"hot_probe_threshold":${num(HotProbeMicroSec)},"hot_probe_serves":$hotJson,"hot_probe_builds":$hotBuildJson,"io_ref_mode":"$ioMode"$refsJson$underpoweredJson,"io_probe_median":${num(ioRef)},"io_ratios":$ioJson,"served":$served,"queries":$qs}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(rest(0)),
       json.getBytes("UTF-8"))
     println(json)

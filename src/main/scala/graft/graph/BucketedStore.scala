@@ -141,10 +141,44 @@ object BucketedStore {
   def replaceBucketed(df: DataFrame, table: String, key: String,
                       buckets: Int = 16): Unit = {
     val s = df.sparkSession
+    // recover any swap a previous crash stranded (round-17 ADVICE 5,
+    // generalized from the sidecar landing): if the last replace died
+    // between its drop and rename, the only complete copy is `_next` —
+    // restore it BEFORE this write clobbers the temp name, so the new
+    // frame replaces a recovered table instead of burying the copy
+    recoverStrandedNext(s, table)
     val tmp = table + "_next"
     writeBucketed(df, tmp, key, buckets)
     dropManagedPurging(s, table)
     s.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Crash-window recovery for the `_next` swap discipline
+    * ([[replaceBucketed]], the MOR sidecar rewrites in
+    * `ExactlyOnceSink.landMorSidecars`): a temp-write → drop → rename
+    * swap that dies between the drop and the rename leaves the target
+    * MISSING with the only complete copy stranded under
+    * `<table>_next` — and a missing table can read CLEAN downstream
+    * ([[readMor]] folds a missing sidecar to the base alone), so the
+    * loss is silent. Called by every reader/writer that touches a
+    * swap target (round-17 ADVICE 5: recovery only at the next
+    * landing left the crash-to-reland window serving base-only
+    * state):
+    *  - `_next` present, target missing → the drop landed but the
+    *    rename did not: rename `_next` back (the copy is complete by
+    *    construction — fully written before the drop);
+    *  - both present → the crash hit before the drop: the original is
+    *    intact and `_next` is a stale temp — purge it.
+    * Cost when nothing is stranded: one catalog existence lookup.
+    */
+  private[graft] def recoverStrandedNext(s: SparkSession,
+      table: String): Unit = {
+    val next = table + "_next"
+    if (s.catalog.tableExists(next)) {
+      if (!s.catalog.tableExists(table))
+        s.sql(s"ALTER TABLE `$next` RENAME TO `$table`")
+      else dropManagedPurging(s, next)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -247,6 +281,13 @@ object BucketedStore {
               sidecarsOf: String = null): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     val host = Option(sidecarsOf).getOrElse(base)
+    // recover sidecars a crashed rewrite stranded under `_next` BEFORE
+    // the existence checks below (round-17 ADVICE 5: recovery only at
+    // the next landing meant a read in the crash-to-reland window
+    // silently served base-only state — a missing sidecar reads clean
+    // here by design). Two catalog lookups per sidecar when clean.
+    recoverStrandedNext(s, s"${host}_delta")
+    recoverStrandedNext(s, s"${host}_tomb")
     val b = s.table(base).withColumn("_epoch", lit(0))
     val withDelta =
       if (s.catalog.tableExists(s"${host}_delta"))

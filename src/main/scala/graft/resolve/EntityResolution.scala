@@ -812,11 +812,50 @@ object EntityResolution {
     * expression tree ARE the same rule, so sharing under an equal
     * fingerprint is correct by construction; a structurally different
     * rule is a different key, hence a different snapshot name.
+    *
+    * CONTRACT (round-17 ADVICE 4): `cls` must be a pure function of
+    * the probe column. A rule that closes over RESOLVED columns from a
+    * live plan would embed per-JVM expression ids (`#N`) in the
+    * fingerprint — a key that silently differs across JVMs, defeating
+    * the shared-snapshot reuse in the safe direction (spurious day-0
+    * rebuilds). Enforced, not just documented: an exprId-bearing
+    * fingerprint throws here, at the call that would have minted the
+    * unstable key.
     */
-  private[resolve] def clsFingerprint(cls: Column => Column): String = {
-    val e = org.apache.spark.sql.graftbridge.ColumnBridge
-      .expression(cls(col("__cls_probe__")))
-    scala.util.Try(e.sql).getOrElse(e.toString)
+  private[resolve] def clsFingerprint(s: SparkSession,
+      cls: Column => Column): String = {
+    // ANALYZE the rule over a literal one-column probe frame and
+    // fingerprint the analyzed expression's canonical SQL. This is the
+    // round-18 repair of the r17 fingerprint, which read the UNRESOLVED
+    // Column's lazy bridge expression — under Spark 4's ColumnNode
+    // indirection that rendered as the same opaque placeholder for
+    // EVERY rule ("columnnodeexpression()"), i.e. the r16 no-aliasing
+    // fix was silently vacuous: any two class rules shared one
+    // fingerprint, so a custom rule could still reuse another rule's
+    // day-0 snapshot. Analysis also IS the purity enforcement: a rule
+    // that references any column but the probe — by name or by a
+    // captured resolved Column from a live plan — fails to resolve
+    // against the probe frame and throws here, at the call that would
+    // have minted the aliasable/unstable key.
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val probe = s.range(1).select(col("id").as("__cls_probe__"))
+    val analyzed =
+      try probe.select(cls(col("__cls_probe__")).as("__cls_fp__"))
+        .queryExecution.analyzed
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "class rule must be a pure function of its probe column — it " +
+            "references columns outside the probe frame, so its snapshot " +
+            s"key would alias or drift across JVMs: ${e.getMessage}")
+      }
+    val fp = analyzed match {
+      case Project(Seq(a: Alias), _) => a.child.sql
+      case other => other.schema.treeString + other.expressions.map(_.sql)
+    }
+    require(!"#\\d+".r.findFirstIn(fp).isDefined,
+      s"class rule fingerprint embeds per-JVM expression ids: $fp")
+    fp
   }
 
   /** Serve-scoped persisted frames (batch assignments, touching pairs,
@@ -1586,7 +1625,7 @@ object EntityResolution {
     // — identical parameters — build ONE snapshot per JVM instead of
     // three (round-15 verdict item 6), and a parameter change cannot
     // alias: it is a different table name.
-    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(cls)}" +
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(s, cls)}" +
       s"|ins=${inserted.toSeq.sorted.mkString(",")}"
     val basePrefix = sharedBaseName("ing", snapKey)
     timed("day0") {
@@ -1731,7 +1770,7 @@ object EntityResolution {
     // [[ingestedMultidayCrudServed]]'s snapKey note (round-15 ADVICE 1
     // + verdict item 6, class rule as a structural fingerprint per
     // round-16 ADVICE 3): q161/q165/q167 share ONE day-0 build per JVM
-    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(cls)}" +
+    val snapKey = s"$sourceKey|eps=$num/$den|cls=${clsFingerprint(s, cls)}" +
       s"|ins=${inserted.toSeq.sorted.mkString(",")}"
     val basePrefix = sharedBaseName("ing", snapKey)
     ensureIngestedErTables(s, ingested, snapKey, num, den,

@@ -217,15 +217,14 @@ object ExactlyOnceSink {
     * covers in-process failures here and the metastore-backed
     * deployment the crash discipline is written for. Pinned by
     * `ExactlyOnceSinkSpec`.)
+    *
+    * Round-17 ADVICE 5 generalized the recovery into
+    * [[graft.graph.BucketedStore.recoverStrandedNext]]: `readMor` and
+    * `replaceBucketed` now run it too, closing the crash-to-reland
+    * window in which a read here would have served base-only state.
     */
-  private def recoverStrandedNext(s: SparkSession, sidecar: String): Unit = {
-    val next = sidecar + "_next"
-    if (s.catalog.tableExists(next)) {
-      if (!s.catalog.tableExists(sidecar))
-        s.sql(s"ALTER TABLE `$next` RENAME TO `$sidecar`")
-      else graft.graph.BucketedStore.dropManagedPurging(s, next)
-    }
-  }
+  private def recoverStrandedNext(s: SparkSession, sidecar: String): Unit =
+    graft.graph.BucketedStore.recoverStrandedNext(s, sidecar)
 
   def landMorSidecars(s: SparkSession, host: String, key: String,
       epoch: Int, deltas: Option[DataFrame] = None,

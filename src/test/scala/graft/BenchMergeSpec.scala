@@ -126,6 +126,52 @@ class BenchMergeSpec extends AnyFunSuite {
     // same expression (BenchMerge.scala main).
   }
 
+  test("hot-AFTER serves are excluded like hot-before: the serve bracket (r17 verdict 4)") {
+    // the r17 driver's q165: serve 33.2 s, pre-probe CLEAN (0.187) —
+    // a single pre-serve probe cannot see churn arriving mid-serve.
+    // The post-serve probe closes the bracket: clean-before/hot-after
+    // is excluded under the same clean-survivor fallback.
+    def sv(serve: Double, pre: Double, post: Double) =
+      s""""q165":{"build_sec":8.0,"serve_sec":$serve,""" +
+        s""""pre_cached_mb":0.0,"pre_heap_mb":2000,"pre_micro_sec":$pre,""" +
+        s""""pre_build_heap_mb":2000,"pre_build_micro_sec":0.1,""" +
+        s""""post_heap_mb":2100,"post_micro_sec":$post}"""
+    val b1 = BenchMerge.parse("r1",
+      rec(""""q165":8.5""", 0.8, Some(false), sv(8.5, 0.12, 0.14)))
+    val b2 = BenchMerge.parse("r2",
+      rec(""""q165":9.0""", 0.8, Some(false), sv(9.0, 0.20, 0.22)))
+    val b3 = BenchMerge.parse("r3",
+      rec(""""q165":33.2""", 0.8, Some(false), sv(33.2, 0.187, 0.95)))
+    assert(b3.postProbes === Map("q165" -> 0.95))
+    assert(b3.hotProbe("q165"), "clean-before + hot-after IS hot")
+    assert(!b1.hotProbe("q165"))
+    val (med, _, _, _, hot) = BenchMerge.merge(Seq(b1, b2, b3))
+    assert(med("q165") === 8.75, "median over the clean-bracket boots only")
+    assert(hot === Seq("r3:q165"))
+    val (rows, _) = BenchMerge.servedMedians(Seq(b1, b2, b3))
+    assert(rows === Seq(("q165", 8.0, 8.75)),
+      "servedMedians excludes the hot-after observation from serve_sec")
+    // all observations hot-after: never merge nothing — fall back
+    val (rowsAll, _) = BenchMerge.servedMedians(Seq(b3))
+    assert(rowsAll === Seq(("q165", 8.0, 33.2)))
+    // pre-r18 records carry no post field: no post-side claim
+    val old = BenchMerge.parse("r0",
+      rec(""""q165":9.5""", 0.8, Some(false),
+        """"q165":{"build_sec":8.0,"serve_sec":9.5,"pre_micro_sec":0.1}"""))
+    assert(old.postProbes.isEmpty && !old.hotProbe("q165"))
+  }
+
+  test("relativeRefs honors a non-default early-boot count (r17 carry)") {
+    def withIo(name: String, io: Double) =
+      BenchMerge.parse(name, rec(""""q1":1.0""", 0.8, Some(false))
+        .replace(""","sf":"x"""", s""","io_probe_sec":$io,"sf":"x""""))
+    val boots = Seq(withIo("e1", 1.0), withIo("e2", 2.0), withIo("e3", 3.0),
+      withIo("e4", 4.0), withIo("e5", 5.0))
+    assert(BenchMerge.relativeRefs(boots)._1 === 2.0, "default take(3)")
+    assert(BenchMerge.relativeRefs(boots, 5)._1 === 3.0)
+    assert(BenchMerge.relativeRefs(boots, 1)._1 === 1.0)
+  }
+
   test("io-probe adjudication: raw io_probe_sec is parsed; ratio flags only once pinned") {
     val line = rec(""""q1":1.0""", 0.8, Some(false))
       .replace(""","sf":"x"""", ""","io_probe_sec":9.99,"sf":"x"""")

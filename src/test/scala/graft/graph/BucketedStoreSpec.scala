@@ -335,6 +335,49 @@ class BucketedStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset(BucketedStore.CompactDepthConf)
   }
 
+  test("readMor and replaceBucketed recover a crash-stranded _next (r17 ADVICE 5)") {
+    // the crash-to-reland window: recovery only at the next
+    // landMorSidecars meant a readMor BETWEEN the crash and that
+    // landing silently served base-only state
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    BucketedStore.writeBucketed(base, "rec_mor", "k", buckets = 2)
+    BucketedStore.dropSidecars(spark, "rec_mor")
+    BucketedStore.appendDeltaSidecar(
+      Seq((3L, "c")).toDF("k", "v"), "rec_mor", "k", epoch = 1, buckets = 2)
+    // simulate the rewrite crash: `_delta` fully copied to `_next`,
+    // original dropped, rename never ran
+    BucketedStore.writeBucketed(spark.table("rec_mor_delta"),
+      "rec_mor_delta_next", "k", buckets = 2)
+    spark.sql("DROP TABLE `rec_mor_delta`")
+    assert(BucketedStore.readMor(spark, "rec_mor", Seq("k"))
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "a read in the crash window must recover the stranded delta, " +
+        "not fold to the base alone")
+    assert(spark.catalog.tableExists("rec_mor_delta") &&
+      !spark.catalog.tableExists("rec_mor_delta_next"))
+
+    // replaceBucketed: a crashed previous swap left the TARGET missing
+    // and complete under `_next`; the next replace must restore it
+    // first (never bury the only copy by clobbering the temp name)
+    BucketedStore.writeBucketed(base, "rec_std", "k", buckets = 2)
+    BucketedStore.writeBucketed(spark.table("rec_std"),
+      "rec_std_next", "k", buckets = 2)
+    spark.sql("DROP TABLE `rec_std`")
+    BucketedStore.replaceBucketed(
+      Seq((9L, "z")).toDF("k", "v"), "rec_std", "k", buckets = 2)
+    assert(spark.table("rec_std").as[(Long, String)].collect().toSet ===
+      Set((9L, "z")))
+    assert(!spark.catalog.tableExists("rec_std_next"))
+    // the other arm: stale `_next` beside an intact target is purged
+    BucketedStore.writeBucketed(Seq((8L, "y")).toDF("k", "v"),
+      "rec_std_next", "k", buckets = 2)
+    BucketedStore.recoverStrandedNext(spark, "rec_std")
+    assert(spark.table("rec_std").as[(Long, String)].collect().toSet ===
+      Set((9L, "z")), "an intact target is never overwritten by a stale temp")
+    assert(!spark.catalog.tableExists("rec_std_next"))
+  }
+
   test("partitioned write prunes non-matching partitions at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("partstore").toString

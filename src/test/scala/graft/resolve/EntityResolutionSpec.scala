@@ -90,4 +90,27 @@ class EntityResolutionSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(m === Map("Zeta" -> "Alpha", "Alpha" -> "Alpha"))
   }
+
+  test("clsFingerprint: stable keys for pure rules; exprId capture throws (r17 ADVICE 4)") {
+    import org.apache.spark.sql.functions.col
+    // pure functions of the probe column: deterministic, exprId-free,
+    // structurally distinct rules get distinct keys
+    val fp1 = EntityResolution.clsFingerprint(spark, c => c % 10 === 7)
+    val fp2 = EntityResolution.clsFingerprint(spark, c => c % 10 === 7)
+    val fp3 = EntityResolution.clsFingerprint(spark, c => c % 3 === 1)
+    assert(fp1 === fp2, "same rule, same key — the shared-snapshot reuse")
+    assert(fp1 !== fp3, "different rule, different key — no aliasing")
+    assert(!"#\\d+".r.findFirstIn(fp1).isDefined)
+    // a rule closing over a RESOLVED column embeds a per-JVM exprId in
+    // its fingerprint — an unstable snapshot key that silently defeats
+    // reuse; the contract is enforced at mint time
+    val leaked = Seq(1L).toDF("x")("x") // a resolved, exprId-bearing Column
+    assertThrows[IllegalArgumentException] {
+      EntityResolution.clsFingerprint(spark, c => c + leaked)
+    }
+    // ...and a rule naming a foreign column outside the probe frame
+    assertThrows[IllegalArgumentException] {
+      EntityResolution.clsFingerprint(spark, _ => col("not_the_probe"))
+    }
+  }
 }

@@ -201,7 +201,7 @@ class IngestedErSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("graft_q167_pairs_tomb"))
     val sharedBase = EntityResolution.sharedBaseName("ing",
       s"${TaggedQueries.ErFixtureGlob}|eps=24/25" +
-        s"|cls=${EntityResolution.clsFingerprint(c => c % 3)}|ins=1")
+        s"|cls=${EntityResolution.clsFingerprint(spark, c => c % 3)}|ins=1")
     assert(spark.catalog.tableExists(s"${sharedBase}_pairs"),
       "the tagged lifecycles must have built the shared snapshot")
     assert(!spark.catalog.tableExists(s"${sharedBase}_pairs_tomb") &&
