@@ -157,12 +157,37 @@ object DocGraph {
       s"DocGraph.bucketed: edge rel_type(s) ${unknown.mkString(", ")} have " +
         s"no bucket key in RelJoinKeys — add them or they would be " +
         s"dropped from the bucketed binding")
-    RelJoinKeys.foreach { case (rel, key) =>
-      BucketedStore.writeBucketed(
-        g.edges.filter(col("rel_type") === rel).select("src", "dst"),
-        s"${prefix}_${rel.toLowerCase}", key, buckets)
+    // The seven table writes are independent of each other — submit them
+    // CONCURRENTLY from a bounded driver pool (guide §2.6 "overlap
+    // independent jobs", the GraphDump discipline): sequentially each
+    // small write left the executors ~idle between tiny stages, and the
+    // ingest wall time was the SUM of seven mostly-single-task jobs
+    // instead of the longest one. Await every writer, then surface the
+    // first failure once nothing is in flight (fail-fast would unpersist
+    // frames under surviving writers).
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val writes = RelJoinKeys.map { case (rel, key) =>
+          Future {
+            BucketedStore.writeBucketed(
+              g.edges.filter(col("rel_type") === rel).select("src", "dst"),
+              s"${prefix}_${rel.toLowerCase}", key, buckets)
+          }
+        } :+ Future {
+          BucketedStore.writeBucketed(g.docs, s"${prefix}_docs", "title",
+            buckets)
+        }
+        val settled = Await.result(
+          Future.sequence(writes.map(_.transform(scala.util.Success(_)))),
+          Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => e }
+          .foreach(throw _)
+      } finally pool.shutdown()
     }
-    BucketedStore.writeBucketed(g.docs, s"${prefix}_docs", "title", buckets)
     readBucketedBinding(s, prefix, g.kwMapping)
   }
 

@@ -392,9 +392,32 @@ object EntityResolution {
   /** Connected components over an (u, v) edge frame for the given vertex
     * frame (one `vec_id` column). Returns (vec_id, component) where
     * component = min vec_id reachable — DBSCAN(min_samples=2) parity.
+    *
+    * SIZE-ADAPTIVE since round 18 (guide §1.2 "the distributed
+    * algorithm" + §2.4 "remove shuffles outright"): every standing-build
+    * call site paid GraphX Pregel's fixed multi-second floor (graph
+    * build + ~10 superstep job submissions) even when the whole graph
+    * was a few thousand vertices — at the bench scales that floor, not
+    * the data, dominated the entire incremental-ER family (q141/q146/
+    * q151 ~6–11 s each at sf0.1 with 2 000-row inputs). The probe-and-
+    * collect driver kernel that [[connectedComponentsAdaptive]] has
+    * used for the serve paths since round 11 applies unchanged here:
+    * under [[MaxDriverCcEdges]] run union-find on the driver
+    * (bit-identical min-reachable-id labels, spec-pinned by
+    * `IncrementalErSpec`/`AdaptiveCcSpec`), above it take the
+    * distributed Pregel path below — corpus-scale graphs at 100 TB
+    * still iterate in the cluster.
     */
   def connectedComponents(s: SparkSession, vertices: DataFrame,
-                          pairs: DataFrame): DataFrame = {
+                          pairs: DataFrame): DataFrame =
+    connectedComponentsAdaptive(s, vertices, pairs)
+
+  /** The distributed (GraphX Pregel) CC kernel — the fallback above
+    * [[MaxDriverCcEdges]], unchanged from rounds 1–17 when it was the
+    * only path.
+    */
+  private[resolve] def connectedComponentsPregel(s: SparkSession,
+      vertices: DataFrame, pairs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
     // GraphX materializes its input RDDs several times while building and
@@ -441,7 +464,7 @@ object EntityResolution {
     * promotion of edge endpoints missing from the vertex frame (the
     * merge edge sets are closed over their vertex sets, so this is
     * belt-and-braces parity, not a semantic difference). Larger affected
-    * sets fall back to the distributed [[connectedComponents]]; the
+    * sets fall back to the distributed [[connectedComponentsPregel]]; the
     * limit-probed collect doubles as the size guard (the [[epsPairsOf]]
     * discipline), and its cost on fallback is one extra materialization
     * of a lineage Pregel was about to materialize several times anyway.
@@ -453,11 +476,11 @@ object EntityResolution {
     val vrows = vertices.select(col("vec_id").cast("long")).as[Long]
       .limit(maxDriverEdges + 1).collect()
     if (vrows.length > maxDriverEdges)
-      return connectedComponents(s, vertices, pairs)
+      return connectedComponentsPregel(s, vertices, pairs)
     val erows = pairs.select(col("u").cast("long"), col("v").cast("long"))
       .as[(Long, Long)].limit(maxDriverEdges + 1).collect()
     if (erows.length > maxDriverEdges)
-      return connectedComponents(s, vertices, pairs)
+      return connectedComponentsPregel(s, vertices, pairs)
     // index every id (vertex frame ∪ edge endpoints — GraphX parity)
     val idx = new scala.collection.mutable.LongMap[Int](vrows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Long](vrows.length)
@@ -507,7 +530,94 @@ object EntityResolution {
     * messages; state = min hops seen.
     */
   def bfsReach(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
-               seed: Long, maxHops: Int): DataFrame = {
+               seed: Long, maxHops: Int,
+               maxDriverEdges: Int = MaxDriverCcEdges): DataFrame = {
+    import s.implicits._
+    // SIZE-ADAPTIVE (round 18, the [[connectedComponents]] discipline):
+    // under [[MaxDriverCcEdges]] collect and run a depth-limited BFS on
+    // the driver — bit-identical to the Pregel kernel below (min hops
+    // seen, reachable-within-maxHops rows only; both assume the edge
+    // set is closed over the vertex frame, which every caller
+    // guarantees) — instead of paying maxHops Pregel supersteps of job
+    // submission on a graph of a few thousand vertices. Larger graphs
+    // take the distributed path unchanged.
+    val vrows = vertices.select(col("vec_id").cast("long")).as[Long]
+      .limit(maxDriverEdges + 1).collect()
+    if (vrows.length <= maxDriverEdges) {
+      val erows = pairs.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].limit(maxDriverEdges + 1).collect()
+      if (erows.length <= maxDriverEdges)
+        return bfsReachDriver(s, vrows, erows, seed, maxHops)
+    }
+    bfsReachPregel(s, vertices, pairs, seed, maxHops)
+  }
+
+  /** Driver BFS kernel for [[bfsReach]]'s small-graph branch: frontier
+    * expansion to `maxHops` levels over an interned adjacency, labels =
+    * exact min-hop distances — what Pregel's min-message fixpoint
+    * computes level by level.
+    */
+  private def bfsReachDriver(s: SparkSession, vrows: Array[Long],
+      erows: Array[(Long, Long)], seed: Long, maxHops: Int): DataFrame = {
+    import s.implicits._
+    val idx = new scala.collection.mutable.LongMap[Int](vrows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](vrows.length)
+    def intern(id: Long): Int =
+      idx.getOrElse(id, {
+        val i = ids.length; ids += id; idx.update(id, i); i
+      })
+    vrows.foreach(intern)
+    erows.foreach { case (u, v) => intern(u); intern(v) }
+    // adjacency as CSR: degree count, prefix offsets, neighbor array
+    val n = ids.length
+    val deg = new Array[Int](n)
+    erows.foreach { case (u, v) => deg(idx(u)) += 1; deg(idx(v)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val cursor = java.util.Arrays.copyOf(off, n)
+    erows.foreach { case (u, v) =>
+      val iu = idx(u); val iv = idx(v)
+      nbr(cursor(iu)) = iv; cursor(iu) += 1
+      nbr(cursor(iv)) = iu; cursor(iv) += 1
+    }
+    val dist = new Array[Int](n)
+    java.util.Arrays.fill(dist, Int.MaxValue)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    idx.get(seed).foreach { s0 =>
+      dist(s0) = 0
+      var frontier = Array(s0)
+      var hop = 0
+      while (hop < maxHops && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { u =>
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val w = nbr(j)
+            if (dist(w) == Int.MaxValue) { dist(w) = hop + 1; next += w }
+            j += 1
+          }
+        }
+        frontier = next.toArray
+        hop += 1
+      }
+      i = 0
+      while (i < n) {
+        if (dist(i) != Int.MaxValue) out += ((ids(i), dist(i).toLong))
+        i += 1
+      }
+    }
+    s.createDataset(out.toSeq).toDF("vec_id", "hops")
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** The distributed (GraphX Pregel) BFS kernel — the fallback above
+    * [[MaxDriverCcEdges]], unchanged from rounds 1–17 when it was the
+    * only path.
+    */
+  private def bfsReachPregel(s: SparkSession, vertices: DataFrame,
+      pairs: DataFrame, seed: Long, maxHops: Int): DataFrame = {
     import org.apache.spark.graphx.{EdgeDirection, EdgeTriplet, Graph, VertexId}
     import s.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -587,7 +697,8 @@ object EntityResolution {
     * a pair-join, trading memory for one more shuffle.
     */
   def pageRank(s: SparkSession, vertices: DataFrame, pairs: DataFrame,
-               iters: Int, checkpointEvery: Int = 0): DataFrame = {
+               iters: Int, checkpointEvery: Int = 0,
+               maxDriverEdges: Int = MaxDriverCcEdges): DataFrame = {
     import s.implicits._
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
@@ -608,6 +719,21 @@ object EntityResolution {
       .select(col("u").cast("long"), col("v").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = edges.count()
+    // SIZE-ADAPTIVE (round 18, the [[connectedComponents]] discipline):
+    // the arithmetic is exact scaled-integer — independent of
+    // partitioning and summation order by design — so under
+    // [[MaxDriverCcEdges]] the same recurrence runs on the driver in
+    // one pass instead of iters joins+reduceByKey rounds of a
+    // multi-task RDD loop (the counts above already sized the graph;
+    // they double as the guard). Larger graphs iterate distributed,
+    // unchanged; `checkpointEvery` only concerns that path's lineage.
+    if (nV <= maxDriverEdges && nE <= maxDriverEdges) {
+      val vrows = vertices.select(col("vec_id").cast("long"))
+        .as[Long].collect()
+      val erows = edges.as[(Long, Long)].collect()
+      edges.unpersist(blocking = false)
+      return pageRankDriver(s, vrows, erows, iters)
+    }
     val vertsPerPart = 2L * 1000 * 1000
     val endpointsPerPart = 262144L
     val part = new HashPartitioner(math.max(1L, math.min(
@@ -663,6 +789,79 @@ object EntityResolution {
     edges.unpersist(blocking = false)
     lastCut.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** Driver kernel for [[pageRank]]'s small-graph branch: the identical
+    * scaled-integer recurrence (rank' = 0.15·S + Σ_in (rank·85) div
+    * (100·outdeg), truncating division, loud overflow via
+    * multiplyExact/addExact) over an interned adjacency. The RDD loop's
+    * join semantics are reproduced exactly: outdeg counts EVERY
+    * neighbor, but ranks exist only for frame vertices — an endpoint
+    * outside the vertex frame neither contributes nor receives (the
+    * adj⋈ranks and verts⟕sums joins drop it).
+    */
+  private def pageRankDriver(s: SparkSession, vrows: Array[Long],
+      erows: Array[(Long, Long)], iters: Int): DataFrame = {
+    import s.implicits._
+    val idx = new scala.collection.mutable.LongMap[Int](vrows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](vrows.length)
+    def intern(id: Long): Int =
+      idx.getOrElse(id, {
+        val i = ids.length; ids += id; idx.update(id, i); i
+      })
+    val inFrame = new scala.collection.mutable.ArrayBuffer[Boolean]()
+    vrows.foreach { id => val i = intern(id)
+      while (inFrame.length <= i) inFrame += false
+      inFrame(i) = true
+    }
+    erows.foreach { case (u, v) =>
+      Seq(intern(u), intern(v)).foreach { i =>
+        while (inFrame.length <= i) inFrame += false
+      }
+    }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    erows.foreach { case (u, v) => deg(idx(u)) += 1; deg(idx(v)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val cursor = java.util.Arrays.copyOf(off, n)
+    erows.foreach { case (u, v) =>
+      val iu = idx(u); val iv = idx(v)
+      nbr(cursor(iu)) = iv; cursor(iu) += 1
+      nbr(cursor(iv)) = iu; cursor(iv) += 1
+    }
+    val reset = PrScale * 15 / 100
+    var ranks = Array.tabulate(n)(i => if (inFrame(i)) PrScale else 0L)
+    var it = 0
+    while (it < iters) {
+      val sums = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        if (inFrame(i) && deg(i) > 0) {
+          val c = Math.multiplyExact(ranks(i), 85L) / (100L * deg(i))
+          var j = off(i)
+          while (j < off(i + 1)) {
+            val w = nbr(j); sums(w) = Math.addExact(sums(w), c); j += 1
+          }
+        }
+        i += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        if (inFrame(i)) next(i) = Math.addExact(reset, sums(i))
+        i += 1
+      }
+      ranks = next
+      it += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](vrows.length)
+    i = 0
+    while (i < n) { if (inFrame(i)) out += ((ids(i), ranks(i))); i += 1 }
+    s.createDataset(out.toSeq).toDF("vec_id", "rank")
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   /** INCREMENTAL entity resolution — the daily-batch shape the reference
